@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fraud-enrichment pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (plus EXT operators) with DuckDB oracle twins.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_iceberg_sandbox_spark.operators import fraud  # noqa: E402
+from data_iceberg_sandbox_spark.operators.spec import as_query_dicts  # noqa: E402
+
+
+def _all_specs():
+    from data_iceberg_sandbox_spark.operators import relational, tpch
+
+    specs = list(relational.SPECS) + list(tpch.SPECS)
+    for mod_name in (
+        "lifecycle",
+        "dedup",
+        "similarity",
+        "textstats",
+        "multimodal",
+    ):
+        try:
+            mod = __import__(
+                f"data_iceberg_sandbox_spark.operators.{mod_name}",
+                fromlist=["SPECS"],
+            )
+            specs += list(mod.SPECS)
+        except ImportError:
+            pass
+    try:
+        from data_iceberg_sandbox_spark.streaming import specs as streaming_specs
+
+        specs += list(streaming_specs.SPECS)
+    except ImportError:
+        pass
+    return specs
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return fraud.fraud_alerts_enriched(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = as_query_dicts(_all_specs())
+    q["flagship_fraud_enriched"] = fraud.fraud_alerts_enriched
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, o = as_query_dicts(_all_specs())
+    o["flagship_fraud_enriched"] = fraud.fraud_enriched_oracle_sql()
+    return o

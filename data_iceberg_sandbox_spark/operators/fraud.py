@@ -1,0 +1,104 @@
+"""Flagship pipeline: fraud alerts + client enrichment (batch form).
+
+Re-expresses the reference's streaming MV chain on the driver testdata:
+
+- ``mv_fraud_alerts`` (/root/reference/etl/dbtrisingwave/models/finance/
+  mv_fraud_alerts.sql:3-17): SUM(amount) per card per 1-minute tumble,
+  HAVING sum > threshold  →  here: SUM(value) per ``user_id`` per
+  1-minute tumble of ``ts`` over ``events`` (SURVEY §2 A1+A3+A4/W1).
+- ``mv_fraud_alerts_client`` (mv_fraud_alerts_client.sql:3-17): two-hop
+  LEFT OUTER JOIN enrichment (J1+J2)  →  here: alerts ⟕ customer
+  (user_id = c_custkey) ⟕ nation (c_nationkey = n_nationkey).
+
+Determinism/oracle convention: monetary sums are computed over
+``DECIMAL(18,4)`` casts (exact, engine-independent — matches the
+reference's decimal(28,4) amounts, transaction.avsc:10-18) and the final
+column is cast back to DOUBLE so Spark and DuckDB emit bit-identical
+values.
+
+Scale notes (100 TB): the tumble+sum is a single hash aggregation,
+map-side partial combine included, keyed on (user_id, window) — high
+cardinality, no skew hot-spot. ``nation`` is broadcast explicitly (25
+rows at every SF); ``customer`` joins post-aggregation, i.e. against the
+*alert* rows (HAVING-filtered, orders of magnitude smaller than events),
+so AQE picks broadcast vs shuffle join from runtime stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+FRAUD_THRESHOLD = 100.0  # analog of the reference's `> 5000` at its amounts
+
+
+def fraud_alerts(
+    spark: SparkSession, sf_dir: str, threshold: float = FRAUD_THRESHOLD
+) -> DataFrame:
+    """Windowed aggregation + HAVING (A1, A3, A4/W1)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("_total"))
+        .filter(F.col("_total") > F.lit(threshold))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("_total").cast("double").alias("total_amount"),
+        )
+    )
+
+
+def fraud_alerts_enriched(
+    spark: SparkSession, sf_dir: str, threshold: float = FRAUD_THRESHOLD
+) -> DataFrame:
+    """Alerts enriched via 2-hop left outer joins (J1, J2, P1)."""
+    alerts = fraud_alerts(spark, sf_dir, threshold)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        alerts.join(customer, alerts.user_id == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            F.col("c_custkey").alias("client_id"),
+            F.col("c_name").alias("client_name"),
+            F.col("n_name").alias("client_nation"),
+            "user_id",
+            "window_start",
+            "window_end",
+            "total_amount",
+        )
+    )
+
+
+FRAUD_ALERTS_SQL = """
+SELECT user_id,
+       date_trunc('minute', ts) AS window_start,
+       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+FROM events
+GROUP BY 1, 2, 3
+HAVING sum(CAST(value AS DECIMAL(18,4))) > {threshold}
+"""
+
+FRAUD_ENRICHED_SQL = """
+WITH alerts AS ({alerts})
+SELECT c.c_custkey  AS client_id,
+       c.c_name     AS client_name,
+       n.n_name     AS client_nation,
+       a.user_id, a.window_start, a.window_end, a.total_amount
+FROM alerts a
+LEFT JOIN customer c ON a.user_id = c.c_custkey
+LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def fraud_enriched_oracle_sql(threshold: float = FRAUD_THRESHOLD) -> str:
+    return FRAUD_ENRICHED_SQL.format(alerts=FRAUD_ALERTS_SQL.format(threshold=threshold))
+
+
+def fraud_alerts_oracle_sql(threshold: float = FRAUD_THRESHOLD) -> str:
+    return FRAUD_ALERTS_SQL.format(threshold=threshold)

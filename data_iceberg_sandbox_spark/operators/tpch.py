@@ -1,0 +1,239 @@
+"""TPC-H-style analytical queries over the driver testdata.
+
+The reference's interactive-SQL surface (Trino/spark-sql/PyIceberg,
+SURVEY §3.3) is exercised here with the classic analytical shapes the
+testdata's star schema supports — these are also the bench headliners.
+
+Determinism: revenue expressions are computed with bounded-precision
+decimals so every intermediate stays exact in both Spark and DuckDB:
+price → DECIMAL(12,2) (max ~105k, fits), discount/tax → DECIMAL(4,3)
+(domain 0.00-0.10). (12,2)×(5,3)×(5,3) stays within 38 digits of
+precision, so no engine-specific rounding anywhere; the final cast to
+DOUBLE is the single lossy step and is identical on both sides.
+
+Scale notes: q1 is a 6-group hash agg → pure map-side combine; q3/q5/q10
+join filtered fact partitions against dims (nation/region broadcast,
+customer/orders shuffled on the join key with AQE); top-k uses
+TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .spec import QuerySpec
+
+PRICE = "decimal(12,2)"
+RATE = "decimal(4,3)"
+
+
+def _disc_price(price_col, disc_col):
+    return price_col.cast(PRICE) * (F.lit(1).cast(RATE) - disc_col.cast(RATE))
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    charge = _disc_price(F.col("l_extendedprice"), F.col("l_discount")) * (
+        F.lit(1).cast(RATE) + F.col("l_tax").cast(RATE)
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(PRICE)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(PRICE))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(_disc_price(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast(PRICE)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast(PRICE)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))
+        * (CAST(1 AS DECIMAL(4,3)) + CAST(l_tax AS DECIMAL(4,3)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_disc_price(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE)
+    AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """Revenue per nation where customer and supplier share the nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_disc_price(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name AS nation,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE)
+    AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(PRICE) * F.col("l_discount").cast(RATE))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(4,3))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """Top-20 customers by revenue lost to returns (l_returnflag='R')."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_disc_price(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name AS nation,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE)
+    AS revenue
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("tpch_q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
+    QuerySpec("tpch_q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
+    QuerySpec("tpch_q5_local_supplier", q5_local_supplier_volume, Q5_ORACLE),
+    QuerySpec("tpch_q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE),
+    QuerySpec("tpch_q10_returned_items", q10_returned_items, Q10_ORACLE),
+]

@@ -1,0 +1,102 @@
+"""SparkSession factory.
+
+Re-expresses the reference's session builder
+(/root/reference/etl/src/apps/utils/spark_utils.py:12-42: local master from
+env, Iceberg REST catalog + S3FileIO + OAuth2, Iceberg SQL extensions,
+defaultCatalog) as a self-contained local factory:
+
+- master from ``SPARK_GRAFT_CPUS`` (default ``local[*]``),
+- AQE + Arrow on, UTC session timezone (oracle comparability),
+- shuffle partitions sized to cores (local mode), not the 200 default,
+- Iceberg catalog config applied ONLY if an iceberg-spark-runtime jar is
+  actually present (not in this image); otherwise the engine's own
+  snapshot-versioned table layer (``tables.laketable``) provides the
+  lakehouse lifecycle over plain parquet.
+
+Scale note: every config here is also correct on a real cluster — AQE
+handles skew/coalesce at runtime, and shuffle partitions are overridable
+per-session. Nothing below assumes single-node except the master default.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_APP = "data_iceberg_sandbox_spark"
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def iceberg_runtime_jar() -> str | None:
+    """Path to an iceberg-spark-runtime jar if one is on the pyspark
+    classpath, else None. The v1 image ships none; the engine then serves
+    table lifecycle through ``tables.laketable``."""
+    try:
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        hits = glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar"))
+        return hits[0] if hits else None
+    except Exception:
+        return None
+
+
+def get_spark_session(
+    app_name: str = _DEF_APP,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine SparkSession.
+
+    Mirrors the reference entry shape (spark_utils.py:37-42) — conf dict →
+    builder → getOrCreate — with cluster-safe defaults.
+    """
+    cpus = _cpus()
+    conf: dict[str, str] = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.default.parallelism": str(cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "snappy",
+        # local mode: driver memory is the only pool; leave headroom
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    jar = iceberg_runtime_jar()
+    if jar:
+        wh = warehouse_dir or os.path.join(os.getcwd(), "spark-warehouse", "iceberg")
+        conf.update(
+            {
+                "spark.sql.extensions": (
+                    "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+                ),
+                "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+                "spark.sql.catalog.lake.type": "hadoop",
+                "spark.sql.catalog.lake.warehouse": wh,
+            }
+        )
+    if extra_conf:
+        conf.update(extra_conf)
+
+    builder = SparkSession.builder.appName(app_name).master(
+        master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    )
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

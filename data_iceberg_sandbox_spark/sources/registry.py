@@ -1,0 +1,80 @@
+"""Testdata source registry (SURVEY §2.1 S1).
+
+The driver materializes a TPC-H-ish star schema plus ``events`` /
+``documents`` / ``embeddings`` as one parquet file per table
+(TESTDATA.md). This module is the engine's scan layer for them:
+``spark.read.parquet`` — columnar, with Catalyst predicate pushdown and
+column pruning intact (the reference delegates the same to its engines'
+Iceberg readers, e.g. /root/reference/infra/README.md:106).
+
+Scale note: a single ``read.parquet(path)`` over a directory of many
+files is the 100 TB shape too; no per-file driver loops here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver's parquet stamps timestamps as INT64 TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects. We read nanos as longs (session conf,
+# works on any caller-provided SparkSession too) and convert to micros
+# timestamps in the scan layer — floor(n/1000), matching DuckDB's own
+# nanos→micros truncation, so oracle comparisons agree.
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC regardless of the caller's session: event-time windows and
+    # timestamp output must align with the (UTC-naive) parquet values —
+    # verified against a deliberately non-UTC driver session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _TS_COLS.get(name, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            # integer `div` — float division would lose sub-µs exactness
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` (the
+    interactive-SQL surface, reference §3.3) sees the same names DuckDB
+    pre-registers for the oracle."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
