@@ -74,7 +74,9 @@ def get_spark_session(
         # local mode: driver memory is the only pool; leave headroom
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "spark.ui.enabled": "false",
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # NOTE: keep autoBroadcastJoinThreshold at Spark's 10 MB default —
+        # measured: raising it to 64 MB made q3/q5 broadcast a fact-sized
+        # table and cost 4-6× on the bench suite.
     }
     jar = iceberg_runtime_jar()
     if jar:
