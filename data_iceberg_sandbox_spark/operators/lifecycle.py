@@ -1,0 +1,249 @@
+"""Table lifecycle operators as oracle-checked queries (SURVEY §2.1 S2-S5,
+§2.8 D1-D8).
+
+Each spec materializes a LakeTable under the repo-local scratch warehouse,
+drives the lifecycle operation, and returns the resulting table scan; the
+DuckDB oracle reproduces the *final state* relationally. Inputs are
+deterministic derivations of the driver testdata, so repeated runs are
+stable at any SF.
+
+The clients fixture mirrors the reference's raw_clients shape (FIXTURES
+F1; reference create_table.py:46-60): id/name/age plus derived
+category/birth and created_at/updated_at audit columns (fixed literal
+timestamps — the reference uses current_timestamp, which is
+non-deterministic and therefore pinned here).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from ..tables.laketable import LakeTable
+from .spec import QuerySpec
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCRATCH = os.path.join(_REPO_ROOT, ".scratch", "lifecycle")
+
+TS1 = "2024-01-01 00:00:00"
+TS2 = "2024-02-01 00:00:00"
+
+
+def _fresh_table(spark: SparkSession, name: str, sf_dir: str) -> LakeTable:
+    root = os.path.join(SCRATCH, f"{name}_{os.path.basename(os.path.normpath(sf_dir))}")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    return LakeTable(spark, root)
+
+
+def clients_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic F1-style clients derived from `customer`."""
+    c = load_table(spark, sf_dir, "customer")
+    age = (F.col("c_custkey") % 80 + 10).cast("int")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        age.alias("age"),
+        F.when(age < 15, "young").when(age < 60, "adult").otherwise("senior").alias(
+            "category"
+        ),
+        (F.lit(2025) - age).alias("birth"),
+        F.lit(TS1).cast("timestamp").alias("created_at"),
+        F.lit(TS1).cast("timestamp").alias("updated_at"),
+    )
+
+
+CLIENTS_SQL = f"""
+SELECT c_custkey AS id,
+       c_name AS name,
+       CAST(c_custkey % 80 + 10 AS INT) AS age,
+       CASE WHEN c_custkey % 80 + 10 < 15 THEN 'young'
+            WHEN c_custkey % 80 + 10 < 60 THEN 'adult'
+            ELSE 'senior' END AS category,
+       2025 - CAST(c_custkey % 80 + 10 AS INT) AS birth,
+       TIMESTAMP '{TS1}' AS created_at,
+       TIMESTAMP '{TS1}' AS updated_at
+FROM customer
+"""
+
+
+def s2_create_partitioned(spark, sf_dir):
+    """S2 partitioned create + read-back (create_table.py:92-94)."""
+    t = _fresh_table(spark, "s2_clients", sf_dir)
+    t.create(clients_df(spark, sf_dir), partition_by=["category"])
+    return t.read()
+
+
+S2_ORACLE = CLIENTS_SQL
+
+
+def s3_append(spark, sf_dir):
+    """S3 append (count_clients.py:46; INSERT INTO analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "s3_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    return t.read()
+
+
+S3_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1)"
+
+
+def _merge_source(spark, sf_dir):
+    """Updated/new client rows: id%3==0, aged +10, renamed, new audit ts."""
+    src = clients_df(spark, sf_dir).filter(F.col("id") % 3 == 0)
+    age2 = F.col("age") + 10
+    return src.select(
+        "id",
+        F.upper(F.col("name")).alias("name"),
+        age2.cast("int").alias("age"),
+        F.when(age2 < 15, "young").when(age2 < 60, "adult").otherwise("senior").alias(
+            "category"
+        ),
+        (F.lit(2025) - age2).cast("int").alias("birth"),
+        F.lit(TS2).cast("timestamp").alias("created_at"),
+        F.lit(TS2).cast("timestamp").alias("updated_at"),
+    )
+
+
+def s4_merge_upsert(spark, sf_dir):
+    """S4 MERGE upsert, matched rows update all columns except id,
+    created_at (reference merge builder create_table.py:63-69,96-104)."""
+    t = _fresh_table(spark, "s4_clients", sf_dir)
+    t.create(clients_df(spark, sf_dir).filter(F.col("id") % 2 == 0))
+    t.merge(
+        _merge_source(spark, sf_dir),
+        on=["id"],
+        update_exclude=("id", "created_at"),
+    )
+    return t.read()
+
+
+S4_ORACLE = f"""
+WITH clients AS ({CLIENTS_SQL}),
+source AS (
+  SELECT id, upper(name) AS name, CAST(age + 10 AS INT) AS age,
+         CASE WHEN age + 10 < 15 THEN 'young'
+              WHEN age + 10 < 60 THEN 'adult' ELSE 'senior' END AS category,
+         CAST(2025 - (age + 10) AS INT) AS birth,
+         TIMESTAMP '{TS2}' AS created_at, TIMESTAMP '{TS2}' AS updated_at
+  FROM clients WHERE id % 3 = 0)
+SELECT t.id, s.name, s.age, s.category, s.birth, t.created_at, s.updated_at
+FROM clients t JOIN source s USING (id) WHERE t.id % 2 = 0        -- matched
+UNION ALL
+SELECT * FROM clients t WHERE id % 2 = 0 AND id % 3 <> 0          -- untouched
+UNION ALL
+SELECT * FROM source s WHERE id % 2 <> 0                          -- inserted
+"""
+
+
+def s5_keyed_upsert(spark, sf_dir):
+    """S5 keyed upsert on composite identifier fields (category, date)
+    (count_clients.py:29-44: join_cols + set_identifier_fields)."""
+    seg_counts = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("category"))
+        .agg(F.count("*").alias("len"))
+        .withColumn("date", F.lit("2024-01-01").cast("date"))
+    )
+    t = _fresh_table(spark, "s5_agg", sf_dir)
+    t.create(seg_counts, properties={"identifier.fields": "category,date"})
+    updated = seg_counts.filter(
+        F.col("category").isin("BUILDING", "AUTOMOBILE")
+    ).withColumn("len", F.col("len") + 1000)
+    new_day = seg_counts.withColumn("date", F.lit("2024-01-02").cast("date"))
+    t.merge(updated.unionByName(new_day))  # keys from identifier.fields
+    # storage/merge key is a true DATE; emit ISO string for engine-neutral
+    # value comparison (pandas renders Spark DATE and DuckDB DATE differently)
+    return t.read().withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+
+
+S5_ORACLE = """
+WITH seg AS (
+  SELECT c_mktsegment AS category, count(*) AS len, DATE '2024-01-01' AS date
+  FROM customer GROUP BY c_mktsegment)
+SELECT category,
+       CASE WHEN category IN ('BUILDING','AUTOMOBILE') THEN len + 1000
+            ELSE len END AS len,
+       strftime(date, '%Y-%m-%d') AS date
+FROM seg
+UNION ALL
+SELECT category, len, '2024-01-02' AS date FROM seg
+"""
+
+
+def d6_time_travel(spark, sf_dir):
+    """D6 time travel: VERSION AS OF the pre-append snapshot
+    (infra/README.md:85 'Version Control')."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "d6_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    return t.read(version=1)
+
+
+D6_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 = 0"
+
+
+def d7_compact(spark, sf_dir):
+    """D7 rewrite_data_files: many small appends compacted into few files,
+    content preserved (sink compaction, sink_iceberg...sql:23-24)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, "d7_lineitem", sf_dir)
+    t.create(li.filter(F.col("l_orderkey") % 4 == 0))
+    for m in (1, 2, 3):
+        t.append(li.filter(F.col("l_orderkey") % 4 == m))
+    t.compact(target_file_size_bytes=64 * 1024 * 1024)
+    return t.read()
+
+
+D7_ORACLE = "SELECT * FROM lineitem"
+
+
+def d8_expire_snapshots(spark, sf_dir):
+    """D8 expire_snapshots(retain_last=2) after a create+3-append history
+    (reference retain-last-5, sink_iceberg...sql:25-26); current content
+    unaffected."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "d8_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+    for m in (1, 2, 3):
+        t.append(orders.filter(F.col("o_orderkey") % 4 == m))
+    t.expire_snapshots(retain_last=2)
+    return t.read()
+
+
+D8_ORACLE = "SELECT * FROM orders"
+
+
+def d5_schema_evolution(spark, sf_dir):
+    """D5 ALTER TABLE add/drop column as metadata-only commits
+    (03-Trino-query.ipynb:156; allow_table.rego:75-79)."""
+    t = _fresh_table(spark, "d5_clients", sf_dir)
+    t.create(clients_df(spark, sf_dir))
+    t.add_column("score", "double")
+    t.drop_column("birth")
+    return t.read()
+
+
+D5_ORACLE = f"""
+SELECT id, name, age, category, created_at, updated_at,
+       CAST(NULL AS DOUBLE) AS score
+FROM ({CLIENTS_SQL})
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("s2_create_partitioned", s2_create_partitioned, S2_ORACLE),
+    QuerySpec("s3_append", s3_append, S3_ORACLE),
+    QuerySpec("s4_merge_upsert", s4_merge_upsert, S4_ORACLE),
+    QuerySpec("s5_keyed_upsert", s5_keyed_upsert, S5_ORACLE),
+    QuerySpec("d5_schema_evolution", d5_schema_evolution, D5_ORACLE),
+    QuerySpec("d6_time_travel", d6_time_travel, D6_ORACLE),
+    QuerySpec("d7_compact", d7_compact, D7_ORACLE),
+    QuerySpec("d8_expire_snapshots", d8_expire_snapshots, D8_ORACLE),
+]

@@ -1,0 +1,494 @@
+"""Snapshot-versioned lakehouse tables over parquet ("LakeTable").
+
+Re-expresses the reference's Iceberg table lifecycle (SURVEY §2.1-2.8;
+reference: etl/src/apps/load_people/create_table.py:92-104 partitioned
+create + mergeInto; etl/src/apps/analytics/count_clients.py:29-44 keyed
+upsert + identifier fields; infra/README.md:85 snapshots & compaction;
+etl/dbtrisingwave/models/finance/sink_iceberg_fraud_alerts_client.sql:23-26
+compaction cadence + retain-last-5 snapshot expiry) as a self-contained
+Spark-first layer — the image ships no Iceberg runtime jar (when one is
+present, session.py wires the real `SparkCatalog` instead).
+
+Design — a deliberately small subset of the Iceberg spec:
+
+    <warehouse>/<namespace>/<table>/
+        data/<commit-uuid>/...parquet      immutable data files
+        _manifests/v<N>.json               immutable snapshot manifests
+        _current                           pointer file, atomic os.replace
+
+A manifest lists the *complete* file set of its snapshot plus schema,
+partition spec, properties, operation and parent version. Readers resolve
+``_current`` (or an explicit version / timestamp → time travel, D6) and
+hand the file list to one ``spark.read.parquet(*files)`` call — listing
+is O(manifest), not O(directory), and partition values are recovered via
+``basePath`` so Catalyst still prunes hive-style partition directories.
+
+Commits are optimistic: writers stage data files under a fresh uuid dir,
+write manifest v(N+1), then atomically swing ``_current`` from the
+version they read — a concurrent commit in between raises
+``CommitConflict`` (retry at the caller, same contract as Iceberg's
+REST-catalog CAS).
+
+Scale notes (100 TB): data-file writes are plain distributed parquet
+writes (no driver data path); MERGE is copy-on-write implemented as
+anti/inner/anti joins shuffled on the merge key — the same shape
+Iceberg's COW MERGE produces — with the small source side broadcast by
+AQE when it fits. Manifest JSON on the driver holds file paths only;
+at 100 TB with ~1 GB files that's ~10^5 entries — fine. Compaction
+(D7) and snapshot expiry (D8) mirror ``rewrite_data_files`` /
+``expire_snapshots`` procedures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this snapshot was read."""
+
+
+class NoSuchTable(RuntimeError):
+    pass
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    operation: str
+    timestamp_ms: int
+    schema_json: str
+    partition_by: list[str]
+    files: list[str]  # relative to table root
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---- paths -----------------------------------------------------------
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version}.json")
+
+    # ---- snapshot access -------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self._current_path)
+
+    def current_version(self) -> int:
+        if not self.exists():
+            raise NoSuchTable(self.root)
+        with open(self._current_path, encoding="utf-8") as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.current_version() if version is None else version
+        path = self._manifest_path(v)
+        if not os.path.exists(path):
+            raise NoSuchTable(f"snapshot v{v} of {self.root} (expired or absent)")
+        with open(path, encoding="utf-8") as f:
+            return Manifest.from_json(f.read())
+
+    def snapshots(self) -> list[Manifest]:
+        """D6 snapshot metadata (like Iceberg's `t.snapshots` table)."""
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(self._manifest_dir)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(self._manifest_dir, fn), encoding="utf-8") as f:
+                    out.append(Manifest.from_json(f.read()))
+        return sorted(out, key=lambda m: m.version)
+
+    def version_as_of_timestamp(self, ts_ms: int) -> int:
+        """D6 `TIMESTAMP AS OF` resolution."""
+        eligible = [m.version for m in self.snapshots() if m.timestamp_ms <= ts_ms]
+        if not eligible:
+            raise NoSuchTable(f"no snapshot of {self.root} at/before {ts_ms}")
+        return max(eligible)
+
+    # ---- read ------------------------------------------------------------
+    def read(
+        self, version: int | None = None, as_of_timestamp_ms: int | None = None
+    ) -> DataFrame:
+        """S1 scan / D6 time travel."""
+        if as_of_timestamp_ms is not None:
+            version = self.version_as_of_timestamp(as_of_timestamp_ms)
+        man = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(man.schema_json))
+        if not man.files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in man.files]
+        reader = self.spark.read.schema(schema).option(
+            "basePath", os.path.join(self.root, "data")
+        )
+        # one distributed scan over the manifest's file list; column order
+        # pinned to the table schema
+        return reader.parquet(*paths).select([f.name for f in schema.fields])
+
+    # ---- commit machinery ------------------------------------------------
+    def _write_data_files(self, df: DataFrame, partition_by: list[str]) -> list[str]:
+        commit_dir = f"data/{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.root, commit_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        files = []
+        for dirpath, _dirnames, filenames in os.walk(out):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
+                    files.append(rel)
+        return sorted(files)
+
+    def _commit(
+        self,
+        operation: str,
+        files: list[str],
+        schema_json: str,
+        partition_by: list[str],
+        properties: dict[str, str],
+        expected_parent: int | None,
+    ) -> Manifest:
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        new_version = (expected_parent or 0) + 1
+        man = Manifest(
+            version=new_version,
+            parent=expected_parent,
+            operation=operation,
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=schema_json,
+            partition_by=partition_by,
+            files=files,
+            properties=properties,
+        )
+        mpath = self._manifest_path(new_version)
+        if os.path.exists(mpath):
+            raise CommitConflict(f"{mpath} already exists")
+        with open(mpath, "w", encoding="utf-8") as f:
+            f.write(man.to_json())
+        # CAS on the pointer: re-check parent then atomic replace
+        if expected_parent is not None:
+            if self.current_version() != expected_parent:
+                os.remove(mpath)
+                raise CommitConflict(
+                    f"{self.root}: expected parent v{expected_parent}"
+                )
+        tmp = self._current_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(new_version))
+        os.replace(tmp, self._current_path)
+        return man
+
+    # ---- write operations ------------------------------------------------
+    def create(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        """S2 partitioned create (`writeTo(t).partitionedBy(col).create()`,
+        reference create_table.py:92-94) / D2 create-if-not-exists."""
+        if self.exists():
+            if if_not_exists:
+                return self
+            raise RuntimeError(f"table exists: {self.root}")
+        partition_by = partition_by or []
+        files = self._write_data_files(df, partition_by)
+        self._commit(
+            "create",
+            files,
+            json.dumps(df.schema.jsonValue()),
+            partition_by,
+            properties or {},
+            expected_parent=None,
+        )
+        return self
+
+    def append(self, df: DataFrame) -> "LakeTable":
+        """S3 append (`df.writeTo(t).append()` / INSERT INTO)."""
+        cur = self.manifest()
+        new_files = self._write_data_files(
+            _align(df, cur.schema_json), cur.partition_by
+        )
+        self._commit(
+            "append",
+            sorted(cur.files + new_files),
+            cur.schema_json,
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+        )
+        return self
+
+    def overwrite(self, df: DataFrame) -> "LakeTable":
+        cur = self.manifest()
+        files = self._write_data_files(_align(df, cur.schema_json), cur.partition_by)
+        self._commit(
+            "overwrite",
+            files,
+            cur.schema_json,
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+        )
+        return self
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str] | None = None,
+        update_exclude: tuple[str, ...] = (),
+        insert_not_matched: bool = True,
+    ) -> "LakeTable":
+        """S4/S5 MERGE upsert, copy-on-write.
+
+        Semantics follow the reference merge builder (create_table.py:
+        63-69,96-104): matched target rows take every source column except
+        ``update_exclude`` (those keep target values, e.g. ``id``,
+        ``created_at``); unmatched source rows are inserted whole. ``on``
+        defaults to the table's ``identifier.fields`` property (D10,
+        count_clients.py:43-44 analog).
+
+        Plan shape: three joins on the merge key (inner for updates,
+        left-anti each way for untouched/inserts) unioned and rewritten —
+        the COW MERGE shuffle; AQE broadcasts the source side when small.
+        """
+        cur = self.manifest()
+        keys = on or [
+            k.strip()
+            for k in cur.properties.get("identifier.fields", "").split(",")
+            if k.strip()
+        ]
+        if not keys:
+            raise ValueError("merge needs `on` keys or identifier.fields property")
+        target = self.read()
+        source = _align(source, cur.schema_json)
+        cols = target.columns
+
+        untouched = target.join(source, keys, "left_anti")
+        updated = target.alias("t").join(source.alias("s"), keys, "inner").select(
+            *[
+                F.col(f"t.{c}") if (c in keys or c in update_exclude) else F.col(f"s.{c}")
+                for c in cols
+            ]
+        )
+        merged = untouched.unionByName(updated)
+        if insert_not_matched:
+            inserted = source.join(target, keys, "left_anti").select(*cols)
+            merged = merged.unionByName(inserted)
+
+        files = self._write_data_files(merged, cur.partition_by)
+        self._commit(
+            "merge",
+            files,
+            cur.schema_json,
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+        )
+        return self
+
+    def delete_where(self, condition) -> "LakeTable":
+        """DELETE (D5-adjacent DML; OPA op list allow_table.rego:73-80)."""
+        cur = self.manifest()
+        remaining = self.read().filter(~condition)
+        files = self._write_data_files(remaining, cur.partition_by)
+        self._commit(
+            "delete",
+            files,
+            cur.schema_json,
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+        )
+        return self
+
+    # ---- maintenance (D7, D8) -------------------------------------------
+    def compact(self, target_file_size_bytes: int = 128 * 1024 * 1024) -> "LakeTable":
+        """D7 small-files compaction (`rewrite_data_files`; reference sink
+        compaction cadence sink_iceberg_fraud_alerts_client.sql:23-24).
+        Content-preserving: coalesces to ceil(bytes/target) files."""
+        cur = self.manifest()
+        total = sum(
+            os.path.getsize(os.path.join(self.root, f)) for f in cur.files
+        )
+        n = max(1, -(-total // target_file_size_bytes))
+        df = self.read()
+        if cur.partition_by:
+            df = df.repartition(int(n), *cur.partition_by)
+        else:
+            df = df.repartition(int(n))
+        files = self._write_data_files(df, cur.partition_by)
+        self._commit(
+            "compact",
+            files,
+            cur.schema_json,
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+        )
+        return self
+
+    def expire_snapshots(self, retain_last: int = 5) -> list[int]:
+        """D8 snapshot expiration (`expire_snapshots(retain_last => 5)`,
+        reference sink options :25-26). Deletes expired manifests and any
+        data file referenced only by them."""
+        mans = self.snapshots()
+        if len(mans) <= retain_last:
+            return []
+        keep = mans[-retain_last:]
+        drop = mans[:-retain_last]
+        live = {f for m in keep for f in m.files}
+        removed = []
+        for m in drop:
+            for f in m.files:
+                if f not in live:
+                    p = os.path.join(self.root, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+            os.remove(self._manifest_path(m.version))
+            removed.append(m.version)
+        # prune empty commit dirs
+        data_dir = os.path.join(self.root, "data")
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                full = os.path.join(data_dir, d)
+                if os.path.isdir(full) and not any(
+                    fn.endswith(".parquet")
+                    for _, _, fns in os.walk(full)
+                    for fn in fns
+                ):
+                    shutil.rmtree(full)
+        return removed
+
+    # ---- schema evolution (D5) ------------------------------------------
+    def add_column(self, name: str, dtype: str) -> "LakeTable":
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur.schema_json))
+        if name in schema.fieldNames():
+            raise ValueError(f"column exists: {name}")
+        new = T.StructType(
+            schema.fields + [T.StructField(name, _parse_type(dtype), True)]
+        )
+        self._commit_schema(cur, new, f"add_column:{name}")
+        return self
+
+    def drop_column(self, name: str) -> "LakeTable":
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur.schema_json))
+        new = T.StructType([f for f in schema.fields if f.name != name])
+        if len(new.fields) == len(schema.fields):
+            raise ValueError(f"no such column: {name}")
+        self._commit_schema(cur, new, f"drop_column:{name}")
+        return self
+
+    def _commit_schema(self, cur: Manifest, new_schema: T.StructType, op: str):
+        # metadata-only commit: rewrite no data, reads project/null-fill
+        self._commit(
+            op,
+            cur.files,
+            json.dumps(new_schema.jsonValue()),
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+        )
+
+
+def _parse_type(dtype: str) -> T.DataType:
+    return T._parse_datatype_string(dtype)
+
+
+def _align(df: DataFrame, schema_json: str) -> DataFrame:
+    """Project/cast a frame to the table schema (null-fill added columns)."""
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(cols)
+
+
+class LakeCatalog:
+    """Namespace → table catalog over a warehouse directory (D1-D4).
+
+    Mirrors the reference's catalog→namespace→table hierarchy
+    (infra/README.md:60-63; nested namespaces in 01-Management.ipynb)
+    with filesystem directories; `spark.table`-style access via
+    ``catalog.table("ns.t").read()``.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _path(self, ident: str) -> str:
+        parts = ident.split(".")
+        return os.path.join(self.warehouse, *parts)
+
+    def table(self, ident: str) -> LakeTable:
+        return LakeTable(self.spark, self._path(ident))
+
+    def table_exists(self, ident: str) -> bool:  # D2
+        return self.table(ident).exists()
+
+    def create_namespace(self, ns: str) -> None:  # D3
+        os.makedirs(os.path.join(self.warehouse, *ns.split(".")), exist_ok=True)
+
+    def list_namespaces(self, parent: str = "") -> list[str]:  # D4
+        base = os.path.join(self.warehouse, *parent.split(".")) if parent else self.warehouse
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(base)
+            if os.path.isdir(os.path.join(base, d))
+            and not LakeTable(self.spark, os.path.join(base, d)).exists()
+        )
+
+    def list_tables(self, ns: str) -> list[str]:  # D4
+        base = os.path.join(self.warehouse, *ns.split(".")) if ns else self.warehouse
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(base)
+            if LakeTable(self.spark, os.path.join(base, d)).exists()
+        )
+
+    def drop_table(self, ident: str) -> None:
+        path = self._path(ident)
+        if os.path.isdir(path):
+            shutil.rmtree(path)

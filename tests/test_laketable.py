@@ -1,0 +1,133 @@
+"""LakeTable behaviors beyond the oracle-checked lifecycle queries:
+snapshot metadata, time travel after compaction, optimistic-commit
+conflicts, expiry file GC, delete, catalog namespaces."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_iceberg_sandbox_spark.tables.laketable import (
+    CommitConflict,
+    LakeCatalog,
+    LakeTable,
+    NoSuchTable,
+)
+
+
+@pytest.fixture
+def df10(spark):
+    return spark.range(10).withColumn("v", F.col("id") * 2)
+
+
+def test_create_append_snapshots(spark, scratch, df10):
+    t = LakeTable(spark, os.path.join(scratch, "t1"))
+    t.create(df10)
+    t.append(df10.withColumn("id", F.col("id") + 10))
+    assert t.read().count() == 20
+    ops = [m.operation for m in t.snapshots()]
+    assert ops == ["create", "append"]
+    assert t.read(version=1).count() == 10
+
+
+def test_partitioned_create_prunes(spark, scratch, df10):
+    t = LakeTable(spark, os.path.join(scratch, "t2"))
+    t.create(df10.withColumn("p", F.col("id") % 2), partition_by=["p"])
+    out = t.read().filter(F.col("p") == 1)
+    assert out.count() == 5
+    # partition pruning: the physical plan's scan lists only p=1 files
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "p=1" in plan or "PartitionFilters" in plan
+
+
+def test_merge_insert_and_update(spark, scratch, df10):
+    t = LakeTable(spark, os.path.join(scratch, "t3"))
+    t.create(df10)
+    src = spark.range(5, 15).withColumn("v", F.lit(-1).cast("long"))
+    t.merge(src, on=["id"])
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 15
+    assert rows[0] == 0 and rows[4] == 8  # untouched
+    assert rows[5] == -1 and rows[14] == -1  # updated + inserted
+
+
+def test_merge_update_exclude(spark, scratch, df10):
+    t = LakeTable(spark, os.path.join(scratch, "t4"))
+    t.create(df10.withColumn("keep", F.lit("orig")))
+    src = spark.range(0, 5).withColumn("v", F.lit(99).cast("long")).withColumn(
+        "keep", F.lit("new")
+    )
+    t.merge(src, on=["id"], update_exclude=("id", "keep"))
+    rows = {r["id"]: (r["v"], r["keep"]) for r in t.read().collect()}
+    assert rows[0] == (99, "orig")
+    assert rows[9] == (18, "orig")
+
+
+def test_time_travel_survives_compaction(spark, scratch, df10):
+    t = LakeTable(spark, os.path.join(scratch, "t5"))
+    t.create(df10)
+    t.append(df10.withColumn("id", F.col("id") + 10))
+    t.compact()
+    assert t.read().count() == 20
+    assert t.read(version=1).count() == 10
+    assert [m.operation for m in t.snapshots()][-1] == "compact"
+
+
+def test_expire_deletes_only_dead_files(spark, scratch, df10):
+    t = LakeTable(spark, os.path.join(scratch, "t6"))
+    t.create(df10)
+    t.overwrite(df10.withColumn("v", F.col("v") + 1))  # v1 files now dead
+    t.overwrite(df10.withColumn("v", F.col("v") + 2))
+    removed = t.expire_snapshots(retain_last=1)
+    assert removed == [1, 2]
+    assert t.read().count() == 10
+    with pytest.raises(NoSuchTable):
+        t.read(version=1)
+
+
+def test_commit_conflict(spark, scratch, df10):
+    root = os.path.join(scratch, "t7")
+    t1 = LakeTable(spark, root)
+    t1.create(df10)
+    man = t1.manifest()
+    # simulate a racing writer committing first
+    LakeTable(spark, root).append(df10)
+    with pytest.raises(CommitConflict):
+        t1._commit(
+            "append", man.files, man.schema_json, [], {}, expected_parent=man.version
+        )
+
+
+def test_delete_where(spark, scratch, df10):
+    t = LakeTable(spark, os.path.join(scratch, "t8"))
+    t.create(df10)
+    t.delete_where(F.col("id") < 5)
+    assert sorted(r["id"] for r in t.read().collect()) == [5, 6, 7, 8, 9]
+
+
+def test_catalog_namespaces_and_tables(spark, scratch, df10):
+    cat = LakeCatalog(spark, os.path.join(scratch, "wh"))
+    cat.create_namespace("finance.revenue")
+    assert "finance" in cat.list_namespaces()
+    cat.table("finance.revenue.alerts").create(df10)
+    assert cat.table_exists("finance.revenue.alerts")
+    assert cat.list_tables("finance.revenue") == ["alerts"]
+    cat.drop_table("finance.revenue.alerts")
+    assert not cat.table_exists("finance.revenue.alerts")
+
+
+def test_schema_evolution_roundtrip(spark, scratch, df10):
+    t = LakeTable(spark, os.path.join(scratch, "t9"))
+    t.create(df10)
+    t.add_column("tag", "string")
+    assert t.read().filter(F.col("tag").isNull()).count() == 10
+    t.append(
+        spark.range(10, 12)
+        .withColumn("v", F.lit(0).cast("long"))
+        .withColumn("tag", F.lit("x"))
+    )
+    assert t.read().filter(F.col("tag") == "x").count() == 2
+    t.drop_column("v")
+    assert t.read().columns == ["id", "tag"]
