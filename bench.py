@@ -91,6 +91,25 @@ def main() -> None:
         list(ex.map(lambda n: queries[n](spark, sf_dir).count(), names))
     concurrent_wall = round(time.perf_counter() - t0, 4)
 
+    # streaming throughput sanity (reference-derived target: >=10k events/s
+    # through the tumble+sum+having MV pipeline, BASELINE.md)
+    stream_eps = None
+    try:
+        from data_iceberg_sandbox_spark.sources.registry import load_table
+        from data_iceberg_sandbox_spark.streaming.fraud_stream import (
+            SCRATCH,
+            run_fraud_alerts_stream,
+        )
+
+        n_events = load_table(spark, sf_dir, "events").count()
+        t0 = time.perf_counter()
+        run_fraud_alerts_stream(
+            spark, sf_dir, os.path.join(SCRATCH, "bench_mv"), 100.0, 8, 2
+        )
+        stream_eps = round(n_events / (time.perf_counter() - t0), 1)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -102,6 +121,7 @@ def main() -> None:
                 "concurrent_wall_sec": concurrent_wall,
                 "concurrency": min(8, len(names) or 1),
                 "n_queries": len(names),
+                "streaming_events_per_sec": stream_eps,
             }
         )
     )

@@ -1,0 +1,220 @@
+"""Structured Streaming re-expression of the reference streaming pipeline
+(SURVEY §2.1 S10-S14, §2.6 W1-W5).
+
+Reference chain (/root/reference/): Kafka Avro source
+(src_kafka_credit_card_transactions.sql:1-12, earliest offsets) →
+RisingWave MV `mv_fraud_alerts` = 1-minute TUMBLE + SUM + HAVING
+(mv_fraud_alerts.sql:3-17) → MV `mv_fraud_alerts_client` = two-hop
+LEFT JOIN enrichment against seed + Iceberg side input
+(mv_fraud_alerts_client.sql:11-17) → append-only Iceberg/Kafka sinks
+(sink_iceberg_fraud_alerts_client.sql, sink_kafka...sql).
+
+Spark-first mapping:
+- source: file stream over a staged multi-file copy of `events`
+  (`maxFilesPerTrigger` → genuine multi-micro-batch incremental
+  processing; Kafka is a config swap, gated on the connector jar);
+- MV maintenance (W2, emit-on-update): `outputMode("update")` windowed
+  aggregation + ``foreachBatch`` MERGE into a LakeTable keyed
+  (user_id, window_start) — each micro-batch upserts its updated
+  cumulative sums, exactly RisingWave's emit-on-update observable
+  behavior. The HAVING filter applies per emission; once a group
+  crosses the threshold it appears and later updates revise it.
+- enrichment (W5/S11): stream-static join — the static side is re-read
+  per micro-batch, so dim changes apply to *future* batches;
+- retroactive backfill (streaming-usecase.md:278-291, the card_999
+  scenario): RisingWave revises *past* join results when dim rows
+  arrive. Stream-static joins cannot; `repair_null_enrichment` runs the
+  documented periodic repair MERGE re-joining rows whose enrichment is
+  NULL (P8 predicate) — divergence documented in SURVEY §7.
+- watermark: the reference keeps window state forever (no watermark);
+  update-mode without watermark matches that. At 100 TB/unbounded
+  streams, pass `watermark=` to bound state — a stated trade-off.
+
+Scale notes: the windowed agg carries partial aggregation before the
+(user_id, window) shuffle; state is per-group O(1); the MERGE per batch
+shuffles only updated groups (micro-batch-sized, AQE broadcasts it
+against the big target side of the COW join).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from ..tables.laketable import LakeTable
+from ..operators.fraud import FRAUD_THRESHOLD
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCRATCH = os.path.join(_REPO_ROOT, ".scratch", "streaming")
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, name: str, n_files: int = 8
+) -> str:
+    """Stage `events` as n parquet files so the file source yields real
+    micro-batches (the self-contained analog of a Kafka topic's
+    partitioned backlog, replayed from earliest — S10/W4)."""
+    out = os.path.join(
+        SCRATCH, f"staged_{name}_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    load_table(spark, sf_dir, "events").repartition(n_files).write.parquet(out)
+    return out
+
+
+def events_stream(spark: SparkSession, staged_dir: str, files_per_trigger: int = 2):
+    schema = spark.read.parquet(staged_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def windowed_alerts(stream: DataFrame, threshold: float, watermark: str | None = None):
+    """W1 tumble + A1 sum + A3 having on the stream."""
+    if watermark:
+        stream = stream.withWatermark("ts", watermark)
+    return (
+        stream.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("_total"))
+        .filter(F.col("_total") > F.lit(threshold))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("_total").cast("double").alias("total_amount"),
+        )
+    )
+
+
+def run_fraud_alerts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_root: str,
+    threshold: float = FRAUD_THRESHOLD,
+    n_files: int = 8,
+    files_per_trigger: int = 2,
+    enrich: bool = False,
+    customer_df: DataFrame | None = None,
+    nation_df: DataFrame | None = None,
+) -> LakeTable:
+    """Run the MV-maintenance pipeline to completion over the staged
+    backlog; returns the result LakeTable (the 'materialized view').
+
+    update-mode + foreachBatch MERGE keyed (user_id, window_start):
+    emit-on-update semantics (W2). With `enrich`, each batch's updated
+    alerts are stream-static joined (W5) before the upsert, mirroring
+    mv_fraud_alerts_client.
+    """
+    staged = stage_event_files(spark, sf_dir, "fraud", n_files)
+    if os.path.isdir(table_root):
+        shutil.rmtree(table_root)
+    result = LakeTable(spark, table_root)
+
+    customer = customer_df if customer_df is not None else load_table(spark, sf_dir, "customer")
+    nation = nation_df if nation_df is not None else load_table(spark, sf_dir, "nation")
+
+    def upsert_batch(batch_df: DataFrame, _epoch: int) -> None:
+        out = batch_df
+        if enrich:
+            out = (
+                batch_df.join(customer, batch_df.user_id == customer.c_custkey, "left")
+                .join(
+                    F.broadcast(nation),
+                    customer.c_nationkey == nation.n_nationkey,
+                    "left",
+                )
+                .select(
+                    F.col("c_custkey").alias("client_id"),
+                    F.col("c_name").alias("client_name"),
+                    F.col("n_name").alias("client_nation"),
+                    "user_id",
+                    "window_start",
+                    "window_end",
+                    "total_amount",
+                )
+            )
+        if not result.exists():
+            result.create(out)
+        else:
+            result.merge(out, on=["user_id", "window_start"])
+
+    alerts = windowed_alerts(events_stream(spark, staged, files_per_trigger), threshold)
+    ckpt = table_root + "_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    q = (
+        alerts.writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not result.exists():  # no alert crossed the threshold
+        result.create(spark.createDataFrame([], alerts.schema))
+    return result
+
+
+def run_append_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeTable:
+    """S14 stream→table continuous insert / S12 append-only sink: the raw
+    stream appended to a lakehouse table via foreachBatch (exactly-once
+    per micro-batch through the table's atomic commit)."""
+    staged = stage_event_files(spark, sf_dir, "append", n_files=8)
+    if os.path.isdir(table_root):
+        shutil.rmtree(table_root)
+    result = LakeTable(spark, table_root)
+
+    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if not result.exists():
+            result.create(batch_df)
+        else:
+            result.append(batch_df)
+
+    ckpt = table_root + "_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    q = (
+        events_stream(spark, staged, files_per_trigger=2)
+        .writeStream.outputMode("append")
+        .foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result
+
+
+def repair_null_enrichment(
+    result: LakeTable, customer: DataFrame, nation: DataFrame
+) -> LakeTable:
+    """The periodic repair MERGE reproducing RisingWave's retroactive dim
+    backfill (streaming-usecase.md:278-291): rows whose enrichment came
+    up NULL (P8 predicate) are re-joined against the current dims and
+    upserted by (user_id, window_start)."""
+    cur = result.read()
+    orphans = cur.filter(F.col("client_id").isNull()).select(
+        "user_id", "window_start", "window_end", "total_amount"
+    )
+    repaired = (
+        orphans.join(customer, orphans.user_id == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            F.col("c_custkey").alias("client_id"),
+            F.col("c_name").alias("client_name"),
+            F.col("n_name").alias("client_nation"),
+            "user_id",
+            "window_start",
+            "window_end",
+            "total_amount",
+        )
+    )
+    result.merge(repaired, on=["user_id", "window_start"])
+    return result

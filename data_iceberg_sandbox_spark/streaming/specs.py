@@ -1,0 +1,82 @@
+"""Streaming operators as oracle-checked queries.
+
+Each runs a Structured Streaming pipeline to completion over the staged
+multi-file backlog (trigger availableNow) and returns the final
+materialized table — which must equal the equivalent *batch* SQL, the
+strongest possible oracle for incremental-MV correctness: N micro-batch
+merge rounds must converge to the one-shot answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators.fraud import (
+    FRAUD_THRESHOLD,
+    fraud_alerts_oracle_sql,
+    fraud_enriched_oracle_sql,
+)
+from ..operators.spec import QuerySpec
+from ..sources.registry import load_table
+from .fraud_stream import (
+    SCRATCH,
+    repair_null_enrichment,
+    run_append_stream,
+    run_fraud_alerts_stream,
+)
+
+
+def _root(name: str, sf_dir: str) -> str:
+    return os.path.join(
+        SCRATCH, f"{name}_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+
+
+def stream_fraud_alerts(spark, sf_dir):
+    """W1+W2: incremental windowed MV via update-mode + foreachBatch MERGE;
+    converges to the batch tumble+sum+having result."""
+    t = run_fraud_alerts_stream(
+        spark, sf_dir, _root("mv_alerts", sf_dir), FRAUD_THRESHOLD
+    )
+    return t.read()
+
+
+def stream_fraud_enriched_backfill(spark, sf_dir):
+    """W2+W5 + retroactive dim backfill (card_999 scenario,
+    streaming-usecase.md:266-291): stream enriched against a dim missing
+    half its rows (orphans → NULL enrichment), then the repair MERGE
+    re-joins orphans against the complete dim. Final state must equal the
+    fully-enriched batch answer."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    late_dim = customer.filter(F.col("c_custkey") % 2 == 0)  # half arrives late
+    t = run_fraud_alerts_stream(
+        spark,
+        sf_dir,
+        _root("mv_enriched", sf_dir),
+        FRAUD_THRESHOLD,
+        enrich=True,
+        customer_df=late_dim,
+        nation_df=nation,
+    )
+    repair_null_enrichment(t, customer, nation)
+    return t.read()
+
+
+def stream_append_raw(spark, sf_dir):
+    """S12/S14 append-only stream→table sink: lossless, exactly-once."""
+    t = run_append_stream(spark, sf_dir, _root("raw_events", sf_dir))
+    return t.read()
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("stream_fraud_alerts", stream_fraud_alerts, fraud_alerts_oracle_sql()),
+    QuerySpec(
+        "stream_fraud_enriched_backfill",
+        stream_fraud_enriched_backfill,
+        fraud_enriched_oracle_sql(),
+    ),
+    QuerySpec("stream_append_raw", stream_append_raw, "SELECT * FROM events"),
+]

@@ -1,0 +1,60 @@
+"""Streaming pipeline behaviors: genuine multi-micro-batch incremental
+processing, emit-on-update convergence, backfill repair."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_iceberg_sandbox_spark.sources.registry import load_table
+from data_iceberg_sandbox_spark.streaming.fraud_stream import (
+    SCRATCH,
+    repair_null_enrichment,
+    run_fraud_alerts_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_multi_batch_incremental_merge(spark):
+    root = os.path.join(SCRATCH, "test_incremental")
+    t = run_fraud_alerts_stream(
+        spark, SF_SMOKE, root, threshold=100.0, n_files=8, files_per_trigger=2
+    )
+    # >1 snapshot == the MV was maintained incrementally, not one-shot
+    assert len(t.snapshots()) > 1
+    ops = {m.operation for m in t.snapshots()}
+    assert "merge" in ops or "create" in ops
+
+
+def test_emit_on_update_convergence(spark):
+    """Same pipeline, different micro-batch slicing → identical MV."""
+    a = run_fraud_alerts_stream(
+        spark, SF_SMOKE, os.path.join(SCRATCH, "conv_a"), 100.0, 8, 2
+    ).read()
+    b = run_fraud_alerts_stream(
+        spark, SF_SMOKE, os.path.join(SCRATCH, "conv_b"), 100.0, 4, 4
+    ).read()
+    assert a.count() == b.count()
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_backfill_repairs_only_orphans(spark):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    t = run_fraud_alerts_stream(
+        spark,
+        SF_SMOKE,
+        os.path.join(SCRATCH, "test_backfill"),
+        100.0,
+        enrich=True,
+        customer_df=customer.filter(F.col("c_custkey") % 2 == 0),
+        nation_df=nation,
+    )
+    before = t.read()
+    n_orphans = before.filter(F.col("client_id").isNull()).count()
+    assert n_orphans > 0  # the scenario is non-trivial at sf0.001
+    repair_null_enrichment(t, customer, nation)
+    after = t.read()
+    assert after.filter(F.col("client_id").isNull()).count() == 0
+    assert after.count() == before.count()
