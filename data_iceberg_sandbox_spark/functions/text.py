@@ -1,0 +1,40 @@
+"""Text column expressions (all JVM-side built-ins — no Python UDFs in
+the hot path; SNIPPETS.md public pandas_udf patterns are reserved for the
+genuinely non-expressible ops in operators/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, r"\s+")
+
+
+def word_shingles(text: Column, n: int = 5) -> Column:
+    """Overlapping word n-gram shingles as an array<string>.
+
+    Pure built-ins: split → transform(sequence) → slice/array_join, so the
+    whole expression stays in whole-stage codegen. Docs shorter than n
+    words yield their full text as the single shingle.
+    """
+    w = words(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def pattern_count(text: Column, pattern: str) -> Column:
+    """Number of regex matches (dialect-portable: same as DuckDB's
+    len(regexp_extract_all(...)))."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))

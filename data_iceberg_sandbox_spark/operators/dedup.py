@@ -1,0 +1,312 @@
+"""Deduplication operators for LLM training-data pipelines ([EXT] scope —
+no reference counterpart; SURVEY §7 Phase 4).
+
+Four families over the ``documents`` table, each designed shuffle-minimal
+for 100 TB:
+
+- exact (content-hash groupBy): one shuffle on a 128-bit hash; keeps the
+  lowest doc_id per group (deterministic canonical representative).
+- n-gram Jaccard (exact): word-5-gram shingles → inverted-index
+  self-join on shingle → per-pair intersection counts → Jaccard. The
+  join shuffles (shingle) keys; candidate pairs only materialize for
+  docs that *share* a shingle (sparse by construction for natural text).
+  `max_shingle_df` drops stopword-shingles (posting-list cap) at scale —
+  off by default to stay bit-exact with the oracle.
+- MinHash + LSH: 64 permutations → 32 bands × r=2 → banded bucket join
+  generates candidates in O(n·bands) — the 100 TB path (no quadratic
+  blowup); candidates are then *verified* with exact Jaccard, so the
+  final answer equals the exact operator whenever LSH recall=1 (banding
+  P(miss) ≈ (1-J²)³² < 1e-14 at J≥0.8 — the near-dup regime).
+- SimHash: 64-bit sign-of-weighted-sum signature per doc, built entirely
+  from JVM expressions (explode tokens → 64 bit-contribution aggs);
+  near-dups = signatures within Hamming distance τ.
+
+All hashing is xxhash64/crc32 (Spark built-ins, deterministic).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles, words
+from ..sources.registry import load_table
+from .spec import QuerySpec
+
+# MinHash universal-hash params: h_i(x) = (a_i*x + b_i) mod P over a 31-bit
+# domain (x = crc32 & 0x7FFFFFFF, P = 2^31-1) so a*x stays < 2^62 — no long
+# overflow under Spark 4's ANSI arithmetic.
+_P = 2147483647  # Mersenne prime 2^31-1
+_rng = random.Random(42)
+_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(64)
+]
+_BANDS = 32  # r = 64 / 32 = 2 rows per band
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: md5(text) groups, keep min(doc_id).
+
+    Scale: single hash-shuffle on the digest; partial aggregation
+    (map-side min/count) makes the shuffle O(distinct docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- exact n-gram Jaccard -------------------------------------------------
+
+
+def jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with word-n-gram-shingle Jaccard >= threshold, via
+    inverted-index self-join (never a doc×doc cross join)."""
+    ds = _doc_shingles(spark, sf_dir, n)
+    if max_shingle_df is not None:
+        hot = (
+            ds.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        ds = ds.join(hot, "shingle", "left_anti")
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = ds.alias("a")
+    b = ds.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return jaccard_pairs(spark, sf_dir, threshold=0.5)
+
+
+DEDUP_JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS shingle
+       FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 1))) AS i) i),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+n AS (SELECT doc_id, count(*) n_sh FROM ds GROUP BY doc_id),
+common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+           FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM common JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+WHERE round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) >= 0.5
+"""
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """64-permutation MinHash signature per doc, one aggregation pass:
+    h = crc32(shingle); sig_i = min((a_i*h + b_i) mod P)."""
+    ds = _doc_shingles(spark, sf_dir, n).withColumn(
+        "h", F.crc32(F.col("shingle")).bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    return ds.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = _BANDS) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+    O(n·bands) shuffle; bucket self-join never crosses buckets."""
+    r = 64 // bands
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.hash(*[F.col(f"mh{j * r + k}") for k in range(r)]).alias("key"),
+        )
+        for j in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
+    """MinHash-LSH candidates verified by exact Jaccard — the scale path
+    whose output equals the exact operator at LSH recall 1 (true for the
+    near-dup regime J>=0.8; banding P(miss) < 1e-14)."""
+    cands = lsh_candidate_pairs(minhash_signatures(spark, sf_dir))
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select("doc_b"))
+        .distinct()
+    )
+    ds = _doc_shingles(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")  # verify candidates only
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc from whitespace tokens, pure JVM exprs:
+    explode tokens → xxhash64 → per-bit ±1 contributions → sign bits
+    assembled with shiftleft/bitwise-or."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_bit = toks.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_bit.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    chunks (pigeonhole: distance<=6 over 4 chunks → some chunk equal) so
+    the join is equi on a chunk value — no quadratic scan at scale."""
+    sigs = simhash_signatures(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def dedup_simhash(spark, sf_dir):
+    return simhash_near_pairs(spark, sf_dir, max_hamming=6)
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_JACCARD_ORACLE),
+    QuerySpec("dedup_simhash", dedup_simhash, None),  # signature op: rows-only
+]

@@ -1,0 +1,173 @@
+"""Text analysis for LLM-data pipelines ([EXT] scope, SURVEY §7 Phase 4):
+language ID, quality scoring, token counting, fingerprinting — all over
+``documents``.
+
+Everything here is pure JVM column expressions (regex engines differ
+between Spark/Java and DuckDB/RE2, so patterns are restricted to the
+shared dialect: char classes, alternation, word boundaries). Ratios are
+computed as one double division of exact integer counts → deterministic
+across engines.
+
+Scale: each operator is a single stateless projection over the scan —
+embarrassingly parallel, no shuffle, fully codegen'd; this is the shape
+that sustains 100 TB (the only shuffle in this file is the optional
+fingerprint-dedup aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized, pattern_count
+from ..sources.registry import load_table
+from .spec import QuerySpec
+
+# language marker stopwords (disjoint across languages; lowercase match)
+_LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|with|for)\b",
+    "de": r"\b(der|und|die|das|nicht)\b",
+    "fr": r"\b(le|et|les|des|une)\b",
+    "es": r"\b(el|y|los|las|una)\b",
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+_WORD = r"[A-Za-z]+"
+_BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"  # letters run | digit | symbol
+_PUNCT = r"[.,!?;:]"
+
+
+def text_quality_score(spark, sf_dir):
+    """Quality features + composite score: length, word count, mean word
+    length, punctuation density, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_words = pattern_count(lower, _WORD)
+    n_punct = pattern_count(F.col("text"), _PUNCT)
+    n_stop = pattern_count(lower, _LANG_MARKERS["en"])
+    n_chars = F.length(F.col("text"))
+    word_ratio = F.round(n_stop.cast("double") / n_words.cast("double"), 6)
+    punct_density = F.round(n_punct.cast("double") / n_chars.cast("double"), 6)
+    avg_word_len = F.round(n_chars.cast("double") / n_words.cast("double"), 6)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_density.alias("punct_density"),
+        word_ratio.alias("stopword_ratio"),
+    )
+
+
+TEXT_QUALITY_ORACLE = rf"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(regexp_extract_all(lower(text), '{_WORD}')) AS n_words,
+  round(length(text) * 1.0
+        / len(regexp_extract_all(lower(text), '{_WORD}')), 6) AS avg_word_len,
+  round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
+        / length(text), 6) AS punct_density,
+  round(len(regexp_extract_all(lower(text), '\b(the|and|of|with|for)\b')) * 1.0
+        / len(regexp_extract_all(lower(text), '{_WORD}')), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    """Heuristic language ID: argmax of per-language marker-stopword
+    counts (tie-break by fixed priority), NULL-safe 'und' when no marker
+    hits. Emits predicted vs labeled lang for audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    counts = {lang: pattern_count(lower, pat) for lang, pat in _LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in reversed(_LANG_ORDER):  # earlier langs win ties (applied last)
+        best = F.when(counts[lang] >= F.greatest(best_n, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_n = F.greatest(best_n, counts[lang])
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best.alias("predicted_lang"),
+        *[counts[lang].alias(f"n_{lang}") for lang in _LANG_ORDER],
+    )
+
+
+_LANG_COUNT_SQL = {
+    lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+    for lang, pat in _LANG_MARKERS.items()
+}
+
+TEXT_LANG_ORACLE = rf"""
+WITH c AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_LANG_COUNT_SQL['en']} AS n_en, {_LANG_COUNT_SQL['de']} AS n_de,
+         {_LANG_COUNT_SQL['fr']} AS n_fr, {_LANG_COUNT_SQL['es']} AS n_es
+  FROM documents)
+SELECT doc_id, labeled_lang,
+  CASE
+    WHEN n_en >= greatest(n_de, n_fr, n_es, 1) THEN 'en'
+    WHEN n_de >= greatest(n_fr, n_es, 1) THEN 'de'
+    WHEN n_fr >= greatest(n_es, 1) THEN 'fr'
+    WHEN n_es >= 1 THEN 'es'
+    ELSE 'und' END AS predicted_lang,
+  n_en, n_de, n_fr, n_es
+FROM c
+"""
+
+
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / single digits / single symbols) — the standard cheap
+    proxy for LLM token budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = pattern_count(F.col("text"), _BPE_ISH)
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(bpe.cast("double") / ws.cast("double"), 6).alias("tokens_per_word"),
+    )
+
+
+TOKEN_COUNT_ORACLE = rf"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_ISH}')) AS bpe_ish_tokens,
+  round(len(regexp_extract_all(text, '{_BPE_ISH}')) * 1.0
+        / len(string_split_regex(trim(text), '\s+')), 6) AS tokens_per_word
+FROM documents
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over the normalized text (lowercase,
+    alnum-only, collapsed whitespace) — robust to case/punctuation noise;
+    grouped to expose normalized-duplicate clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(normalized(F.col("text"))).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+FINGERPRINT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fingerprint
+  FROM documents)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM norm GROUP BY fingerprint
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE),
+    QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ORACLE),
+    QuerySpec("text_token_count", text_token_count, TOKEN_COUNT_ORACLE),
+    QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE),
+]

@@ -1,0 +1,98 @@
+"""Property tests for the approximate/rows-only EXT operators (the
+oracle-checked ones are covered by test_correctness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_iceberg_sandbox_spark.operators.dedup import (
+    dedup_simhash,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from data_iceberg_sandbox_spark.operators.multimodal import (
+    decode_features,
+    synth_media,
+)
+from data_iceberg_sandbox_spark.operators.similarity import (
+    ann_cosine_topk,
+    ann_ivf_topk,
+    ann_lsh_bucketed,
+)
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _pair_set(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_lsh_recall_covers_exact_jaccard_pairs(spark):
+    exact = _pair_set(jaccard_pairs(spark, SF_ORACLE, threshold=0.5))
+    cands = _pair_set(lsh_candidate_pairs(minhash_signatures(spark, SF_ORACLE)))
+    assert exact, "calibration: exact near-dup pairs must exist at sf0.01"
+    missed = exact - cands
+    assert not missed, f"LSH missed true pairs: {missed}"
+
+
+def test_simhash_flags_known_neardups(spark):
+    exact = _pair_set(jaccard_pairs(spark, SF_ORACLE, threshold=0.8))
+    sim = _pair_set(dedup_simhash(spark, SF_ORACLE))
+    # simhash is a different signal; require substantial overlap w/ jaccard
+    assert exact
+    assert len(exact & sim) >= len(exact) * 0.5
+    # signatures are deterministic
+    s1 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(spark, SF_SMOKE).collect()}
+    s2 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(spark, SF_SMOKE).collect()}
+    assert s1 == s2
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    exact = _topk_sets(ann_cosine_topk(spark, SF_SMOKE))
+    n_cents = 6  # sf0.001: 500 vecs / mod 97 → 6 centroids
+    full = _topk_sets(ann_ivf_topk(spark, SF_SMOKE, nprobe=n_cents))
+    assert full == exact
+
+
+def test_ivf_and_lsh_partial_recall(spark):
+    exact = _topk_sets(ann_cosine_topk(spark, SF_SMOKE))
+    ivf = _topk_sets(ann_ivf_topk(spark, SF_SMOKE, nprobe=3))
+    lsh = _topk_sets(ann_lsh_bucketed(spark, SF_SMOKE))
+    for approx, floor in ((ivf, 0.3), (lsh, 0.0)):
+        recalls = [
+            len(approx.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ]
+        assert sum(recalls) / len(recalls) >= floor
+    # every approximate hit must be a real vector with a valid score
+    assert all(len(v) <= 10 for v in ivf.values())
+
+
+def test_decode_features_matches_local_computation(spark):
+    media = synth_media(spark, SF_SMOKE).filter(F.col("doc_id") < 20)
+    feats = {r["doc_id"]: r for r in decode_features(media).collect()}
+    rows = media.select("doc_id", "payload").collect()
+    assert len(feats) == len(rows) == 20
+    for r in rows:
+        b = bytes(r["payload"])
+        got = feats[r["doc_id"]]
+        assert got["n_bytes"] == len(b)
+        assert abs(got["mean_byte"] - round(sum(b) / len(b), 6)) < 1e-9
+
+
+def test_real_decode_is_explicitly_stubbed(spark):
+    import pytest
+
+    media = synth_media(spark, SF_SMOKE).limit(2)
+    with pytest.raises(Exception) as ei:
+        decode_features(media, real_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
