@@ -25,6 +25,7 @@ def _all_specs():
     specs = list(relational.SPECS) + list(tpch.SPECS)
     for mod_name in (
         "lifecycle",
+        "advanced",
         "dedup",
         "similarity",
         "textstats",

@@ -42,6 +42,15 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
         f"{name}: columns {list(actual.columns)} != {list(expected.columns)}"
     )
     for c in actual.columns:
+        ka, ke = actual[c].dtype.kind, expected[c].dtype.kind
+        num = {"i", "u", "f"}
+        if ka in num or ke in num:
+            # integer-vs-float column kinds must agree: a stricter driver
+            # hasher would see '1' vs '1.0'
+            assert (ka == "f") == (ke == "f"), (
+                f"{name}.{c}: dtype kind {ka} vs oracle {ke}"
+            )
+    for c in actual.columns:
         a, e = actual[c], expected[c]
         for i, (x, y) in enumerate(zip(a, e)):
             if x is None and y is None:
