@@ -1,0 +1,89 @@
+"""Plan-quality gates: the properties that make these operators survive a
+100× scale-up, asserted on the actual physical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_iceberg_sandbox_spark.operators import relational, tpch
+from data_iceberg_sandbox_spark.operators.fraud import fraud_alerts_enriched
+from data_iceberg_sandbox_spark.plans.inspect import (
+    codegen_stage_count,
+    exchange_count,
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+)
+from data_iceberg_sandbox_spark.sources.registry import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_filter_pushed_to_scan(spark):
+    df = relational.p7_filter_eq(spark, SF_ORACLE)
+    pf = pushed_filters(df)
+    assert any("event_type" in f for f in pf), pf
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = relational.p1_project_alias(spark, SF_ORACLE)
+    schemas = read_schemas(df)
+    assert schemas and all("c_acctbal" not in s for s in schemas), schemas
+    # 3 of 5 customer columns read, not all
+    assert any("c_custkey" in s and "c_mktsegment" in s for s in schemas)
+
+
+def test_q6_filters_pushed_and_single_stage(spark):
+    df = tpch.q6_forecast_revenue(spark, SF_ORACLE)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("l_discount" in f for f in pf), pf
+    assert exchange_count(df) <= 1  # partial agg → single final exchange
+
+
+def test_flagship_broadcasts_small_dims(spark):
+    df = fraud_alerts_enriched(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+
+
+def test_q3_topk_is_take_ordered(spark):
+    df = tpch.q3_shipping_priority(spark, SF_ORACLE)
+    assert has_take_ordered(df), "ORDER BY+LIMIT must not global-sort"
+
+
+def test_q5_broadcasts_nation_and_region(spark):
+    df = tpch.q5_local_supplier_volume(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+
+
+def test_agg_has_partial_combine(spark):
+    df = relational.a1_grouped_sum(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert exchange_count(df) == 1  # one shuffle on the group key
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE wraps the plan and reports 0 codegen subtrees until execution;
+    # disable it for the static inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = tpch.q1_pricing_summary(spark, SF_ORACLE)
+        assert codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_partition_pruning_on_laketable(spark, scratch):
+    import os
+
+    from data_iceberg_sandbox_spark.tables.laketable import LakeTable
+
+    t = LakeTable(spark, os.path.join(scratch, "pruning"))
+    t.create(
+        load_table(spark, SF_ORACLE, "customer"), partition_by=["c_mktsegment"]
+    )
+    df = t.read().filter(F.col("c_mktsegment") == "BUILDING")
+    from data_iceberg_sandbox_spark.plans.inspect import partition_filters
+
+    assert partition_filters(df), "partition filter must prune directories"
