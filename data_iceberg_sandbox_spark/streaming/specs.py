@@ -71,7 +71,10 @@ def stream_append_raw(spark, sf_dir):
     return t.read()
 
 
+from .stateful import SPECS as STATEFUL_SPECS  # noqa: E402
+
 SPECS: list[QuerySpec] = [
+    *STATEFUL_SPECS,
     QuerySpec("stream_fraud_alerts", stream_fraud_alerts, fraud_alerts_oracle_sql()),
     QuerySpec(
         "stream_fraud_enriched_backfill",
