@@ -488,7 +488,91 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+# --- sliding window / multi-distinct / native session window --------------
+
+
+def sliding_window_agg(spark, sf_dir):
+    """Sliding event-time windows (10 min width, 5 min slide): each event
+    lands in exactly width/slide windows; Spark's window() generates the
+    assignment inline — no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT event_type, value, ts,
+         make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS s0
+  FROM events),
+expanded AS (
+  SELECT event_type, value,
+         unnest([s0, s0 - INTERVAL 5 MINUTE]) AS window_start
+  FROM starts)
+SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM expanded GROUP BY 1, 2, 3
+"""
+
+
+def multi_distinct_agg(spark, sf_dir):
+    """Several COUNT(DISTINCT) in one aggregation (Catalyst expand)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+MULTI_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def session_window_native(spark, sf_dir):
+    """Spark's native session_window (gap-merged sessions) in batch —
+    rows-only: boundary semantics at exact-gap instants differ from the
+    lag-islands oracle form (< vs <=), so no SQL twin; coverage of the
+    native operator lives here, the oracle-checked sessionization above."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("sliding_window_agg", sliding_window_agg, SLIDING_ORACLE),
+    QuerySpec("multi_distinct_agg", multi_distinct_agg, MULTI_DISTINCT_ORACLE),
+    QuerySpec("session_window_native", session_window_native, None),
     QuerySpec("pivot_event_counts", pivot_event_counts, PIVOT_ORACLE),
     QuerySpec("cube_counts", cube_counts, CUBE_ORACLE),
     QuerySpec("sessionize_events", sessionize_events, SESSIONIZE_ORACLE),

@@ -1,0 +1,109 @@
+"""Kafka + Avro streaming connectors (SURVEY §2.1 S8/S10/S13), jar-gated.
+
+The reference's transport is a Kafka topic with registry-decoded Avro
+values (src_kafka_credit_card_transactions.sql:1-12; producer
+produce_transactions.py:32-47). In Spark that is a config swap on the
+same pipeline: `readStream.format("kafka")` + `from_avro(value)` in,
+`to_avro(struct(*))` + `format("kafka")` out.
+
+This image ships neither spark-sql-kafka nor the spark-avro SQL module
+(only Avro core jars), so these factories raise a clear
+ConnectorUnavailable with the exact jars to add; the streaming pipelines
+accept any source DataFrame, so swapping the staged file backlog for
+`kafka_stream(...)` is the only change needed on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+_KAFKA_JARS = "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+_AVRO_JARS = "org.apache.spark:spark-avro_2.13:<spark-version>"
+
+
+def _has_class(spark: SparkSession, cls: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    return _has_class(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    )
+
+
+def avro_available(spark: SparkSession) -> bool:
+    return _has_class(spark, "org.apache.spark.sql.avro.AvroDataToCatalyst")
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",  # W4 replay semantics
+) -> DataFrame:
+    """S10 streaming source (earliest-offset replay)."""
+    if not kafka_available(spark):
+        raise ConnectorUnavailable(
+            f"spark-sql-kafka not on classpath; add {_KAFKA_JARS}"
+        )
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def decode_avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
+    """Registry-style Avro decode of the Kafka `value` column."""
+    if not avro_available(df.sparkSession):
+        raise ConnectorUnavailable(
+            f"spark-avro not on classpath; add {_AVRO_JARS}"
+        )
+    from pyspark.sql.avro.functions import from_avro
+
+    return df.select(
+        df["key"].cast("string").alias("key"),
+        from_avro(df["value"], avro_schema_json).alias("v"),
+    ).select("key", "v.*")
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    avro_schema_json: str | None = None,
+):
+    """S13 streaming sink → Kafka (optionally Avro-encoded)."""
+    spark = df.sparkSession
+    if not kafka_available(spark):
+        raise ConnectorUnavailable(
+            f"spark-sql-kafka not on classpath; add {_KAFKA_JARS}"
+        )
+    out = df
+    if avro_schema_json is not None:
+        if not avro_available(spark):
+            raise ConnectorUnavailable(
+                f"spark-avro not on classpath; add {_AVRO_JARS}"
+            )
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import to_avro
+
+        out = df.select(to_avro(F.struct(*df.columns)).alias("value"))
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
