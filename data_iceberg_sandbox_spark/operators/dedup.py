@@ -135,6 +135,9 @@ def jaccard_pairs(
             .select("shingle")
         )
         ds = ds.join(hot, "shingle", "left_anti")
+    # the shingle set feeds three consumers (sizes + both join sides);
+    # cache it instead of recomputing the scan→window lineage three times
+    ds = ds.cache()
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = ds.alias("a")
@@ -238,7 +241,9 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
     """MinHash-LSH candidates verified by exact Jaccard — the scale path
     whose output equals the exact operator at LSH recall 1 (true for the
     near-dup regime J>=0.8; banding P(miss) < 1e-14)."""
-    cands = lsh_candidate_pairs(minhash_signatures(spark, sf_dir))
+    # candidate pairs are consumed three times (two id sets + the final
+    # semi join) and are tiny — cache instead of re-running the LSH chain
+    cands = lsh_candidate_pairs(minhash_signatures(spark, sf_dir)).cache()
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select("doc_b"))
@@ -249,7 +254,7 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
     pruned = load_table(spark, sf_dir, "documents").join(
         cand_docs, "doc_id", "left_semi"
     )
-    ds = _shingles_of(pruned)
+    ds = _shingles_of(pruned).cache()
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
