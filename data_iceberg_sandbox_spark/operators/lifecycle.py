@@ -237,7 +237,39 @@ FROM ({CLIENTS_SQL})
 """
 
 
+def d_delete_where(spark, sf_dir):
+    """DELETE DML (OPA op list allow_table.rego:73-80): copy-on-write
+    removal of a predicate's rows."""
+    t = _fresh_table(spark, "ddel_orders", sf_dir)
+    t.create(load_table(spark, sf_dir, "orders"))
+    t.delete_where(F.col("o_orderstatus") == "F")
+    return t.read()
+
+
+D_DELETE_ORACLE = "SELECT * FROM orders WHERE o_orderstatus <> 'F'"
+
+
+def d_overwrite(spark, sf_dir):
+    """INSERT OVERWRITE semantics: full-snapshot replacement, old files
+    become time-travel-only."""
+    t = _fresh_table(spark, "dover_nation", sf_dir)
+    t.create(load_table(spark, sf_dir, "nation"))
+    t.overwrite(
+        load_table(spark, sf_dir, "nation").withColumn(
+            "n_name", F.concat(F.lit("NEW_"), F.col("n_name"))
+        )
+    )
+    return t.read()
+
+
+D_OVERWRITE_ORACLE = (
+    "SELECT n_nationkey, concat('NEW_', n_name) AS n_name, n_regionkey FROM nation"
+)
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE),
+    QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE),
     QuerySpec("s2_create_partitioned", s2_create_partitioned, S2_ORACLE),
     QuerySpec("s3_append", s3_append, S3_ORACLE),
     QuerySpec("s4_merge_upsert", s4_merge_upsert, S4_ORACLE),

@@ -165,7 +165,51 @@ FROM norm GROUP BY fingerprint
 """
 
 
+def text_pii_redact(spark, sf_dir):
+    """PII redaction: synthesize an email+phone header per doc (the
+    corpus has none), then regex-redact — demonstrates the masking
+    operator end-to-end with verifiable output."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" :: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    return with_pii.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+PII_ORACLE = r"""
+WITH with_pii AS (
+  SELECT doc_id,
+         concat('contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or 555-01',
+                lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+                ' :: ', text) AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM with_pii
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE),
     QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE),
     QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ORACLE),
     QuerySpec("text_token_count", text_token_count, TOKEN_COUNT_ORACLE),
