@@ -26,6 +26,7 @@ def _all_specs():
     for mod_name in (
         "lifecycle",
         "advanced",
+        "tpch2",
         "dedup",
         "similarity",
         "textstats",

@@ -1,0 +1,253 @@
+"""Second batch of TPC-H-style shapes, adapted to the driver schema
+(no partsupp / shipmode / container columns — substitutions noted per
+query). Exercises correlated scalar subqueries, windowed top-1 over an
+aggregate, cross-nation join constellations and anti-join + scalar-
+subquery combinations through the same decimal-exact conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .spec import QuerySpec
+
+PRICE = "decimal(12,2)"
+RATE = "decimal(4,3)"
+
+
+def _rev(price, disc):
+    return price.cast(PRICE) * (F.lit(1).cast(RATE) - disc.cast(RATE))
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """Q7 shape: revenue by (supplier nation, customer nation, year) for
+    two nations' bilateral trade."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """Q8 shape: a nation's share of revenue within its region's market,
+    by year (p_retailprice band substitutes the part-type filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950)
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("snk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev(F.col("l_extendedprice"), F.col("l_discount")).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,5)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+Q8_ORACLE = """
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem JOIN part     ON l_partkey = p_partkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_retailprice > 950)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,5)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Q15 shape: supplier(s) with maximum revenue over a quarter —
+    the view + max() correlation expressed as a rank-1 window."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount"))).alias("_r")
+        )
+    )
+    w = W.orderBy(F.col("_r").desc(), F.col("l_suppkey"))
+    top = rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return top.join(s, top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("_r").cast("double").alias("total_revenue")
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+top AS (SELECT *, row_number() OVER (ORDER BY r DESC, l_suppkey) AS rk FROM rev)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM top JOIN supplier ON l_suppkey = s_suppkey WHERE rk = 1
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """Q17 shape: revenue impact of small-quantity orders — lineitems
+    below 50% of their part's average quantity (correlated scalar
+    subquery → broadcast join of per-part averages)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(PRICE)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(PRICE)).cast("double") / 7.0, 4
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q17_ORACLE = """
+WITH a AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly
+FROM lineitem JOIN a ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """Q22 shape: acct-positive customers with no 1997 orders, grouped by
+    nation bucket — anti join + scalar-subquery average. (Year-scoped:
+    the testdata gives every customer *some* order, so the classic
+    no-orders-ever predicate is vacuous at all SFs.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(PRICE)).cast("double") / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy((F.col("c_nationkey") % 5).alias("cntry_bucket")).agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(PRICE)).cast("double").alias("totacctbal"),
+    )
+
+
+Q22_ORACLE = """
+WITH ab AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey % 5 AS cntry_bucket,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1997-01-01'
+                    AND o_orderdate <  TIMESTAMP '1998-01-01')
+GROUP BY 1
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("tpch_q7_volume_shipping", q7_volume_shipping, Q7_ORACLE),
+    QuerySpec("tpch_q8_market_share", q8_market_share, Q8_ORACLE),
+    QuerySpec("tpch_q15_top_supplier", q15_top_supplier, Q15_ORACLE),
+    QuerySpec("tpch_q17_small_quantity", q17_small_quantity, Q17_ORACLE),
+    QuerySpec("tpch_q22_sales_opportunity", q22_global_sales_opportunity, Q22_ORACLE),
+]
