@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the table layer's algebraic
+guarantees. Spark jobs are slow per example, so examples are few and
+frames small — the properties, not the volume, carry the value."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_iceberg_sandbox_spark.tables.laketable import LakeTable
+
+ROWS = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=20),
+    values=st.integers(min_value=-1000, max_value=1000),
+    min_size=1,
+    max_size=12,
+)
+
+_ix = [0]
+
+
+def _mk(spark, scratch, rows: dict[int, int]) -> LakeTable:
+    _ix[0] += 1
+    t = LakeTable(spark, os.path.join(scratch, f"prop_{_ix[0]}"))
+    t.create(spark.createDataFrame(list(rows.items()), "id: long, v: long"))
+    return t
+
+
+def _state(t: LakeTable) -> dict[int, int]:
+    return {r["id"]: r["v"] for r in t.read().collect()}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=ROWS, source=ROWS)
+def test_merge_matches_dict_semantics(spark, scratch, target, source):
+    """MERGE == dict.update: matched keys take source values, unmatched
+    source keys insert, untouched target keys remain."""
+    t = _mk(spark, scratch, target)
+    t.merge(
+        spark.createDataFrame(list(source.items()), "id: long, v: long"),
+        on=["id"],
+    )
+    expected = dict(target)
+    expected.update(source)
+    assert _state(t) == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=ROWS, source=ROWS)
+def test_merge_is_idempotent(spark, scratch, target, source):
+    t = _mk(spark, scratch, target)
+    src = spark.createDataFrame(list(source.items()), "id: long, v: long")
+    t.merge(src, on=["id"])
+    once = _state(t)
+    t.merge(src, on=["id"])
+    assert _state(t) == once
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_compact_and_expire_preserve_content(spark, scratch, rows):
+    t = _mk(spark, scratch, rows)
+    t.append(
+        spark.createDataFrame(
+            [(k + 100, v) for k, v in rows.items()], "id: long, v: long"
+        )
+    )
+    before = _state(t)
+    t.compact()
+    t.expire_snapshots(retain_last=1)
+    assert _state(t) == before
