@@ -27,6 +27,7 @@ def _all_specs():
         "lifecycle",
         "advanced",
         "tpch2",
+        "pipeline",
         "dedup",
         "similarity",
         "textstats",

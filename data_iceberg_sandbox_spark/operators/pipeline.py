@@ -1,0 +1,167 @@
+"""End-to-end training-data pipeline operators ([EXT]): the decision
+layer on top of the signal operators — corpus statistics, quality-based
+filtering, and duplicate-cluster resolution (pair lists → per-doc keep/
+drop verdicts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import pattern_count
+from ..sources.registry import load_table
+from .dedup import jaccard_pairs
+from .spec import QuerySpec
+
+_WORD = r"[A-Za-z]+"
+
+
+def corpus_token_stats(spark, sf_dir):
+    """Corpus-level token budget: doc counts, totals and exact token
+    percentiles per source — the numbers a pretraining data plan starts
+    from. One aggregation pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = pattern_count(F.lower(F.col("text")), _WORD)
+    per_doc = docs.select("source", n_tok.alias("n_tok"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (
+            F.sum("n_tok").cast("double") / F.count(F.lit(1))
+        ).alias("avg_tokens"),
+        F.round(F.percentile("n_tok", 0.5), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tok", 0.95), 4).alias("p95_tokens"),
+    )
+
+
+CORPUS_STATS_ORACLE = rf"""
+WITH per_doc AS (
+  SELECT source, len(regexp_extract_all(lower(text), '{_WORD}')) AS n_tok
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
+       round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tok, 0.95), 4) AS p95_tokens
+FROM per_doc GROUP BY source
+"""
+
+
+def quality_filter(spark, sf_dir):
+    """Quality gate: keep/drop verdict per doc from the feature set
+    (length band, words-per-doc floor, punctuation ceiling) — the
+    composable filter stage of a data pipeline, emitted with reasons so
+    drops are auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_words = pattern_count(lower, _WORD)
+    n_punct = pattern_count(F.col("text"), r"[.,!?;:]")
+    n_chars = F.length("text")
+    too_short = (n_chars < 50) | (n_words < 8)
+    too_long = n_chars > 100000
+    too_punct = n_punct.cast("double") / n_chars.cast("double") > 0.1
+    keep = ~(too_short | too_long | too_punct)
+    return docs.select(
+        "doc_id",
+        keep.alias("keep"),
+        F.when(too_short, "too_short")
+        .when(too_long, "too_long")
+        .when(too_punct, "too_punct")
+        .otherwise("ok")
+        .alias("reason"),
+    )
+
+
+QUALITY_FILTER_ORACLE = rf"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '{_WORD}')) AS n_words,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+  FROM documents),
+v AS (
+  SELECT doc_id,
+         (n_chars < 50 OR n_words < 8) AS too_short,
+         n_chars > 100000 AS too_long,
+         CAST(n_punct AS DOUBLE) / n_chars > 0.1 AS too_punct
+  FROM f)
+SELECT doc_id,
+       NOT (too_short OR too_long OR too_punct) AS keep,
+       CASE WHEN too_short THEN 'too_short'
+            WHEN too_long THEN 'too_long'
+            WHEN too_punct THEN 'too_punct'
+            ELSE 'ok' END AS reason
+FROM v
+"""
+
+
+def duplicate_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, max_iter: int = 10
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in a
+    duplicate cluster is labeled with the cluster's minimum doc_id (the
+    canonical keeper). Iterative min-label propagation — each round is
+    one join + aggregate; rounds needed = graph diameter (near-dup
+    clusters are shallow: pairs/triples, so 2-3 rounds; `max_iter`
+    bounds adversarial chains).
+
+    Scale: the pair list is orders of magnitude smaller than the corpus
+    (only near-dups), so each iteration shuffles O(pairs). This is the
+    standard large-graph CC shape (label propagation); for billion-edge
+    graphs swap in the large-star/small-star variant — same operator
+    contract.
+    """
+    pairs = jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    # undirected edge list, both directions
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_keeper")
+    ).withColumn("is_keeper", F.col("doc_id") == F.col("cluster_keeper"))
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("corpus_token_stats", corpus_token_stats, CORPUS_STATS_ORACLE),
+    QuerySpec("quality_filter", quality_filter, QUALITY_FILTER_ORACLE),
+    QuerySpec("duplicate_clusters", duplicate_clusters, None),  # iterative CC
+]
