@@ -31,12 +31,16 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q7_volume_shipping",
     "a4_tumble_agg",
     "w_rank_topk",
+    "sessionize_events",
+    "asof_latest_order",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_score",
+    "corpus_token_stats",
 ]
 
 

@@ -9,7 +9,6 @@ double, unique sort tie-breaks, identical aliases both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 

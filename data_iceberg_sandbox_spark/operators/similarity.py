@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine, dot, norm
+from ..functions.vector import as_double, cosine, dot
 from ..sources.registry import load_table
 from .spec import QuerySpec
 

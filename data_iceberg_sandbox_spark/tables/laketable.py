@@ -47,7 +47,6 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -3,8 +3,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from data_iceberg_sandbox_spark.functions.skew import salted_join
 from data_iceberg_sandbox_spark.sources.registry import load_table
 from tests.conftest import SF_ORACLE
