@@ -160,7 +160,60 @@ def duplicate_clusters(
     ).withColumn("is_keeper", F.col("doc_id") == F.col("cluster_keeper"))
 
 
+def curate_corpus(spark, sf_dir):
+    """The end-to-end curation pipeline as ONE composed query:
+    quality gate → exact-dedup keeper selection → per-source counts of
+    surviving docs and tokens. Each stage is the operator defined above;
+    composition stays a single Catalyst plan (filters and the dedup
+    window all pushed into one pass over documents + one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_words = pattern_count(lower, _WORD)
+    n_punct = pattern_count(F.col("text"), r"[.,!?;:]")
+    n_chars = F.length("text")
+    keep = ~(
+        (n_chars < 50)
+        | (n_words < 8)
+        | (n_chars > 100000)
+        | (n_punct.cast("double") / n_chars.cast("double") > 0.1)
+    )
+    kept = docs.filter(keep)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(pattern_count(F.lower(F.col("text")), _WORD))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+
+
+CURATE_ORACLE = rf"""
+WITH f AS (
+  SELECT *, length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '{_WORD}')) AS n_words,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+  FROM documents),
+kept AS (
+  SELECT * FROM f
+  WHERE NOT (n_chars < 50 OR n_words < 8 OR n_chars > 100000
+             OR CAST(n_punct AS DOUBLE) / n_chars > 0.1)),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens
+FROM deduped GROUP BY source
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("curate_corpus", curate_corpus, CURATE_ORACLE),
     QuerySpec("corpus_token_stats", corpus_token_stats, CORPUS_STATS_ORACLE),
     QuerySpec("quality_filter", quality_filter, QUALITY_FILTER_ORACLE),
     QuerySpec("duplicate_clusters", duplicate_clusters, None),  # iterative CC
