@@ -244,7 +244,106 @@ GROUP BY 1
 """
 
 
+def q9_product_profit(spark, sf_dir):
+    """Q9 shape: profit by supplier-nation and year. No partsupp table in
+    this schema — supply cost is modeled as 60% of p_retailprice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("1"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = _rev(F.col("l_extendedprice"), F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ).cast(PRICE) * F.lit(0.6).cast(RATE) * F.col("l_quantity").cast(PRICE)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))
+       - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(4,3))
+         * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%1%'
+GROUP BY 1, 2
+"""
+
+
+def q12_priority_shipping(spark, sf_dir):
+    """Q12 shape: late-shipment counts split by high/low order priority
+    over a year (l_shipmode absent — the priority split carries the
+    conditional-aggregation shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(
+        F.year("l_shipdate").alias("ship_year")
+    ).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+Q12_ORACLE = """
+SELECT year(l_shipdate) AS ship_year,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+       AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+       AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """Q19 shape: revenue under an OR-of-ANDs predicate (brand ×
+    quantity bands) — the disjunctive-pushdown stress test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)))
+    )
+    return joined.filter(pred).agg(
+        F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("tpch_q9_product_profit", q9_product_profit, Q9_ORACLE),
+    QuerySpec("tpch_q12_priority_shipping", q12_priority_shipping, Q12_ORACLE),
+    QuerySpec("tpch_q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_ORACLE),
     QuerySpec("tpch_q7_volume_shipping", q7_volume_shipping, Q7_ORACLE),
     QuerySpec("tpch_q8_market_share", q8_market_share, Q8_ORACLE),
     QuerySpec("tpch_q15_top_supplier", q15_top_supplier, Q15_ORACLE),
