@@ -136,7 +136,10 @@ def jaccard_pairs(
         )
         ds = ds.join(hot, "shingle", "left_anti")
     # the shingle set feeds three consumers (sizes + both join sides);
-    # cache it instead of recomputing the scan→window lineage three times
+    # cache it instead of recomputing the scan→window lineage three times.
+    # (At 100 TB the corpus shingle set exceeds cluster memory — there,
+    # persist(DISK_ONLY) or a reliable checkpoint replaces .cache(); the
+    # three-consumer reuse argument is unchanged.)
     ds = ds.cache()
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
