@@ -192,6 +192,102 @@ def run_append_stream(spark: SparkSession, sf_dir: str, table_root: str) -> Lake
     return result
 
 
+def run_dedup_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeTable:
+    """Streaming deduplication: the backlog is staged TWICE (every event
+    duplicated across different micro-batches), and
+    ``dropDuplicates('event_id')`` with keyed state filters re-deliveries
+    — the exactly-once ingest pattern for at-least-once transports. The
+    drained table must equal the original events exactly.
+
+    State note: unbounded key state here (matches the finite backlog);
+    production pairs it with ``withWatermark`` so delivered keys age out.
+    """
+    staged = os.path.join(
+        SCRATCH, f"staged_dup_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.parquet(staged)
+    ev.repartition(3).write.mode("append").parquet(staged)  # duplicate delivery
+
+    if os.path.isdir(table_root):
+        shutil.rmtree(table_root)
+    result = LakeTable(spark, table_root)
+
+    deduped = events_stream(spark, staged, files_per_trigger=2).dropDuplicates(
+        ["event_id"]
+    )
+
+    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if not result.exists():
+            result.create(batch_df)
+        else:
+            result.append(batch_df)
+
+    ckpt = table_root + "_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result
+
+
+def run_sliding_window_stream(
+    spark: SparkSession, sf_dir: str, table_root: str
+) -> LakeTable:
+    """Incremental sliding-window MV (10 min / 5 min): update-mode +
+    foreachBatch MERGE keyed (window_start, event_type) — same
+    maintenance loop as the tumbling MV, overlapping windows included."""
+    staged = stage_event_files(spark, sf_dir, "sliding", n_files=8)
+    if os.path.isdir(table_root):
+        shutil.rmtree(table_root)
+    result = LakeTable(spark, table_root)
+
+    agg = (
+        events_stream(spark, staged, files_per_trigger=2)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, _epoch: int) -> None:
+        if not result.exists():
+            result.create(batch_df)
+        else:
+            result.merge(batch_df, on=["window_start", "event_type"])
+
+    ckpt = table_root + "_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result
+
+
 def repair_null_enrichment(
     result: LakeTable, customer: DataFrame, nation: DataFrame
 ) -> LakeTable:

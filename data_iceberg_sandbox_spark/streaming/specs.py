@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from ..operators.advanced import SLIDING_ORACLE
 from ..operators.fraud import (
     FRAUD_THRESHOLD,
     fraud_alerts_oracle_sql,
@@ -24,7 +25,9 @@ from .fraud_stream import (
     SCRATCH,
     repair_null_enrichment,
     run_append_stream,
+    run_dedup_stream,
     run_fraud_alerts_stream,
+    run_sliding_window_stream,
 )
 
 
@@ -82,4 +85,18 @@ SPECS: list[QuerySpec] = [
         fraud_enriched_oracle_sql(),
     ),
     QuerySpec("stream_append_raw", stream_append_raw, "SELECT * FROM events"),
+    QuerySpec(
+        "stream_dedup_exactly_once",
+        lambda spark, sf_dir: run_dedup_stream(
+            spark, sf_dir, _root("dedup_stream", sf_dir)
+        ).read(),
+        "SELECT * FROM events",
+    ),
+    QuerySpec(
+        "stream_sliding_window_mv",
+        lambda spark, sf_dir: run_sliding_window_stream(
+            spark, sf_dir, _root("sliding_mv", sf_dir)
+        ).read(),
+        SLIDING_ORACLE,  # converges to the batch sliding-window aggregate
+    ),
 ]
