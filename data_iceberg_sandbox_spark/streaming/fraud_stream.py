@@ -112,7 +112,11 @@ def run_fraud_alerts_stream(
     alerts are stream-static joined (W5) before the upsert, mirroring
     mv_fraud_alerts_client.
     """
-    staged = stage_event_files(spark, sf_dir, "fraud", n_files)
+    # staging dir keyed by the result table so concurrent pipelines
+    # (plain vs enriched, different callers) never clobber each other
+    staged = stage_event_files(
+        spark, sf_dir, os.path.basename(os.path.normpath(table_root)), n_files
+    )
     if os.path.isdir(table_root):
         shutil.rmtree(table_root)
     result = LakeTable(spark, table_root)
