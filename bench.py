@@ -114,6 +114,29 @@ def main() -> None:
     except Exception:
         pass
 
+    # batch-load throughput: the reference's 200k-row ETL load
+    # (create_table.py + infra/README.md:81-82) as generate → partitioned
+    # lakehouse create, end to end
+    load_rows_per_sec = None
+    try:
+        import shutil
+
+        from data_iceberg_sandbox_spark.sources.datagen import generate_clients
+        from data_iceberg_sandbox_spark.tables.laketable import LakeTable
+
+        root = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_load"
+        )
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        t0 = time.perf_counter()
+        LakeTable(spark, root).create(
+            generate_clients(spark, 0, 200_000), partition_by=["category"]
+        )
+        load_rows_per_sec = round(200_000 / (time.perf_counter() - t0), 1)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -126,6 +149,7 @@ def main() -> None:
                 "concurrency": min(8, len(names) or 1),
                 "n_queries": len(names),
                 "streaming_events_per_sec": stream_eps,
+                "batch_load_rows_per_sec": load_rows_per_sec,
             }
         )
     )
