@@ -23,6 +23,31 @@ RATE = "decimal(4,3)"
 # --- pivot / cube ---------------------------------------------------------
 
 
+def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT (melt): wide measure columns → (measure, value) rows via
+    the stack expression — stays a single projection, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, value)"
+        ),
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+"""
+
+
 def pivot_event_counts(spark, sf_dir):
     """PIVOT: events per user × event_type (fixed category list so the
     plan is a single hash-agg with conditional counts — no second pass
@@ -576,6 +601,7 @@ def session_window_native(spark, sf_dir):
 
 
 SPECS: list[QuerySpec] = [
+    QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("sliding_window_agg", sliding_window_agg, SLIDING_ORACLE),
     QuerySpec("multi_distinct_agg", multi_distinct_agg, MULTI_DISTINCT_ORACLE),
     QuerySpec("session_window_native", session_window_native, None),

@@ -267,7 +267,84 @@ D_OVERWRITE_ORACLE = (
 )
 
 
+def scd2_apply(
+    target, source, keys: list[str], ts_lit: str, tracked: list[str]
+):
+    """SCD Type-2 change application (the CDC/SCD2 pattern Spark lacks a
+    verb for — emulated as anti-join + union, per the standard recipe):
+    rows whose tracked columns changed get their current version closed
+    (valid_to = ts, is_current = false) and a new open version inserted;
+    unchanged and unmatched rows pass through."""
+    from pyspark.sql import functions as FF
+
+    t, s = target.alias("t"), source.alias("s")
+    key_cond = [FF.col(f"t.{k}") == FF.col(f"s.{k}") for k in keys]
+    changed_cond = FF.lit(False)
+    for c in tracked:
+        changed_cond = changed_cond | (FF.col(f"t.{c}") != FF.col(f"s.{c}"))
+    cur = FF.col("t.is_current")
+    joined = t.join(s, key_cond, "left")
+    src_cols = source.columns
+    closed = joined.filter(
+        cur & FF.col(f"s.{keys[0]}").isNotNull() & changed_cond
+    ).select(
+        *[FF.col(f"t.{c}") for c in target.columns if c not in ("valid_to", "is_current")],
+        FF.lit(ts_lit).cast("timestamp").alias("valid_to"),
+        FF.lit(False).alias("is_current"),
+    )
+    untouched = joined.filter(
+        ~cur | FF.col(f"s.{keys[0]}").isNull() | ~changed_cond
+    ).select(*[FF.col(f"t.{c}") for c in target.columns])
+    opened = (
+        s.join(t.filter(cur), key_cond, "inner")
+        .filter(changed_cond)
+        .select(
+            *[FF.col(f"s.{c}") for c in src_cols],
+            FF.lit(ts_lit).cast("timestamp").alias("valid_from"),
+            FF.lit(None).cast("timestamp").alias("valid_to"),
+            FF.lit(True).alias("is_current"),
+        )
+    )
+    return untouched.unionByName(closed).unionByName(opened)
+
+
+def d_scd2_history(spark, sf_dir):
+    """SCD2 dimension versioning on the clients fixture: age/category
+    changes for id%3==0 close the v1 rows and open v2 rows; full history
+    retained with validity windows."""
+    base = clients_df(spark, sf_dir).select("id", "name", "age", "category")
+    target = base.select(
+        "*",
+        F.lit(TS1).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    source = _merge_source(spark, sf_dir).select("id", "name", "age", "category")
+    return scd2_apply(target, source, ["id"], TS2, ["age", "category", "name"])
+
+
+D_SCD2_ORACLE = f"""
+WITH clients AS ({CLIENTS_SQL}),
+base AS (SELECT id, name, age, category FROM clients),
+source AS (
+  SELECT id, upper(name) AS name, CAST(age + 10 AS INT) AS age,
+         CASE WHEN age + 10 < 15 THEN 'young'
+              WHEN age + 10 < 60 THEN 'adult' ELSE 'senior' END AS category
+  FROM clients WHERE id % 3 = 0)
+SELECT b.id, b.name, b.age, b.category,
+       TIMESTAMP '{TS1}' AS valid_from,
+       CASE WHEN s.id IS NOT NULL THEN TIMESTAMP '{TS2}' END AS valid_to,
+       s.id IS NULL AS is_current
+FROM base b LEFT JOIN source s USING (id)
+UNION ALL
+SELECT s.id, s.name, s.age, s.category,
+       TIMESTAMP '{TS2}', CAST(NULL AS TIMESTAMP), true
+FROM source s
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE),
     QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE),
     QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE),
     QuerySpec("s2_create_partitioned", s2_create_partitioned, S2_ORACLE),
