@@ -390,6 +390,118 @@ class LakeTable:
                     shutil.rmtree(full)
         return removed
 
+    # ---- metadata tables (D6: `t.snapshots` / `t.files` analogs) --------
+    def snapshots_df(self) -> DataFrame:
+        """Snapshot history as a queryable DataFrame."""
+        rows = [
+            (
+                m.version,
+                m.parent,
+                m.operation,
+                m.timestamp_ms,
+                len(m.files),
+                json.dumps(m.properties, sort_keys=True),
+            )
+            for m in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version: int, parent: int, operation: string, "
+            "timestamp_ms: long, n_files: int, properties: string",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Current (or historical) data-file inventory with sizes."""
+        man = self.manifest(version)
+        rows = [
+            (f, os.path.getsize(os.path.join(self.root, f)))
+            for f in man.files
+        ]
+        return self.spark.createDataFrame(rows, "path: string, size_bytes: long")
+
+    # ---- rollback / write-audit-publish ---------------------------------
+    def rollback(self, version: int) -> "LakeTable":
+        """Restore a past snapshot as the new current version (history is
+        retained — the rollback is itself a new commit, Iceberg
+        `rollback_to_snapshot` semantics)."""
+        cur = self.manifest()
+        past = self.manifest(version)
+        self._commit(
+            f"rollback_to_v{version}",
+            past.files,
+            past.schema_json,
+            past.partition_by,
+            past.properties,
+            expected_parent=cur.version,
+        )
+        return self
+
+    def _staged_path(self, token: str) -> str:
+        return os.path.join(self._manifest_dir, f"staged_{token}.json")
+
+    def stage_append(self, df: DataFrame) -> str:
+        """Write-audit-publish step 1: write data files + a manifest in
+        the staging namespace WITHOUT touching the pointer or the version
+        sequence (other writers commit freely meanwhile). Returns the
+        stage token; audit via ``read_staged(token)``."""
+        cur = self.manifest()
+        new_files = self._write_data_files(
+            _align(df, cur.schema_json), cur.partition_by
+        )
+        token = uuid.uuid4().hex[:12]
+        staged = Manifest(
+            version=-1,  # assigned at publish
+            parent=cur.version,
+            operation="staged_append",
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=cur.schema_json,
+            partition_by=cur.partition_by,
+            files=sorted(cur.files + new_files),
+            properties=cur.properties,
+        )
+        with open(self._staged_path(token), "w", encoding="utf-8") as f:
+            f.write(staged.to_json())
+        return token
+
+    def _staged_manifest(self, token: str) -> Manifest:
+        path = self._staged_path(token)
+        if not os.path.exists(path):
+            raise NoSuchTable(f"no staged snapshot {token} in {self.root}")
+        with open(path, encoding="utf-8") as f:
+            return Manifest.from_json(f.read())
+
+    def read_staged(self, token: str) -> DataFrame:
+        """Audit view of a staged (unpublished) snapshot."""
+        man = self._staged_manifest(token)
+        schema = T.StructType.fromJson(json.loads(man.schema_json))
+        paths = [os.path.join(self.root, f) for f in man.files]
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", os.path.join(self.root, "data"))
+            .parquet(*paths)
+            .select([f.name for f in schema.fields])
+        )
+
+    def publish(self, token: str) -> "LakeTable":
+        """Write-audit-publish step 2: promote the staged snapshot to the
+        next version (CAS against the parent it was staged from)."""
+        staged = self._staged_manifest(token)
+        if self.current_version() != staged.parent:
+            raise CommitConflict(
+                f"{self.root}: staged {token} parented at v{staged.parent}, "
+                f"current is v{self.current_version()}"
+            )
+        self._commit(
+            "publish_staged_append",
+            staged.files,
+            staged.schema_json,
+            staged.partition_by,
+            staged.properties,
+            expected_parent=staged.parent,
+        )
+        os.remove(self._staged_path(token))
+        return self
+
     # ---- schema evolution (D5) ------------------------------------------
     def add_column(self, name: str, dtype: str) -> "LakeTable":
         cur = self.manifest()
@@ -409,6 +521,50 @@ class LakeTable:
         if len(new.fields) == len(schema.fields):
             raise ValueError(f"no such column: {name}")
         self._commit_schema(cur, new, f"drop_column:{name}")
+        return self
+
+    def alter_column_type(self, name: str, dtype: str) -> "LakeTable":
+        """Type widening (e.g. int→long, float→double). Narrowing is
+        rejected — it would corrupt existing data.
+
+        Divergence note: Iceberg does this metadata-only because its
+        readers promote types per file; plain-parquet Spark scans error on
+        mixed footers, so this implementation rewrites the data files with
+        the cast (a compaction-sized COW job, not a pointer flip)."""
+        _WIDENINGS = {
+            "integer": {"long", "double", "decimal"},
+            "long": {"double", "decimal"},
+            "float": {"double"},
+        }
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur.schema_json))
+        if name not in schema.fieldNames():
+            raise ValueError(f"no such column: {name}")
+        old_t = schema[name].dataType.typeName()
+        new_type = _parse_type(dtype)
+        new_t = new_type.typeName()
+        if new_t != old_t and new_t not in _WIDENINGS.get(old_t, set()):
+            raise ValueError(f"cannot narrow {name}: {old_t} → {new_t}")
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    new_type if f.name == name else f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+        )
+        recast = self.read().withColumn(name, F.col(name).cast(new_type))
+        files = self._write_data_files(recast, cur.partition_by)
+        self._commit(
+            f"alter_column:{name}:{dtype}",
+            files,
+            json.dumps(new_schema.jsonValue()),
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+        )
         return self
 
     def _commit_schema(self, cur: Manifest, new_schema: T.StructType, op: str):

@@ -1,0 +1,80 @@
+"""Lakehouse layer round-out: metadata tables, rollback, write-audit-
+publish, type widening."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_iceberg_sandbox_spark.tables.laketable import CommitConflict, LakeTable
+
+
+@pytest.fixture
+def t(spark, scratch, request):
+    table = LakeTable(spark, os.path.join(scratch, f"adv_{request.node.name}"))
+    table.create(spark.range(10).withColumn("v", F.col("id") * 2))
+    return table
+
+
+def test_snapshots_df_and_files_df(spark, t):
+    t.append(spark.range(10, 20).withColumn("v", F.col("id")))
+    snaps = t.snapshots_df()
+    assert [r["operation"] for r in snaps.orderBy("version").collect()] == [
+        "create",
+        "append",
+    ]
+    files = t.files_df()
+    assert files.count() > 0
+    assert files.filter(F.col("size_bytes") <= 0).count() == 0
+
+
+def test_rollback_restores_and_keeps_history(spark, t):
+    t.append(spark.range(10, 20).withColumn("v", F.col("id")))
+    assert t.read().count() == 20
+    t.rollback(1)
+    assert t.read().count() == 10
+    ops = [m.operation for m in t.snapshots()]
+    assert ops[-1] == "rollback_to_v1"
+    # the rolled-past snapshot is still time-travelable
+    assert t.read(version=2).count() == 20
+
+
+def test_write_audit_publish(spark, t):
+    bad_batch = spark.range(100, 110).withColumn("v", F.lit(-1).cast("long"))
+    token = t.stage_append(bad_batch)
+    # readers see nothing until publish
+    assert t.read().count() == 10
+    # audit the staged snapshot
+    audit = t.read_staged(token)
+    assert audit.count() == 20
+    n_bad = audit.filter(F.col("v") < 0).count()
+    assert n_bad == 10  # audit catches them; choose to publish anyway
+    t.publish(token)
+    assert t.read().count() == 20
+    assert [m.operation for m in t.snapshots()][-1] == "publish_staged_append"
+
+
+def test_publish_conflicts_against_moved_pointer(spark, t):
+    token = t.stage_append(
+        spark.range(100, 105).withColumn("v", F.lit(0).cast("long"))
+    )
+    t.append(spark.range(200, 205).withColumn("v", F.lit(1).cast("long")))
+    with pytest.raises(CommitConflict):
+        t.publish(token)
+
+
+def test_alter_column_type_widens(spark, scratch):
+    table = LakeTable(spark, os.path.join(scratch, "widen"))
+    table.create(
+        spark.range(5).select(
+            F.col("id").cast("int").alias("id"), F.lit(1.5).cast("float").alias("x")
+        )
+    )
+    table.alter_column_type("id", "long").alter_column_type("x", "double")
+    schema = dict((f.name, f.dataType.typeName()) for f in table.read().schema.fields)
+    assert schema == {"id": "long", "x": "double"}
+    assert table.read().agg(F.sum("id")).collect()[0][0] == 10
+    with pytest.raises(ValueError, match="cannot narrow"):
+        table.alter_column_type("id", "int")
