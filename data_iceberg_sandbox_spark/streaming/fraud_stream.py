@@ -292,6 +292,75 @@ def run_sliding_window_stream(
     return result
 
 
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, table_root: str, minutes: int = 5
+) -> LakeTable:
+    """Stream-stream inner join with event-time range condition: pairs of
+    same-user events within N minutes, both sides watermarked — the
+    canonical Spark stream-stream pattern (state bounded by watermark +
+    the join's time constraint). Drained result must equal the batch
+    range self-join.
+
+    Watermark choice: the staged backlog replays in RANDOM event-time
+    order (like a partitioned Kafka topic read from earliest), so any
+    watermark shorter than the backlog's time span may drop legitimately
+    "late" pairs mid-replay. The reference keeps state forever
+    (streaming-usecase.md — no watermarks), so the default here out-waits
+    the data span; production tails with near-ordered arrival would use
+    minutes instead."""
+    staged = stage_event_files(spark, sf_dir, "ssj", n_files=6)
+    if os.path.isdir(table_root):
+        shutil.rmtree(table_root)
+    result = LakeTable(spark, table_root)
+
+    left = (
+        events_stream(spark, staged, files_per_trigger=3)
+        .select(
+            F.col("event_id").alias("event_a"),
+            F.col("user_id").alias("user_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "60 days")
+    )
+    right = (
+        events_stream(spark, staged, files_per_trigger=3)
+        .select(
+            F.col("event_id").alias("event_b"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "60 days")
+    )
+    pairs = left.join(
+        right,
+        (F.col("user_a") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {minutes} MINUTES")),
+        "inner",
+    ).select("event_a", "event_b", F.col("user_a").alias("user_id"), "ts_a", "ts_b")
+
+    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if not result.exists():
+            result.create(batch_df)
+        else:
+            result.append(batch_df)
+
+    ckpt = table_root + "_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    q = (
+        pairs.writeStream.outputMode("append")
+        .foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not result.exists():
+        result.create(spark.createDataFrame([], pairs.schema))
+    return result
+
+
 def repair_null_enrichment(
     result: LakeTable, customer: DataFrame, nation: DataFrame
 ) -> LakeTable:

@@ -28,6 +28,7 @@ from .fraud_stream import (
     run_dedup_stream,
     run_fraud_alerts_stream,
     run_sliding_window_stream,
+    run_stream_stream_join,
 )
 
 
@@ -91,6 +92,19 @@ SPECS: list[QuerySpec] = [
             spark, sf_dir, _root("dedup_stream", sf_dir)
         ).read(),
         "SELECT * FROM events",
+    ),
+    QuerySpec(
+        "stream_stream_range_join",
+        lambda spark, sf_dir: run_stream_stream_join(
+            spark, sf_dir, _root("ssj_pairs", sf_dir)
+        ).read(),
+        """
+        SELECT a.event_id AS event_a, b.event_id AS event_b,
+               a.user_id, a.ts AS ts_a, b.ts AS ts_b
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        """,
     ),
     QuerySpec(
         "stream_sliding_window_mv",

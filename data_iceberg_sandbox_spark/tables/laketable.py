@@ -71,6 +71,9 @@ class Manifest:
     partition_by: list[str]
     files: list[str]  # relative to table root
     properties: dict[str, str] = field(default_factory=dict)
+    # per-file column ranges for scan pruning: path → col → [min, max]
+    # (numeric/string columns; Iceberg manifest-stats analog)
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -135,22 +138,45 @@ class LakeTable:
 
     # ---- read ------------------------------------------------------------
     def read(
-        self, version: int | None = None, as_of_timestamp_ms: int | None = None
+        self,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        prune: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
-        """S1 scan / D6 time travel."""
+        """S1 scan / D6 time travel.
+
+        `prune` = [(col, op, value), ...] with op in <,<=,>,>=,= —
+        manifest-stats file skipping (the Iceberg min/max-pruning
+        analog): files whose [min,max] range cannot satisfy every
+        predicate are dropped from the scan BEFORE Spark lists them.
+        Purely an optimization — callers still apply the real filter;
+        a file without stats is conservatively kept."""
         if as_of_timestamp_ms is not None:
             version = self.version_as_of_timestamp(as_of_timestamp_ms)
         man = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(man.schema_json))
-        if not man.files:
+        files = man.files
+        if prune:
+            files = [
+                f for f in files if _file_may_match(man.file_stats.get(f), prune)
+            ]
+        if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f) for f in man.files]
+        paths = [os.path.join(self.root, f) for f in files]
         reader = self.spark.read.schema(schema).option(
             "basePath", os.path.join(self.root, "data")
         )
         # one distributed scan over the manifest's file list; column order
         # pinned to the table schema
         return reader.parquet(*paths).select([f.name for f in schema.fields])
+
+    def files_scanned(self, prune: list[tuple[str, str, object]]) -> int:
+        """How many current files a pruned scan would touch (test/metrics
+        hook)."""
+        man = self.manifest()
+        return sum(
+            1 for f in man.files if _file_may_match(man.file_stats.get(f), prune)
+        )
 
     # ---- commit machinery ------------------------------------------------
     def _write_data_files(self, df: DataFrame, partition_by: list[str]) -> list[str]:
@@ -168,6 +194,53 @@ class LakeTable:
                     files.append(rel)
         return sorted(files)
 
+    def _collect_file_stats(
+        self, files: list[str], schema_json: str, partition_by: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file min/max for numeric and string columns, one Spark job
+        (input_file_name groupBy) — written into the manifest, Iceberg-
+        manifest-stats style. Partition columns are skipped (directory
+        pruning already covers them)."""
+        if not files:
+            return {}
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        stat_cols = [
+            f.name
+            for f in schema.fields
+            if f.name not in partition_by
+            and f.dataType.typeName()
+            in ("integer", "long", "short", "byte", "float", "double", "string")
+        ]
+        if not stat_cols:
+            return {}
+        paths = [os.path.join(self.root, f) for f in files]
+        # explicit schema: files predating an add_column lack the new
+        # column (schema-on-read null-fills it; min=NULL → no stat entry),
+        # and empty part-files simply produce no stats row (conservative)
+        df = (
+            self.spark.read.schema(schema)
+            .option("basePath", os.path.join(self.root, "data"))
+            .parquet(*paths)
+            .withColumn("_file", F.input_file_name())
+        )
+        aggs = []
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        rows = df.groupBy("_file").agg(*aggs).collect()
+        by_suffix = {f: f for f in files}
+        out: dict[str, dict[str, list]] = {}
+        for r in rows:
+            uri = r["_file"]
+            rel = next((f for f in by_suffix if uri.endswith(f)), None)
+            if rel is None:
+                continue
+            out[rel] = {
+                c: [r[f"min_{c}"], r[f"max_{c}"]]
+                for c in stat_cols
+                if r[f"min_{c}"] is not None
+            }
+        return out
+
     def _commit(
         self,
         operation: str,
@@ -179,6 +252,16 @@ class LakeTable:
     ) -> Manifest:
         os.makedirs(self._manifest_dir, exist_ok=True)
         new_version = (expected_parent or 0) + 1
+        # carry forward stats for retained files; stat only the new ones
+        inherited: dict[str, dict[str, list]] = {}
+        if expected_parent is not None:
+            try:
+                inherited = self.manifest(expected_parent).file_stats
+            except NoSuchTable:
+                inherited = {}
+        new_files = [f for f in files if f not in inherited]
+        stats = {f: s for f, s in inherited.items() if f in set(files)}
+        stats.update(self._collect_file_stats(new_files, schema_json, partition_by))
         man = Manifest(
             version=new_version,
             parent=expected_parent,
@@ -188,6 +271,7 @@ class LakeTable:
             partition_by=partition_by,
             files=files,
             properties=properties,
+            file_stats=stats,
         )
         mpath = self._manifest_path(new_version)
         if os.path.exists(mpath):
@@ -577,6 +661,29 @@ class LakeTable:
             cur.properties,
             expected_parent=cur.version,
         )
+
+
+def _file_may_match(
+    stats: dict[str, list] | None, prune: list[tuple[str, str, object]]
+) -> bool:
+    """Range-intersection check: can a file with these column ranges hold
+    a row satisfying ALL predicates? Missing stats → conservatively yes."""
+    if not stats:
+        return True
+    for col, op, value in prune:
+        rng = stats.get(col)
+        if not rng:
+            continue
+        lo, hi = rng
+        if lo is None or hi is None:
+            continue
+        if op == "=" and not (lo <= value <= hi):
+            return False
+        if op in ("<", "<=") and not (lo < value or (op == "<=" and lo <= value)):
+            return False
+        if op in (">", ">=") and not (hi > value or (op == ">=" and hi >= value)):
+            return False
+    return True
 
 
 def _parse_type(dtype: str) -> T.DataType:
