@@ -343,7 +343,25 @@ FROM source s
 """
 
 
+def d_pruned_scan(spark, sf_dir):
+    """Manifest-stats file skipping: range-partitioned table, scan pruned
+    to the files whose min/max can satisfy the predicate (then the real
+    filter applies row-level). Result equals the plain filtered scan —
+    the point is the file count, asserted in tests/test_file_skipping."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "dprune_orders", sf_dir)
+    t.create(orders.repartitionByRange(8, "o_orderkey"))
+    cutoff = 1000
+    return t.read(prune=[("o_orderkey", "<", cutoff)]).filter(
+        F.col("o_orderkey") < cutoff
+    )
+
+
+D_PRUNED_ORACLE = "SELECT * FROM orders WHERE o_orderkey < 1000"
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE),
     QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE),
     QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE),
