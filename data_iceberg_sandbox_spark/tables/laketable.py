@@ -252,16 +252,22 @@ class LakeTable:
     ) -> Manifest:
         os.makedirs(self._manifest_dir, exist_ok=True)
         new_version = (expected_parent or 0) + 1
-        # carry forward stats for retained files; stat only the new ones
+        # carry forward stats for retained files; stat only the new ones.
+        # `stats.enabled=false` table property skips the per-commit stats
+        # job (one extra Spark pass, ~30% on raw-load throughput) for
+        # ingest-heavy tables that never benefit from file skipping.
         inherited: dict[str, dict[str, list]] = {}
         if expected_parent is not None:
             try:
                 inherited = self.manifest(expected_parent).file_stats
             except NoSuchTable:
                 inherited = {}
-        new_files = [f for f in files if f not in inherited]
         stats = {f: s for f, s in inherited.items() if f in set(files)}
-        stats.update(self._collect_file_stats(new_files, schema_json, partition_by))
+        if properties.get("stats.enabled", "true") != "false":
+            new_files = [f for f in files if f not in inherited]
+            stats.update(
+                self._collect_file_stats(new_files, schema_json, partition_by)
+            )
         man = Manifest(
             version=new_version,
             parent=expected_parent,
