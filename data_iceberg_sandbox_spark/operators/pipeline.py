@@ -236,7 +236,97 @@ FROM deduped GROUP BY source
 """
 
 
+def corpus_top_bigrams(spark, sf_dir, k: int = 50):
+    """Corpus n-gram statistics: top-k bigrams by frequency (LM-style
+    corpus profiling). posexplode + window lead (the codegen shingle
+    path) → one count shuffle → TakeOrdered."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import words
+
+    w = words(F.lower(F.col("text")))
+    base = docs.select("doc_id", F.posexplode(w).alias("pos", "w0"))
+    nxt = F.lead("w0", 1).over(W.partitionBy("doc_id").orderBy("pos"))
+    bigrams = base.select(
+        F.concat_ws(" ", F.col("w0"), nxt).alias("bigram"), nxt.alias("_n")
+    ).filter(F.col("_n").isNotNull())
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(k)
+    )
+
+
+TOP_BIGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+bg AS (
+  SELECT concat(w[i.i], ' ', w[i.i + 1]) AS bigram
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid (the class-prototype computation):
+    posexplode the vector → mean per (label, dim) → reassemble in dim
+    order. One shuffle keyed (label, dim); rounding makes the doubles
+    engine-portable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    # exact decimal accumulation: float sums are partition-order-dependent
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mu")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("a"))
+        .select(
+            "label",
+            F.col("a")[0]["mu"].alias("mu_0"),
+            F.col("a")[1]["mu"].alias("mu_1"),
+            F.col("a")[31]["mu"].alias("mu_31"),
+            F.col("a")[63]["mu"].alias("mu_63"),
+            F.size("a").alias("n_dims"),
+        )
+    )
+
+
+LABEL_CENTROID_ORACLE = """
+WITH dims AS (
+  SELECT label, u.x AS x, u.dim - 1 AS dim
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS dim) u),
+per_dim AS (
+  SELECT label, dim,
+         round(CAST(sum(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / count(*), 6) AS mu
+  FROM dims GROUP BY label, dim)
+SELECT label,
+       max(CASE WHEN dim = 0 THEN mu END) AS mu_0,
+       max(CASE WHEN dim = 1 THEN mu END) AS mu_1,
+       max(CASE WHEN dim = 31 THEN mu END) AS mu_31,
+       max(CASE WHEN dim = 63 THEN mu END) AS mu_63,
+       CAST(count(*) AS INT) AS n_dims
+FROM per_dim GROUP BY label
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE),
+    QuerySpec(
+        "embedding_label_centroids", embedding_label_centroids, LABEL_CENTROID_ORACLE
+    ),
     QuerySpec("curate_corpus", curate_corpus, CURATE_ORACLE),
     QuerySpec("corpus_token_stats", corpus_token_stats, CORPUS_STATS_ORACLE),
     QuerySpec("quality_filter", quality_filter, QUALITY_FILTER_ORACLE),
