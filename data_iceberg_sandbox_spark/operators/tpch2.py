@@ -340,7 +340,102 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
 """
 
 
+def q2_cheapest_supplier(spark, sf_dir):
+    """Q2 shape: per part, the supplier offering its minimum observed
+    price (correlated MIN subquery → per-part min join; lineitem stands
+    in for partsupp). Tie-break on s_suppkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast(PRICE)).alias("best_price"))
+    )
+    part_min = offers.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("best_price").alias("min_price")
+    )
+    best = (
+        offers.join(
+            part_min,
+            (offers.l_partkey == F.col("pk"))
+            & (offers.best_price == F.col("min_price")),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.min("min_price").cast("double").alias("min_price"),
+        )
+    )
+    return best.join(s, best.l_suppkey == s.s_suppkey).select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("s_suppkey"),
+        "s_name",
+        "min_price",
+    )
+
+
+Q2_ORACLE = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS best_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+part_min AS (
+  SELECT l_partkey AS pk, min(best_price) AS min_price FROM offers GROUP BY 1),
+best AS (
+  SELECT o.l_partkey, min(o.l_suppkey) AS l_suppkey,
+         CAST(min(p.min_price) AS DOUBLE) AS min_price
+  FROM offers o JOIN part_min p
+    ON o.l_partkey = p.pk AND o.best_price = p.min_price
+  GROUP BY o.l_partkey)
+SELECT l_partkey AS p_partkey, s_suppkey, s_name, min_price
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q20_volume_share_suppliers(spark, sf_dir):
+    """Q20 shape: suppliers carrying an outsized share (>15%) of a
+    part's shipped volume (threshold 15% — calibrated so the result is
+    non-empty at every SF) — per-group share via a windowed total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(PRICE)).alias("qty")
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("qty").over(W.partitionBy("l_partkey"))
+    share = (F.col("qty").cast("double") / total.cast("double"))
+    big = vol.withColumn("share", F.round(share, 6)).filter(
+        F.col("share") > 0.15
+    )
+    return big.join(s, big.l_suppkey == s.s_suppkey).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_suppkey",
+        "s_name",
+        F.col("qty").cast("double").alias("qty"),
+        "share",
+    )
+
+
+Q20_ORACLE = """
+WITH vol AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem GROUP BY 1, 2),
+shares AS (
+  SELECT l_partkey, l_suppkey, qty,
+         round(CAST(qty AS DOUBLE) /
+               CAST(sum(qty) OVER (PARTITION BY l_partkey) AS DOUBLE), 6) AS share
+  FROM vol)
+SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+       CAST(qty AS DOUBLE) AS qty, share
+FROM shares JOIN supplier ON l_suppkey = s_suppkey
+WHERE share > 0.15
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("tpch_q2_cheapest_supplier", q2_cheapest_supplier, Q2_ORACLE),
+    QuerySpec("tpch_q20_volume_share", q20_volume_share_suppliers, Q20_ORACLE),
     QuerySpec("tpch_q9_product_profit", q9_product_profit, Q9_ORACLE),
     QuerySpec("tpch_q12_priority_shipping", q12_priority_shipping, Q12_ORACLE),
     QuerySpec("tpch_q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_ORACLE),
