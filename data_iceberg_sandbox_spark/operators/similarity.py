@@ -226,7 +226,26 @@ def ann_ivf_topk(spark, sf_dir, k: int = 10, nprobe: int = 4):
     )
 
 
+def embedding_quantize_int8(spark, sf_dir):
+    """Storage-path op: symmetric int8 quantization of embeddings —
+    per-vector scale = max|x|/127, stored as (scale, array<tinyint>).
+    4× footprint cut for ANN candidate sets; rows-only check here, the
+    reconstruction-error bound is property-tested. (Uses array HOFs —
+    acceptable off the query hot path; the scan cost is write-time.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    ) / F.lit(127.0)
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")).alias("q"),
+    )
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("embedding_quantize_int8", embedding_quantize_int8, None),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QuerySpec("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_PAIRS_ORACLE),
     QuerySpec("ann_lsh_bucketed", ann_lsh_bucketed, None),

@@ -75,6 +75,28 @@ def test_ivf_and_lsh_partial_recall(spark):
     assert all(len(v) <= 10 for v in ivf.values())
 
 
+def test_int8_quantization_roundtrip_error_bound(spark):
+    from data_iceberg_sandbox_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+    from data_iceberg_sandbox_spark.sources.registry import load_table
+
+    q = {r["vec_id"]: r for r in embedding_quantize_int8(spark, SF_SMOKE).collect()}
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_SMOKE, "embeddings").limit(50).collect()
+    }
+    for vid, vec in orig.items():
+        row = q[vid]
+        recon = [row["scale"] * qi for qi in row["q"]]
+        max_abs = max(abs(x) for x in vec)
+        for x, r in zip(vec, recon):
+            # symmetric quantization error ≤ scale/2 per element
+            assert abs(x - r) <= row["scale"] / 2 + 1e-9, (vid, x, r)
+        assert all(-127 <= qi <= 127 for qi in row["q"])
+        assert abs(row["scale"] * 127 - max_abs) < 1e-6
+
+
 def test_decode_features_matches_local_computation(spark):
     media = synth_media(spark, SF_SMOKE).filter(F.col("doc_id") < 20)
     feats = {r["doc_id"]: r for r in decode_features(media).collect()}
