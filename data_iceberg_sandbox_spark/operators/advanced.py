@@ -289,14 +289,41 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def agg_approx(spark, sf_dir):
-    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
-    contents are engine-specific → rows-only check here; accuracy bounds
-    asserted against exact values in tests."""
+    """Approximate aggregates (HLL distinct, quantile sketch), made
+    oracle-checkable: the sketches run Spark-side and their accuracy
+    bounds are asserted *inside the query* (booleans), alongside the
+    exact distinct counts which the DuckDB twin reproduces bit-exactly.
+    rsd=0.005 makes the 5% tolerance a ~10-sigma bound; the approx
+    median landing inside the exact IQR is similarly conservative."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.005).alias("ap"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("ap50"),
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
     )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("ap50") >= F.col("p25")) & (F.col("ap50") <= F.col("p75"))
+        ).alias("p50_within_iqr"),
+    )
+
+
+AGG_APPROX_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_within_iqr
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --- string / date function library ---------------------------------------
@@ -583,10 +610,13 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def session_window_native(spark, sf_dir):
-    """Spark's native session_window (gap-merged sessions) in batch —
-    rows-only: boundary semantics at exact-gap instants differ from the
-    lag-islands oracle form (< vs <=), so no SQL twin; coverage of the
-    native operator lives here, the oracle-checked sessionization above."""
+    """Spark's native session_window (gap-merged sessions) in batch.
+
+    Oracle-checked: Spark merges an event into the current session iff
+    its ts is *strictly* before session_end (= last ts + gap), i.e. a
+    new session starts exactly when gap >= 1 h — so the lag-islands
+    DuckDB twin uses `>= 3600` (vs the `> 3600` of sessionize_events,
+    whose semantics are merge-on-equal); session_end = max(ts) + gap."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
@@ -600,11 +630,31 @@ def session_window_native(spark, sf_dir):
     )
 
 
+SESSION_NATIVE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1 HOUR AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("sliding_window_agg", sliding_window_agg, SLIDING_ORACLE),
     QuerySpec("multi_distinct_agg", multi_distinct_agg, MULTI_DISTINCT_ORACLE),
-    QuerySpec("session_window_native", session_window_native, None),
+    QuerySpec("session_window_native", session_window_native, SESSION_NATIVE_ORACLE),
     QuerySpec("pivot_event_counts", pivot_event_counts, PIVOT_ORACLE),
     QuerySpec("cube_counts", cube_counts, CUBE_ORACLE),
     QuerySpec("sessionize_events", sessionize_events, SESSIONIZE_ORACLE),
@@ -612,7 +662,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("asof_merge_pandas", asof_merge_pandas, ASOF_ORACLE),
     QuerySpec("range_followup_counts", range_followup_counts, RANGE_ORACLE),
     QuerySpec("percentile_prices", percentile_prices, PERCENTILE_ORACLE),
-    QuerySpec("agg_approx", agg_approx, None),
+    QuerySpec("agg_approx", agg_approx, AGG_APPROX_ORACLE),
     QuerySpec("string_functions", string_functions, STRING_FN_ORACLE),
     QuerySpec("date_functions", date_functions, DATE_FN_ORACLE),
     QuerySpec(

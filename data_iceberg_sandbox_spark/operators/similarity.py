@@ -97,14 +97,24 @@ FROM ranked WHERE rank <= 10
 """
 
 
+NEARDUP_SAMPLE_CAP = 200_000  # max vec_id admitted to the quadratic sample
+
+
 def embedding_neardup_pairs(spark, sf_dir, top_pairs: int = 20):
     """Embedding-cosine near-dup: top-N most-similar pairs within a
     deterministic 10% sample (vec_id % 10 = 0). Exact pairwise scoring on
     the sample (oracle-checkable); the LSH-bucketed variant below is the
-    full-corpus scale path."""
+    full-corpus scale path.
+
+    The sample is HARD-CAPPED at vec_id < NEARDUP_SAMPLE_CAP (≤20k rows
+    after the %10 filter) so the O(sample²) self-join stays ≤2×10⁸ pairs
+    no matter how large the corpus grows — the quadratic baseline can
+    never silently scale with the data."""
     sub = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 10 == 0)
+        .filter(
+            (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < NEARDUP_SAMPLE_CAP)
+        )
         .select("vec_id", as_double(F.col("embedding")).alias("emb"))
     )
     a = sub.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
@@ -121,7 +131,7 @@ def embedding_neardup_pairs(spark, sf_dir, top_pairs: int = 20):
 
 NEARDUP_PAIRS_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb
-           FROM embeddings WHERE vec_id % 10 = 0)
+           FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 200000)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_inner_product(a.emb, b.emb) /
              (sqrt(list_inner_product(a.emb, a.emb)) *
@@ -140,10 +150,57 @@ def _bucket_bits(emb_col) -> "F.Column":
     return bucket
 
 
+def _hp_literal_sql(hp: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in hp) + "]"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * "
+        f"sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+# DuckDB twin of the LSH bucketing: the hyperplanes are inlined as double
+# literals (repr round-trips exactly), the sign-bit bucket and Hamming-1
+# multi-probe are replicated verbatim — a full cross-engine replay of the
+# approximate operator, not just a rows-count check.
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_inner_product(emb, {_hp_literal_sql(hp)}) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, hp in enumerate(_HYPERPLANES)
+)
+_PROBE_SQL = ", ".join(
+    ["CAST(qbucket AS BIGINT)"]
+    + [f"xor(qbucket, {1 << i})" for i in range(len(_HYPERPLANES))]
+)
+ANN_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+b AS (SELECT vec_id, emb, {_BUCKET_SQL} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS qbucket
+      FROM b WHERE vec_id < 8),
+probes AS (SELECT query_id, q_emb, unnest([{_PROBE_SQL}]) AS bucket FROM q),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round({_cos_sql('p.q_emb', 'c.emb')}, 6) AS score
+  FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def ann_lsh_bucketed(spark, sf_dir, k: int = 10):
     """LSH-bucketed ANN: candidates restricted to the query's hyperplane
-    bucket (plus Hamming-1 probes). Approximate → rows-only check;
-    recall measured in tests against the exact operator."""
+    bucket (plus Hamming-1 probes). Approximate but fully deterministic,
+    so the DuckDB twin (ANN_LSH_ORACLE) replays the exact same bucketing
+    from inlined hyperplane literals; recall vs the exact operator is
+    additionally measured in tests."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
@@ -176,36 +233,92 @@ def ann_lsh_bucketed(spark, sf_dir, k: int = 10):
     )
 
 
-def ivf_assign(spark: SparkSession, sf_dir: str, centroid_mod: int = 97) -> tuple:
-    """IVF coarse quantization with deterministic centroids (every vec_id
-    % centroid_mod == 0 vector): one broadcast pass assigns each vector
-    to its nearest centroid cell."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
-    )
-    cents = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
-    )
+IVF_MAX_CENTROIDS = 4096  # broadcast stays bounded at any corpus size
+
+
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-cell assignment: broadcast the (bounded) centroid set, one
+    streamed pass + per-row argmax. Sims rounded to 6 dp before ranking
+    so tie-breaks (cent_id asc) are engine-portable."""
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col("emb"), F.col("cent_emb"))
+        "sim", F.round(cosine(F.col("emb"), F.col("cent_emb")), 6)
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
-    assigned = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb", "cent_id")
     )
-    return assigned, cents
 
 
-def ann_ivf_topk(spark, sf_dir, k: int = 10, nprobe: int = 4):
-    """IVF ANN: probe the nprobe nearest cells per query, exact top-k
-    within. nprobe = #centroids degenerates to exact brute force
-    (property-tested)."""
-    assigned, cents = ivf_assign(spark, sf_dir)
+def ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    centroid_mod: int = 97,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Learned IVF coarse centroids: deterministic seeds (every vec_id %
+    centroid_mod == 0, hard-capped at IVF_MAX_CENTROIDS seeds) refined by
+    `refine_iters` Lloyd steps (assign → per-cell mean).
+
+    The mean uses exact DECIMAL accumulation per (cell, dim) — float sums
+    are partition-order-dependent — rounded to 6 dp, so the learned
+    centroids are bit-identical across engines and the DuckDB twin can
+    replay the refinement. 100 TB: assignment is broadcast-join +
+    per-row argmax (no shuffle); the mean is one shuffle keyed
+    (cell, dim); refine on a deterministic sample if even that is heavy."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") % centroid_mod == 0)
+        & (F.col("vec_id") < centroid_mod * IVF_MAX_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb"))
+    for _ in range(refine_iters):
+        dims = _assign_cells(emb, cents).select(
+            "cent_id", F.posexplode("emb").alias("dim", "x")
+        )
+        mu = dims.groupBy("cent_id", "dim").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mu")
+        )
+        cents = (
+            mu.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("a"))
+            .select(
+                "cent_id", F.transform("a", lambda s: s["mu"]).alias("cent_emb")
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    centroid_mod: int = 97,
+    refine_iters: int = 1,
+) -> tuple:
+    """IVF coarse quantization against the learned centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    cents = ivf_centroids(spark, sf_dir, centroid_mod, refine_iters).cache()
+    return _assign_cells(emb, cents), cents
+
+
+def ann_ivf_topk(spark, sf_dir, k: int = 10, nprobe: int = 4, refine_iters: int = 1):
+    """IVF ANN over learned (Lloyd-refined) centroids: probe the nprobe
+    nearest cells per query, exact top-k within. nprobe = #centroids
+    degenerates to exact brute force (property-tested); recall@10 of the
+    refined centroids vs the raw seeds is asserted in tests. Fully
+    deterministic → the DuckDB twin replays seed → refine → probe."""
+    assigned, cents = ivf_assign(spark, sf_dir, refine_iters=refine_iters)
     q = _queries(spark, sf_dir)
     qc = q.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine(F.col("q_emb"), F.col("cent_emb"))
+        "sim", F.round(cosine(F.col("q_emb"), F.col("cent_emb")), 6)
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
     probes = (
@@ -226,6 +339,52 @@ def ann_ivf_topk(spark, sf_dir, k: int = 10, nprobe: int = 4):
     )
 
 
+_IVF_CAP = 97 * IVF_MAX_CENTROIDS
+ANN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+seeds AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+          WHERE vec_id % 97 = 0 AND vec_id < {_IVF_CAP}),
+a0 AS (SELECT vec_id, emb, cent_id FROM (
+    SELECT v.vec_id, v.emb, s.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round({_cos_sql('v.emb', 's.cent_emb')}, 6) DESC,
+                        s.cent_id) AS rn
+    FROM e v CROSS JOIN seeds s) WHERE rn = 1),
+dims AS (SELECT cent_id, u.dim - 1 AS dim, u.x
+         FROM a0, LATERAL (SELECT unnest(emb) AS x,
+                                  generate_subscripts(emb, 1) AS dim) u),
+mu AS (SELECT cent_id, dim,
+              round(CAST(sum(CAST(x AS DECIMAL(28,18))) AS DOUBLE)
+                    / count(*), 6) AS mu
+       FROM dims GROUP BY cent_id, dim),
+cents AS (SELECT cent_id, list(mu ORDER BY dim) AS cent_emb
+          FROM mu GROUP BY cent_id),
+a1 AS (SELECT vec_id, emb, cent_id FROM (
+    SELECT v.vec_id, v.emb, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round({_cos_sql('v.emb', 'c.cent_emb')}, 6) DESC,
+                        c.cent_id) AS rn
+    FROM e v CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
+probes AS (SELECT query_id, q_emb, cent_id FROM (
+    SELECT q.query_id, q.q_emb, c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round({_cos_sql('q.q_emb', 'c.cent_emb')}, 6) DESC,
+                        c.cent_id) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                  round({_cos_sql('p.q_emb', 'a.emb')}, 6) AS score
+           FROM a1 a JOIN probes p USING (cent_id)
+           WHERE a.vec_id <> p.query_id),
+ranked AS (SELECT query_id, neighbor_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def embedding_quantize_int8(spark, sf_dir):
     """Storage-path op: symmetric int8 quantization of embeddings —
     per-vector scale = max|x|/127, stored as (scale, array<tinyint>).
@@ -244,10 +403,45 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+def embedding_quantize_int8_check(spark, sf_dir):
+    """Oracle-checkable projection of the int8 quantization: the full q
+    vector serialized as CSV plus the 9-dp scale. Both engines compute
+    round(x/scale) on identical doubles and round half-away-from-zero,
+    so the quantized codes match bit-for-bit cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    ) / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale_r"),
+        F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
+        F.size(v).alias("n_dims"),
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+s AS (SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0
+               AS scale
+      FROM e)
+SELECT vec_id,
+       round(scale, 9) AS scale_r,
+       array_to_string(
+         list_transform(v, x -> CAST(CAST(round(x / scale) AS INTEGER)
+                                     AS VARCHAR)), ',') AS q_csv,
+       CAST(len(v) AS INT) AS n_dims
+FROM s
+"""
+
+
 SPECS: list[QuerySpec] = [
-    QuerySpec("embedding_quantize_int8", embedding_quantize_int8, None),
+    QuerySpec("embedding_quantize_int8", embedding_quantize_int8_check, QUANTIZE_ORACLE),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QuerySpec("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_PAIRS_ORACLE),
-    QuerySpec("ann_lsh_bucketed", ann_lsh_bucketed, None),
-    QuerySpec("ann_ivf_topk", ann_ivf_topk, None),
+    QuerySpec("ann_lsh_bucketed", ann_lsh_bucketed, ANN_LSH_ORACLE),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
 ]

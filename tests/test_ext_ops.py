@@ -75,6 +75,40 @@ def test_ivf_and_lsh_partial_recall(spark):
     assert all(len(v) <= 10 for v in ivf.values())
 
 
+def test_ivf_refined_centroids_improve_objective(spark):
+    """Lloyd refinement must improve the spherical-k-means objective
+    (mean similarity to the assigned centroid); recall@10 at fixed
+    nprobe is noise-dominated at test scale, so it only gets a
+    no-material-regression bound vs the raw seeds."""
+    from pyspark.sql import functions as F
+
+    from data_iceberg_sandbox_spark.functions.vector import cosine
+    from data_iceberg_sandbox_spark.operators.similarity import ivf_assign
+
+    def objective(refine_iters):
+        a, c = ivf_assign(spark, SF_ORACLE, refine_iters=refine_iters)
+        return (
+            a.join(c, "cent_id")
+            .agg(F.avg(cosine(F.col("emb"), F.col("cent_emb"))).alias("m"))
+            .collect()[0]["m"]
+        )
+
+    seed, refined = objective(0), objective(1)
+    assert refined > seed + 0.01, (seed, refined)
+
+    exact = _topk_sets(ann_cosine_topk(spark, SF_ORACLE))
+
+    def recall(refine_iters):
+        got = _topk_sets(
+            ann_ivf_topk(spark, SF_ORACLE, nprobe=3, refine_iters=refine_iters)
+        )
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    assert recall(1) >= recall(0) - 0.1
+
+
 def test_int8_quantization_roundtrip_error_bound(spark):
     from data_iceberg_sandbox_spark.operators.similarity import (
         embedding_quantize_int8,
