@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SALT_SAFE_JOINS = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -28,6 +31,14 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
+    """Left-preserving joins only: the right side is replicated n_salts×,
+    so right/full outer modes would emit each unmatched right row once
+    per salt replica — refuse them instead of silently duplicating."""
+    if how not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_JOINS)}, not {how!r}: "
+            "the replicated right side breaks right/full-outer semantics"
+        )
     salt = (F.rand(seed=42) * n_salts).cast("int")
     left_s = left.withColumn("_salt", salt)
     right_s = right.withColumn(

@@ -173,7 +173,13 @@ FROM top JOIN supplier ON l_suppkey = s_suppkey WHERE rk = 1
 def q17_small_quantity(spark, sf_dir):
     """Q17 shape: revenue impact of small-quantity orders — lineitems
     below 50% of their part's average quantity (correlated scalar
-    subquery → broadcast join of per-part averages)."""
+    subquery → join of per-part averages).
+
+    No broadcast hint: avg_qty has one row per partkey (~20M at SF100),
+    a data-dependent aggregate that must NOT be forced driver-side. AQE
+    sizes it at runtime — broadcast at small SF, co-partitioned
+    shuffle join on l_partkey at scale (both sides shuffle on the same
+    key, so the agg and the join share one exchange)."""
     li = load_table(spark, sf_dir, "lineitem")
     avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
@@ -182,7 +188,7 @@ def q17_small_quantity(spark, sf_dir):
         ).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("pk"))
+        li.join(avg_qty, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(

@@ -168,18 +168,27 @@ def run_fraud_alerts_stream(
 
 def run_append_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeTable:
     """S14 stream→table continuous insert / S12 append-only sink: the raw
-    stream appended to a lakehouse table via foreachBatch (exactly-once
-    per micro-batch through the table's atomic commit)."""
+    stream appended to a lakehouse table via foreachBatch.
+
+    Exactly-once: the epoch id commits atomically WITH the data (a table
+    property on the same manifest), so a micro-batch retried after a
+    successful commit — failure window between table commit and
+    checkpoint write — is detected (epoch <= last applied) and skipped
+    instead of double-appended."""
     staged = stage_event_files(spark, sf_dir, "append", n_files=8)
     if os.path.isdir(table_root):
         shutil.rmtree(table_root)
     result = LakeTable(spark, table_root)
 
-    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
+    def append_batch(batch_df: DataFrame, epoch: int) -> None:
+        marker = {"streaming.last_epoch": str(epoch)}
         if not result.exists():
-            result.create(batch_df)
+            result.create(batch_df, properties=marker)
         else:
-            result.append(batch_df)
+            last = result.manifest().properties.get("streaming.last_epoch")
+            if last is not None and epoch <= int(last):
+                return  # already committed; this is a post-commit retry
+            result.append(batch_df, extra_properties=marker)
 
     ckpt = table_root + "_ckpt"
     if os.path.isdir(ckpt):

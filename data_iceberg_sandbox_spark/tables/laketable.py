@@ -61,6 +61,12 @@ class NoSuchTable(RuntimeError):
     pass
 
 
+class MergeCardinalityError(RuntimeError):
+    """MERGE source matched a target row more than once (Iceberg
+    cardinality contract: each target row may match at most one source
+    row; duplicate source keys would silently fan out the target)."""
+
+
 @dataclass
 class Manifest:
     version: int
@@ -280,9 +286,15 @@ class LakeTable:
             file_stats=stats,
         )
         mpath = self._manifest_path(new_version)
-        if os.path.exists(mpath):
-            raise CommitConflict(f"{mpath} already exists")
-        with open(mpath, "w", encoding="utf-8") as f:
+        # O_EXCL create: two racing writers with the same expected_parent
+        # both want v(N+1); exactly one wins the manifest slot, the loser
+        # gets FileExistsError → CommitConflict (true CAS, not
+        # check-then-write).
+        try:
+            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            raise CommitConflict(f"{mpath} already exists") from None
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(man.to_json())
         # CAS on the pointer: re-check parent then atomic replace
         if expected_parent is not None:
@@ -323,18 +335,27 @@ class LakeTable:
         )
         return self
 
-    def append(self, df: DataFrame) -> "LakeTable":
-        """S3 append (`df.writeTo(t).append()` / INSERT INTO)."""
+    def append(
+        self, df: DataFrame, extra_properties: dict[str, str] | None = None
+    ) -> "LakeTable":
+        """S3 append (`df.writeTo(t).append()` / INSERT INTO).
+
+        ``extra_properties`` commit atomically with the data — e.g. a
+        streaming sink's last-applied epoch marker, which is what makes a
+        foreachBatch append idempotent under micro-batch retry."""
         cur = self.manifest()
         new_files = self._write_data_files(
             _align(df, cur.schema_json), cur.partition_by
         )
+        props = dict(cur.properties)
+        if extra_properties:
+            props.update(extra_properties)
         self._commit(
             "append",
             sorted(cur.files + new_files),
             cur.schema_json,
             cur.partition_by,
-            cur.properties,
+            props,
             expected_parent=cur.version,
         )
         return self
@@ -371,6 +392,11 @@ class LakeTable:
         Plan shape: three joins on the merge key (inner for updates,
         left-anti each way for untouched/inserts) unioned and rewritten —
         the COW MERGE shuffle; AQE broadcasts the source side when small.
+
+        Duplicate merge-key rows in the source raise MergeCardinalityError
+        (Iceberg's "multiple matching rows" contract) instead of silently
+        fanning out matched target rows; the check is one count-distinct
+        aggregate over the source keys, same shuffle key as the merge.
         """
         cur = self.manifest()
         keys = on or [
@@ -383,6 +409,19 @@ class LakeTable:
         target = self.read()
         source = _align(source, cur.schema_json)
         cols = target.columns
+
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise MergeCardinalityError(
+                f"source has multiple rows for merge key {key_vals}"
+            )
 
         untouched = target.join(source, keys, "left_anti")
         updated = target.alias("t").join(source.alias("s"), keys, "inner").select(
@@ -408,9 +447,13 @@ class LakeTable:
         return self
 
     def delete_where(self, condition) -> "LakeTable":
-        """DELETE (D5-adjacent DML; OPA op list allow_table.rego:73-80)."""
+        """DELETE (D5-adjacent DML; OPA op list allow_table.rego:73-80).
+
+        SQL DELETE semantics: only rows where the predicate is TRUE are
+        deleted — rows where it evaluates to NULL are RETAINED (a plain
+        ``filter(~cond)`` would silently drop them)."""
         cur = self.manifest()
-        remaining = self.read().filter(~condition)
+        remaining = self.read().filter(~condition.eqNullSafe(F.lit(True)))
         files = self._write_data_files(remaining, cur.partition_by)
         self._commit(
             "delete",

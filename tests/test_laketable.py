@@ -107,6 +107,62 @@ def test_delete_where(spark, scratch, df10):
     assert sorted(r["id"] for r in t.read().collect()) == [5, 6, 7, 8, 9]
 
 
+def test_delete_where_null_predicate_retains_rows(spark, scratch):
+    """SQL DELETE semantics: rows where the predicate is NULL survive."""
+    t = LakeTable(spark, os.path.join(scratch, "t8n"))
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    t.create(df)
+    t.delete_where(F.col("v") > 15)  # NULL > 15 → NULL → retained
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_merge_rejects_duplicate_source_keys(spark, scratch, df10):
+    from data_iceberg_sandbox_spark.tables.laketable import (
+        MergeCardinalityError,
+    )
+
+    t = LakeTable(spark, os.path.join(scratch, "t_dupsrc"))
+    t.create(df10)
+    dup_src = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 300)], "id long, v long"
+    )
+    with pytest.raises(MergeCardinalityError):
+        t.merge(dup_src, on=["id"])
+    # table unchanged by the refused merge
+    assert t.read().count() == 10 and len(t.snapshots()) == 1
+
+
+def test_commit_manifest_race_is_atomic(spark, scratch, df10):
+    """Two writers racing for the same manifest slot: O_EXCL guarantees
+    exactly one wins even when both pass the version pre-check."""
+    root = os.path.join(scratch, "t_race")
+    t1 = LakeTable(spark, root)
+    t1.create(df10)
+    man = t1.manifest()
+    # pre-create the v2 manifest slot, as a racing winner would
+    winner = t1._manifest_path(man.version + 1)
+    with open(winner, "w", encoding="utf-8") as f:
+        f.write(man.to_json())
+    with pytest.raises(CommitConflict):
+        t1._commit(
+            "append", man.files, man.schema_json, [], {}, expected_parent=man.version
+        )
+    # the winner's manifest was not clobbered
+    with open(winner, encoding="utf-8") as f:
+        assert f.read() == man.to_json()
+
+
+def test_salted_join_rejects_right_outer():
+    import pytest as _pytest
+
+    from data_iceberg_sandbox_spark.functions.skew import salted_join
+
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(None, None, "k", "k", how="right")
+
+
 def test_catalog_namespaces_and_tables(spark, scratch, df10):
     cat = LakeCatalog(spark, os.path.join(scratch, "wh"))
     cat.create_namespace("finance.revenue")

@@ -74,6 +74,21 @@ def test_whole_stage_codegen_active(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_no_forced_broadcast_of_unbounded_aggregates(spark):
+    """A broadcast *hint* on a data-dependent aggregate (one row per
+    fact-side key) OOMs at scale; only AQE may choose to broadcast such
+    a side after sizing it at runtime. Gate: q17's logical plan carries
+    no user hint, and — sweeping the whole query surface — every
+    UnresolvedHint/ResolvedHint in a logical plan wraps either a base
+    relation, a bounded-key dimension aggregate, or a global (grouping-
+    free) aggregate, never a per-fact-key aggregate."""
+    from data_iceberg_sandbox_spark.operators import tpch2
+
+    df = tpch2.q17_small_quantity(spark, SF_ORACLE)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "Hint" not in logical, logical
+
+
 def test_partition_pruning_on_laketable(spark, scratch):
     import os
 

@@ -16,6 +16,34 @@ from data_iceberg_sandbox_spark.streaming.fraud_stream import (
 from tests.conftest import SF_SMOKE
 
 
+def test_append_stream_epoch_retry_is_idempotent(spark, scratch):
+    """A micro-batch retried after a successful table commit (failure
+    between commit and checkpoint write) must be skipped: the epoch
+    marker commits atomically with the data."""
+    from data_iceberg_sandbox_spark.tables.laketable import LakeTable
+
+    root = os.path.join(scratch, "append_epoch")
+    t = LakeTable(spark, root)
+    batch = spark.range(5).withColumn("v", F.col("id") * 2)
+
+    def append_batch(batch_df, epoch):  # mirrors run_append_stream's sink
+        marker = {"streaming.last_epoch": str(epoch)}
+        if not t.exists():
+            t.create(batch_df, properties=marker)
+        else:
+            last = t.manifest().properties.get("streaming.last_epoch")
+            if last is not None and epoch <= int(last):
+                return
+            t.append(batch_df, extra_properties=marker)
+
+    append_batch(batch, 0)
+    append_batch(batch, 1)
+    append_batch(batch, 1)  # retry of an already-committed epoch
+    assert t.read().count() == 10  # not 15
+    append_batch(batch, 2)
+    assert t.read().count() == 15
+
+
 def test_multi_batch_incremental_merge(spark):
     root = os.path.join(SCRATCH, "test_incremental")
     t = run_fraud_alerts_stream(
