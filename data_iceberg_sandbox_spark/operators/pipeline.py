@@ -97,6 +97,86 @@ FROM v
 """
 
 
+def _cc_large_small_star(
+    pairs: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Distributed connected components by large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log² n) rounds on ANY graph —
+    unlike min-label propagation, whose round count is the cluster
+    diameter (a 1M-doc duplicate chain = 1M rounds).
+
+    Each round is two groupBy-min passes over the edge list:
+      large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+      small-star: every neighbor v ≤ u (edges directed big→small) links
+                  to m = min(N(u) ∪ {u})
+    Fixpoint = the edge set is a star forest (u → component-min).
+    Lineage is truncated per round with eager localCheckpoint; on a
+    cluster, checkpoint(reliable) replaces it.
+
+    Returns (doc_id, label) for every node of `pairs`.
+    """
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("doc_id"))
+        .union(e.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def edge_sig(df: DataFrame) -> tuple:
+        # bit_xor: order-independent set digest that can't overflow
+        # (ANSI mode forbids a plain sum of 64-bit hashes)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = None
+    for _ in range(max_rounds):
+        # large-star over symmetric neighborhoods
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_of = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(m_of, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over big→small directed edges
+        s = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m_of2 = s.groupBy("u").agg(F.min("v").alias("m"))
+        joined = s.join(m_of2, "u")
+        e = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = edge_sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    return nodes.join(
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("label")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("label", "doc_id").alias("label"))
+
+
 def duplicate_clusters(
     spark: SparkSession,
     sf_dir: str,
@@ -112,11 +192,11 @@ def duplicate_clusters(
     is orders of magnitude smaller than the corpus — when it fits the
     driver (≤ `driver_edge_limit` edges, ~100 MB), an exact union-find
     runs locally in O(E α) and the label map is parallelized back; a
-    tiny Spark job beats 2-3 rounds of distributed joins by 20×+
-    (measured). Above the limit, distributed min-label propagation runs
-    with per-round `localCheckpoint` lineage truncation — each round one
-    join + aggregate, rounds = cluster diameter; for billion-edge graphs
-    swap in large-star/small-star, same contract.
+    tiny Spark job beats rounds of distributed joins by 20×+ (measured).
+    Above the limit, large-star/small-star alternation
+    (_cc_large_small_star) runs fully distributed: O(log² n) rounds
+    regardless of cluster diameter — the billion-edge shape.
+    (`max_iter` bounds those rounds.)
     """
     pairs = (
         jaccard_pairs(spark, sf_dir, threshold=threshold)
@@ -145,40 +225,7 @@ def duplicate_clusters(
             "is_keeper", F.col("doc_id") == F.col("cluster_keeper")
         )
 
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)  # truncate the iterative lineage
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = _cc_large_small_star(pairs, max_rounds=max(max_iter, 25))
     return labels.select(
         "doc_id", F.col("label").alias("cluster_keeper")
     ).withColumn("is_keeper", F.col("doc_id") == F.col("cluster_keeper"))

@@ -46,9 +46,28 @@ _TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Memoized per (session, dir, table): re-resolving the same static
+# parquet table costs a footer/schema read plus the conversion-projection
+# build in py4j round trips (~50-150 ms) — measured at roughly HALF of
+# total suite latency when every query re-loads its inputs. DataFrames
+# are immutable, so handing back the same object is safe; the weak-keyed
+# outer map scopes entries to a live SparkSession object (dies with it,
+# no id-reuse aliasing).
+import weakref
+
+_LT_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    per_session = _LT_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Pin UTC regardless of the caller's session: event-time windows and
     # timestamp output must align with the (UTC-naive) parquet values —
@@ -59,6 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer `div` — float division would lose sub-µs exactness
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    per_session[key] = df
     return df
 
 

@@ -43,3 +43,36 @@ def test_clusters_match_union_find(spark):
         if r["is_keeper"]
     }
     assert keepers == set(expected.values())
+
+
+def test_distributed_cc_matches_union_find(spark):
+    """The large-star/small-star path (forced via driver_edge_limit=0)
+    must produce exactly the union-find clusters."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(spark, SF_ORACLE, threshold=0.5).collect()
+    ]
+    expected = _union_find(pairs)
+    got = {
+        r["doc_id"]: r["cluster_keeper"]
+        for r in duplicate_clusters(
+            spark, SF_ORACLE, driver_edge_limit=0
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_large_small_star_chain_converges_in_log_rounds(spark):
+    """A 64-node path graph is the diameter-adversarial case: min-label
+    propagation needs 63 rounds; large-star/small-star must collapse it
+    to a single min-labeled star within O(log² n) — we bound at 12."""
+    from data_iceberg_sandbox_spark.operators.pipeline import (
+        _cc_large_small_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a: long, doc_b: long"
+    )
+    labels = _cc_large_small_star(chain, max_rounds=12)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(64)}
