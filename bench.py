@@ -166,6 +166,35 @@ def main() -> None:
     except Exception:
         pass
 
+    # Transparency: time DuckDB on the IDENTICAL oracle SQL in the same
+    # process/box state, so the spark/duckdb ratio is same-conditions.
+    duckdb_sequential = None
+    try:
+        import duckdb
+
+        oracles = entry_mod.oracle_sql()
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        dtot = 0.0
+        for n in names:
+            if n not in oracles:
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(oracles[n]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            dtot += best
+        duckdb_sequential = round(dtot, 4)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -179,6 +208,7 @@ def main() -> None:
                 "n_queries": len(names),
                 "streaming_events_per_sec": stream_eps,
                 "batch_load_rows_per_sec": load_rows_per_sec,
+                "duckdb_sequential_sec_same_sql": duckdb_sequential,
             }
         )
     )
