@@ -17,11 +17,12 @@ for 100 TB:
   blowup); candidates are then *verified* with exact Jaccard, so the
   final answer equals the exact operator whenever LSH recall=1 (banding
   P(miss) ≈ (1-J²)³² < 1e-14 at J≥0.8 — the near-dup regime).
-- SimHash: 64-bit sign-of-weighted-sum signature per doc, built entirely
-  from JVM expressions (explode tokens → 64 bit-contribution aggs);
+- SimHash: 60-bit sign-of-weighted-sum signature per doc, built entirely
+  from JVM expressions (explode tokens → 60 bit-contribution aggs);
   near-dups = signatures within Hamming distance τ.
 
-All hashing is xxhash64/crc32 (Spark built-ins, deterministic).
+All hashing is crc32 / md5-derived (deterministic AND reproducible in
+DuckDB, so every dedup family has a bit-exact SQL oracle).
 """
 
 from __future__ import annotations
@@ -293,37 +294,47 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
 # --- SimHash --------------------------------------------------------------
 
 
+_SIMHASH_BITS = 60  # 15 hex chars of md5 → engine-portable token hash
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc from whitespace tokens, pure JVM exprs:
-    explode tokens → xxhash64 → per-bit ±1 contributions → sign bits
-    assembled with shiftleft/bitwise-or."""
+    """60-bit SimHash per doc from whitespace tokens, pure JVM exprs:
+    explode tokens → md5-derived 60-bit hash → per-bit ±1 contributions →
+    sign bits reassembled. The token hash is the first 15 hex chars of
+    md5 parsed base-16 — md5 is identical in Spark and DuckDB, so the
+    whole signature (and therefore dedup_simhash's output) replays
+    bit-for-bit in the SQL oracle; xxhash64 (the earlier choice) has no
+    DuckDB twin."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(words(F.col("text"))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h",
+    )
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(_SIMHASH_BITS)
     ]
     per_bit = toks.groupBy("doc_id").agg(*bit_aggs)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return per_bit.select("doc_id", sig.alias("simhash"))
+    sig_expr = "CAST(" + " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(_SIMHASH_BITS)
+    ) + " AS BIGINT)"
+    return per_bit.selectExpr("doc_id", f"{sig_expr} AS simhash")
 
 
 def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
-    chunks (pigeonhole: distance<=6 over 4 chunks → some chunk equal) so
-    the join is equi on a chunk value — no quadratic scan at scale."""
+    """Near-dup pairs by SimHash Hamming distance, blocked on 15-bit
+    chunks so the join is equi on a chunk value — no quadratic scan at
+    scale. (Blocking recall note: pigeonhole over 4 chunks guarantees a
+    shared chunk only for distance ≤ 3; at distance 4-6 a pair is found
+    unless the differing bits spread across all chunks — an accepted
+    approximation for a signature that is itself a sketch.)"""
     sigs = simhash_signatures(spark, sf_dir)
     chunks = sigs.select(
         "doc_id",
@@ -333,8 +344,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("v"),
                     )
                     for c in range(4)
@@ -356,7 +367,7 @@ def simhash_near_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("int").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -368,9 +379,42 @@ def dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(spark, sf_dir, max_hamming=6)
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of the full simhash pipeline (identical md5-derived
+    token hash, ±1 bit sums, sign-bit signature, chunk blocking)."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    sig = "CAST(" + " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    ) + " AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS simhash FROM bits),
+chunks AS (
+  SELECT doc_id, simhash, u.c AS c,
+         (simhash >> (u.c * 15)) & 32767 AS v
+  FROM sig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) u),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_JACCARD_ORACLE),
-    QuerySpec("dedup_simhash", dedup_simhash, None),  # signature op: rows-only
+    QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle_sql()),
 ]
