@@ -1,0 +1,198 @@
+"""Pure-Python Avro binary codec for the reference's transaction record
+(reference: etl/src/apps/stream_transaction/transaction.avsc — fields
+card_id string, amount bytes-decimal(28,4), ts timestamp-micros;
+producer produce_transactions.py:32-79 serializes it through a schema
+registry in the Confluent wire format).
+
+The image ships neither the spark-avro SQL module nor any Python Avro
+library, so the *transport* stays jar-gated (sources/kafka.py) — but the
+encoding logic itself is small and fully specified by the public Avro
+spec (zigzag varints, length-prefixed bytes, two's-complement decimal)
+and the public Confluent wire format (0x00 magic + 4-byte big-endian
+schema id + Avro body). This module implements and tests exactly that,
+plus Spark-side decode/encode over Arrow-batched ``mapInPandas`` — the
+UDF boundary a real cluster would replace with JVM ``from_avro`` /
+``to_avro`` once the jar is present (one-call swap).
+
+At scale: encode/decode run per Arrow batch inside executors — no
+driver involvement, no shuffle; payload bytes never leave the executor.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+
+AMOUNT_SCALE = 4
+WIRE_MAGIC = 0x00
+
+TRANSACTION_SCHEMA_JSON = """{
+  "name": "Transaction", "type": "record",
+  "namespace": "com.pasquier.jean",
+  "fields": [
+    {"name": "card_id", "type": "string"},
+    {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                "precision": 28, "scale": 4}},
+    {"name": "ts", "type": {"type": "long",
+                            "logicalType": "timestamp-micros"}}
+  ]
+}"""
+
+
+class SchemaRegistry:
+    """Minimal in-process stand-in for the reference's schema registry:
+    subject → (id, schema). Only the two operations the wire format
+    needs: register (idempotent) and lookup-by-id."""
+
+    def __init__(self) -> None:
+        self._by_subject: dict[str, tuple[int, str]] = {}
+        self._by_id: dict[int, str] = {}
+        self._next = 1
+
+    def register(self, subject: str, schema_str: str) -> int:
+        hit = self._by_subject.get(subject)
+        if hit and hit[1] == schema_str:
+            return hit[0]
+        sid = self._next
+        self._next += 1
+        self._by_subject[subject] = (sid, schema_str)
+        self._by_id[sid] = schema_str
+        return sid
+
+    def get_by_id(self, sid: int) -> str:
+        return self._by_id[sid]
+
+
+DEFAULT_REGISTRY = SchemaRegistry()
+TRANSACTION_SCHEMA_ID = DEFAULT_REGISTRY.register(
+    "avro-transactions-value", TRANSACTION_SCHEMA_JSON
+)
+
+
+# ---- Avro primitive codecs (Avro 1.11 spec §binary encoding) ------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _decimal_to_bytes(amount: Decimal, scale: int = AMOUNT_SCALE) -> bytes:
+    unscaled = int(
+        (amount * (10**scale)).to_integral_value(rounding="ROUND_HALF_UP")
+    )
+    length = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+def _bytes_to_decimal(raw: bytes, scale: int = AMOUNT_SCALE) -> Decimal:
+    return Decimal(int.from_bytes(raw, "big", signed=True)) / (10**scale)
+
+
+def encode_transaction(
+    card_id: str,
+    amount: Decimal,
+    ts_micros: int,
+    schema_id: int = TRANSACTION_SCHEMA_ID,
+) -> bytes:
+    """record → Confluent-framed Avro binary (magic, schema id, body)."""
+    cid = card_id.encode("utf-8")
+    amt = _decimal_to_bytes(amount)
+    body = (
+        _zigzag_encode(len(cid))
+        + cid
+        + _zigzag_encode(len(amt))
+        + amt
+        + _zigzag_encode(ts_micros)
+    )
+    return bytes([WIRE_MAGIC]) + struct.pack(">I", schema_id) + body
+
+
+def decode_transaction(payload: bytes) -> tuple[str, Decimal, int, int]:
+    """Confluent-framed Avro binary → (card_id, amount, ts_micros,
+    schema_id). Raises on a bad magic byte."""
+    if payload[0] != WIRE_MAGIC:
+        raise ValueError(f"bad wire-format magic byte {payload[0]!r}")
+    schema_id = struct.unpack(">I", payload[1:5])[0]
+    pos = 5
+    n, pos = _zigzag_decode(payload, pos)
+    card_id = payload[pos : pos + n].decode("utf-8")
+    pos += n
+    n, pos = _zigzag_decode(payload, pos)
+    amount = _bytes_to_decimal(payload[pos : pos + n])
+    pos += n
+    ts_micros, pos = _zigzag_decode(payload, pos)
+    return card_id, amount, ts_micros, schema_id
+
+
+# ---- Spark-side (Arrow-batched) -----------------------------------------
+
+_DECODED_SCHEMA = (
+    "card_id string, amount decimal(28,4), ts timestamp, schema_id int"
+)
+
+
+def decode_transactions(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Binary Avro payload column → typed transaction columns, the
+    ``from_avro(value)`` analog. mapInPandas: Arrow batches in/out."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = [decode_transaction(bytes(v)) for v in pdf[value_col]]
+            yield pd.DataFrame(
+                {
+                    "card_id": [r[0] for r in rows],
+                    "amount": [r[1] for r in rows],
+                    "ts": pd.to_datetime(
+                        [r[2] for r in rows], unit="us"
+                    ),
+                    "schema_id": [r[3] for r in rows],
+                }
+            )
+
+    return df.select(value_col).mapInPandas(batches, _DECODED_SCHEMA)
+
+
+def encode_transactions(df: DataFrame) -> DataFrame:
+    """(card_id, amount decimal, ts timestamp) → framed Avro binary
+    `value` column, the ``to_avro(struct(*))`` analog."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            vals = [
+                encode_transaction(
+                    c, Decimal(str(a)), int(t.value // 1000)
+                )
+                for c, a, t in zip(pdf["card_id"], pdf["amount"], pdf["ts"])
+            ]
+            yield pd.DataFrame({"value": vals})
+
+    return df.select("card_id", "amount", "ts").mapInPandas(
+        batches, "value binary"
+    )

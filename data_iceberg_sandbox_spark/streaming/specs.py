@@ -75,10 +75,49 @@ def stream_append_raw(spark, sf_dir):
     return t.read()
 
 
+def avro_roundtrip_transactions(spark, sf_dir):
+    """S8/S13 value-codec parity: deterministic transactions derived
+    from events are serialized to Confluent-framed Avro binary and
+    decoded back (sources/avro_codec — the jar-less from_avro/to_avro
+    analog, reference transaction.avsc + produce_transactions.py:32-79).
+    The oracle computes the same projection directly, so the round trip
+    through the wire format is proven bit-exact, decimals included."""
+    from ..sources.avro_codec import decode_transactions, encode_transactions
+
+    ev = load_table(spark, sf_dir, "events")
+    tx = ev.select(
+        F.concat(
+            F.lit("card_"), (F.col("user_id") % 100).cast("string")
+        ).alias("card_id"),
+        F.col("value").cast("decimal(28,4)").alias("amount"),
+        "ts",
+    )
+    decoded = decode_transactions(encode_transactions(tx))
+    # final double projection: DuckDB hands precision>18 decimals to
+    # pandas as float anyway (repo convention: exact internally, DOUBLE
+    # at the comparison boundary); decimal fidelity itself is
+    # property-tested in tests/test_connectors.py
+    return decoded.withColumn("amount", F.col("amount").cast("double"))
+
+
+AVRO_ROUNDTRIP_ORACLE = """
+SELECT concat('card_', CAST(user_id % 100 AS VARCHAR)) AS card_id,
+       CAST(CAST(value AS DECIMAL(28,4)) AS DOUBLE) AS amount,
+       ts,
+       CAST(1 AS INT) AS schema_id
+FROM events
+"""
+
+
 from .stateful import SPECS as STATEFUL_SPECS  # noqa: E402
 
 SPECS: list[QuerySpec] = [
     *STATEFUL_SPECS,
+    QuerySpec(
+        "avro_roundtrip_transactions",
+        avro_roundtrip_transactions,
+        AVRO_ROUNDTRIP_ORACLE,
+    ),
     QuerySpec("stream_fraud_alerts", stream_fraud_alerts, fraud_alerts_oracle_sql()),
     QuerySpec(
         "stream_fraud_enriched_backfill",

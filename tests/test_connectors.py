@@ -23,3 +23,60 @@ def test_kafka_gate_reports_missing_jar(spark):
 def test_avro_gate_detects(spark):
     # informational: either state is valid, the gate just must not lie
     assert avro_available(spark) in (True, False)
+
+
+def test_avro_codec_wire_format_and_roundtrip():
+    from decimal import Decimal
+
+    from data_iceberg_sandbox_spark.sources.avro_codec import (
+        TRANSACTION_SCHEMA_ID,
+        decode_transaction,
+        encode_transaction,
+    )
+
+    payload = encode_transaction("card_42", Decimal("123.4567"), 1700000000000000)
+    assert payload[0] == 0x00  # Confluent magic byte
+    assert int.from_bytes(payload[1:5], "big") == TRANSACTION_SCHEMA_ID
+    cid, amt, ts, sid = decode_transaction(payload)
+    assert (cid, amt, ts, sid) == (
+        "card_42", Decimal("123.4567"), 1700000000000000, TRANSACTION_SCHEMA_ID,
+    )
+    with pytest.raises(ValueError, match="magic"):
+        decode_transaction(b"\x01" + payload[1:])
+
+
+def test_avro_codec_property_roundtrip():
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_iceberg_sandbox_spark.sources.avro_codec import (
+        decode_transaction,
+        encode_transaction,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(max_size=40),
+        st.decimals(
+            min_value=Decimal("-1e12"), max_value=Decimal("1e12"),
+            allow_nan=False, allow_infinity=False, places=4,
+        ),
+        st.integers(min_value=-(2**62), max_value=2**62),
+    )
+    def check(card_id, amount, ts):
+        got = decode_transaction(encode_transaction(card_id, amount, ts))
+        assert got[:3] == (card_id, amount, ts)
+
+    check()
+
+
+def test_avro_registry_is_idempotent():
+    from data_iceberg_sandbox_spark.sources.avro_codec import SchemaRegistry
+
+    reg = SchemaRegistry()
+    a = reg.register("s", "{}")
+    assert reg.register("s", "{}") == a
+    b = reg.register("t", "{1}")
+    assert b != a and reg.get_by_id(b) == "{1}"
