@@ -89,6 +89,42 @@ def test_no_forced_broadcast_of_unbounded_aggregates(spark):
     assert "Hint" not in logical, logical
 
 
+def test_minhash_signatures_are_zero_shuffle(spark):
+    """The 100 TB contract for signature extraction: a pure projection —
+    no exchange anywhere in the plan (shingles, hashes, and 64
+    array_min folds all ride the scan stage)."""
+    from data_iceberg_sandbox_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    df = minhash_signatures(spark, SF_ORACLE)
+    assert exchange_count(df) == 0, physical_plan_excerpt(df)
+
+
+def test_shingles_are_zero_shuffle(spark):
+    from data_iceberg_sandbox_spark.operators.dedup import _doc_shingles
+
+    df = _doc_shingles(spark, SF_ORACLE, 5, distinct=False)
+    assert exchange_count(df) == 0, physical_plan_excerpt(df)
+
+
+def test_ann_bruteforce_single_scan_no_shuffle_before_topk(spark):
+    """Brute-force ANN: candidates stream once, queries broadcast; the
+    only exchange is the final per-query top-k window."""
+    from data_iceberg_sandbox_spark.operators.similarity import (
+        ann_cosine_topk,
+    )
+
+    df = ann_cosine_topk(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert exchange_count(df) <= 1, physical_plan_excerpt(df)
+
+
+def physical_plan_excerpt(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan[:2000]
+
+
 def test_partition_pruning_on_laketable(spark, scratch):
     import os
 
