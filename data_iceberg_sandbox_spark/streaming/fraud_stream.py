@@ -147,7 +147,7 @@ def run_fraud_alerts_stream(
         if not result.exists():
             result.create(out)
         else:
-            result.merge(out, on=["user_id", "window_start"])
+            result.merge(out, on=["user_id", "window_start"], assume_unique_source=True)
 
     alerts = windowed_alerts(events_stream(spark, staged, files_per_trigger), threshold)
     ckpt = table_root + "_ckpt"
@@ -285,7 +285,7 @@ def run_sliding_window_stream(
         if not result.exists():
             result.create(batch_df)
         else:
-            result.merge(batch_df, on=["window_start", "event_type"])
+            result.merge(batch_df, on=["window_start", "event_type"], assume_unique_source=True)
 
     ckpt = table_root + "_ckpt"
     if os.path.isdir(ckpt):
@@ -394,5 +394,5 @@ def repair_null_enrichment(
             "total_amount",
         )
     )
-    result.merge(repaired, on=["user_id", "window_start"])
+    result.merge(repaired, on=["user_id", "window_start"], assume_unique_source=True)
     return result

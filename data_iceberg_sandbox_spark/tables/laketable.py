@@ -379,6 +379,7 @@ class LakeTable:
         on: list[str] | None = None,
         update_exclude: tuple[str, ...] = (),
         insert_not_matched: bool = True,
+        assume_unique_source: bool = False,
     ) -> "LakeTable":
         """S4/S5 MERGE upsert, copy-on-write.
 
@@ -395,8 +396,12 @@ class LakeTable:
 
         Duplicate merge-key rows in the source raise MergeCardinalityError
         (Iceberg's "multiple matching rows" contract) instead of silently
-        fanning out matched target rows; the check is one count-distinct
-        aggregate over the source keys, same shuffle key as the merge.
+        fanning out matched target rows; the check is one grouped count
+        over the source keys. Callers whose source is unique-keyed BY
+        CONSTRUCTION (e.g. a foreachBatch upsert of a groupBy aggregate,
+        where the merge keys ARE the grouping keys) pass
+        ``assume_unique_source=True`` to skip that extra per-commit job —
+        a micro-batch loop pays it once per batch otherwise.
         """
         cur = self.manifest()
         keys = on or [
@@ -411,7 +416,9 @@ class LakeTable:
         cols = target.columns
 
         dup = (
-            source.groupBy(*keys)
+            []
+            if assume_unique_source
+            else source.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > 1)
             .limit(1)
