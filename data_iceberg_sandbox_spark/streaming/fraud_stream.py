@@ -252,6 +252,57 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeT
     return result
 
 
+def run_session_window_stream(
+    spark: SparkSession, sf_dir: str, table_root: str, gap: str = "1 hour"
+) -> LakeTable:
+    """Streaming session-window MV: native `session_window` aggregation
+    maintained incrementally over the staged backlog.
+
+    Session windows MERGE as late events bridge gaps, so the session's
+    own key (start) is unstable — a keyed MERGE can strand superseded
+    rows. Complete-mode + foreachBatch overwrite is the correct
+    maintenance loop: each micro-batch rewrites the MV from the full
+    session state, and the final table provably equals the one-shot
+    batch session_window aggregate (the driver oracle). State is
+    O(open sessions); at unbounded scale add a watermark and demote to
+    append-mode emission of *closed* sessions — trade-off documented."""
+    staged = stage_event_files(spark, sf_dir, "sessmv", n_files=8)
+    if os.path.isdir(table_root):
+        shutil.rmtree(table_root)
+    result = LakeTable(spark, table_root)
+
+    agg = (
+        events_stream(spark, staged, files_per_trigger=2)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+    def overwrite(batch_df: DataFrame, _epoch: int) -> None:
+        if not result.exists():
+            result.create(batch_df)
+        else:
+            result.overwrite(batch_df)
+
+    ckpt = table_root + "_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(overwrite)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result
+
+
 def run_sliding_window_stream(
     spark: SparkSession, sf_dir: str, table_root: str
 ) -> LakeTable:

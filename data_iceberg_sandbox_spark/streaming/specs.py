@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..operators.advanced import SLIDING_ORACLE
+from ..operators.advanced import SESSION_NATIVE_ORACLE, SLIDING_ORACLE
 from ..operators.fraud import (
     FRAUD_THRESHOLD,
     fraud_alerts_oracle_sql,
@@ -27,6 +27,7 @@ from .fraud_stream import (
     run_append_stream,
     run_dedup_stream,
     run_fraud_alerts_stream,
+    run_session_window_stream,
     run_sliding_window_stream,
     run_stream_stream_join,
 )
@@ -151,5 +152,12 @@ SPECS: list[QuerySpec] = [
             spark, sf_dir, _root("sliding_mv", sf_dir)
         ).read(),
         SLIDING_ORACLE,  # converges to the batch sliding-window aggregate
+    ),
+    QuerySpec(
+        "stream_session_window_mv",
+        lambda spark, sf_dir: run_session_window_stream(
+            spark, sf_dir, _root("session_mv", sf_dir)
+        ).read(),
+        SESSION_NATIVE_ORACLE,  # converges to the batch session_window agg
     ),
 ]
