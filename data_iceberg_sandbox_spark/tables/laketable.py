@@ -498,15 +498,93 @@ class LakeTable:
         )
         return self
 
+    def rewrite_sorted(
+        self, by: list[str], target_file_size_bytes: int = 128 * 1024 * 1024
+    ) -> "LakeTable":
+        """Sort-based clustering rewrite (the Iceberg `sort_order` /
+        `rewrite_data_files(strategy => 'sort')` analog): range-partition
+        on `by` then sort within files, so per-file min/max stats become
+        DISJOINT ranges and manifest-stats file skipping (`read(prune=)`)
+        can drop most files for a selective predicate. Content-preserving
+        like compact(); at scale this is the scan-amplification fix for
+        point/range-heavy tables."""
+        cur = self.manifest()
+        total = sum(
+            os.path.getsize(os.path.join(self.root, f)) for f in cur.files
+        )
+        n = int(max(1, -(-total // target_file_size_bytes)))
+        df = (
+            self.read()
+            .repartitionByRange(n, *[F.col(c) for c in by])
+            .sortWithinPartitions(*by)
+        )
+        files = self._write_data_files(df, cur.partition_by)
+        props = dict(cur.properties)
+        props["sort.order"] = ",".join(by)
+        self._commit(
+            "rewrite-sorted",
+            files,
+            cur.schema_json,
+            cur.partition_by,
+            props,
+            expected_parent=cur.version,
+        )
+        return self
+
+    # ---- tags (Iceberg refs analog) --------------------------------------
+    @property
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        try:
+            with open(self._tags_path, encoding="utf-8") as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> "LakeTable":
+        """Pin a named, immutable ref to a snapshot (Iceberg tag analog).
+        Tagged snapshots survive expire_snapshots."""
+        v = self.current_version() if version is None else version
+        self.manifest(v)  # raises NoSuchTable if absent
+        t = self.tags()
+        t[name] = v
+        tmp = self._tags_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(t, f, sort_keys=True)
+        os.replace(tmp, self._tags_path)
+        return self
+
+    def drop_tag(self, name: str) -> "LakeTable":
+        t = self.tags()
+        t.pop(name, None)
+        tmp = self._tags_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(t, f, sort_keys=True)
+        os.replace(tmp, self._tags_path)
+        return self
+
+    def read_tag(self, name: str) -> DataFrame:
+        try:
+            version = self.tags()[name]
+        except KeyError:
+            raise NoSuchTable(f"{self.root}: no tag {name!r}") from None
+        return self.read(version=version)
+
     def expire_snapshots(self, retain_last: int = 5) -> list[int]:
         """D8 snapshot expiration (`expire_snapshots(retain_last => 5)`,
         reference sink options :25-26). Deletes expired manifests and any
-        data file referenced only by them."""
+        data file referenced only by them. Tagged snapshots (refs) are
+        always retained, as in Iceberg."""
         mans = self.snapshots()
         if len(mans) <= retain_last:
             return []
-        keep = mans[-retain_last:]
-        drop = mans[:-retain_last]
+        tagged = set(self.tags().values())
+        keep = mans[-retain_last:] + [
+            m for m in mans[:-retain_last] if m.version in tagged
+        ]
+        drop = [m for m in mans[:-retain_last] if m.version not in tagged]
         live = {f for m in keep for f in m.files}
         removed = []
         for m in drop:

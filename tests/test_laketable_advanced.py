@@ -78,3 +78,40 @@ def test_alter_column_type_widens(spark, scratch):
     assert table.read().agg(F.sum("id")).collect()[0][0] == 10
     with pytest.raises(ValueError, match="cannot narrow"):
         table.alter_column_type("id", "int")
+
+
+def test_rewrite_sorted_improves_file_skipping(spark, scratch):
+    t = LakeTable(spark, os.path.join(scratch, "sorted_rw"))
+    scrambled = (
+        spark.range(10_000)
+        .withColumn("k", F.abs(F.xxhash64("id")) % 10_000)
+        .repartition(8)
+    )
+    t.create(scrambled)
+    pred = [("k", "<", 100)]
+    before = t.files_scanned(pred)
+    t.rewrite_sorted(["k"], target_file_size_bytes=20_000)
+    after = t.files_scanned(pred)
+    # every pre-rewrite file spans ~the full k range; post-rewrite the
+    # range-partitioned sort makes file [min,max] disjoint
+    assert before >= 4, before
+    assert after <= 2, after
+    assert t.read().count() == 10_000
+    assert t.manifest().properties["sort.order"] == "k"
+    assert [m.operation for m in t.snapshots()][-1] == "rewrite-sorted"
+
+
+def test_tags_pin_snapshots_through_expiry(spark, scratch):
+    from data_iceberg_sandbox_spark.tables.laketable import NoSuchTable
+
+    t = LakeTable(spark, os.path.join(scratch, "tags"))
+    t.create(spark.range(5).withColumn("v", F.col("id")))
+    t.overwrite(spark.range(5).withColumn("v", F.col("id") + 1))
+    t.overwrite(spark.range(5).withColumn("v", F.col("id") + 2))
+    t.tag("baseline", 1)
+    removed = t.expire_snapshots(retain_last=1)
+    assert 1 not in removed and 2 in removed  # tagged v1 kept, v2 expired
+    assert {r["v"] for r in t.read_tag("baseline").collect()} == {0, 1, 2, 3, 4}
+    t.drop_tag("baseline")
+    with pytest.raises(NoSuchTable):
+        t.read_tag("baseline")
