@@ -52,6 +52,40 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 SCRATCH = os.path.join(_REPO_ROOT, ".scratch", "streaming")
 
 
+import functools
+from contextlib import contextmanager
+
+
+def with_bounded_shuffle(fn):
+    """Decorator form of bounded_shuffle for the stream runners (all
+    take `spark` first)."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        with bounded_shuffle(spark):
+            return fn(spark, *args, **kwargs)
+
+    return wrapper
+
+
+@contextmanager
+def bounded_shuffle(spark: SparkSession, n: int = 8):
+    """Pin shuffle/state partitioning for a streaming run, then restore.
+
+    A state-store stage materializes `shuffle.partitions` state files
+    PER micro-batch; at test/driver scale a default-200 session turns a
+    2 s pipeline into minutes of file churn. Production jobs set this
+    per workload — these runners do the same, scoped, so they behave
+    under any caller's session."""
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def stage_event_files(
     spark: SparkSession, sf_dir: str, name: str, n_files: int = 8
 ) -> str:
@@ -93,6 +127,7 @@ def windowed_alerts(stream: DataFrame, threshold: float, watermark: str | None =
     )
 
 
+@with_bounded_shuffle
 def run_fraud_alerts_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -166,6 +201,7 @@ def run_fraud_alerts_stream(
     return result
 
 
+@with_bounded_shuffle
 def run_append_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeTable:
     """S14 stream→table continuous insert / S12 append-only sink: the raw
     stream appended to a lakehouse table via foreachBatch.
@@ -205,6 +241,7 @@ def run_append_stream(spark: SparkSession, sf_dir: str, table_root: str) -> Lake
     return result
 
 
+@with_bounded_shuffle
 def run_dedup_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeTable:
     """Streaming deduplication: the backlog is staged TWICE (every event
     duplicated across different micro-batches), and
@@ -252,6 +289,7 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeT
     return result
 
 
+@with_bounded_shuffle
 def run_session_window_stream(
     spark: SparkSession, sf_dir: str, table_root: str, gap: str = "1 hour"
 ) -> LakeTable:
@@ -303,6 +341,7 @@ def run_session_window_stream(
     return result
 
 
+@with_bounded_shuffle
 def run_sliding_window_stream(
     spark: SparkSession, sf_dir: str, table_root: str
 ) -> LakeTable:
@@ -352,6 +391,7 @@ def run_sliding_window_stream(
     return result
 
 
+@with_bounded_shuffle
 def run_stream_stream_join(
     spark: SparkSession, sf_dir: str, table_root: str, minutes: int = 5
 ) -> LakeTable:

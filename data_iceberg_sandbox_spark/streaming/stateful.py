@@ -66,6 +66,10 @@ def _update_profile(
     )
 
 
+from .fraud_stream import with_bounded_shuffle
+
+
+@with_bounded_shuffle
 def run_user_profile_stream(
     spark: SparkSession, sf_dir: str, table_root: str
 ) -> LakeTable:
