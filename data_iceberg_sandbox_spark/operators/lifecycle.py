@@ -360,6 +360,52 @@ def d_pruned_scan(spark, sf_dir):
 D_PRUNED_ORACLE = "SELECT * FROM orders WHERE o_orderkey < 1000"
 
 
+
+
+def d_tag_read(spark, sf_dir):
+    """Snapshot tags (Iceberg refs analog): tag v1, overwrite twice,
+    expire everything untagged except the head — the tagged snapshot
+    must still read back its exact original content."""
+    c = load_table(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "d_tag", sf_dir)
+    t.create(c)
+    t.tag("audited", 1)
+    t.overwrite(c.filter(F.col("c_custkey") % 2 == 0))
+    t.overwrite(c.filter(F.col("c_custkey") % 3 == 0))
+    t.expire_snapshots(retain_last=1)
+    return t.read_tag("audited")
+
+
+D_TAG_ORACLE = "SELECT * FROM customer"
+
+
+def d_sorted_rewrite_skipping(spark, sf_dir):
+    """Sort-based clustering rewrite: after rewrite_sorted(l_orderkey),
+    per-file [min,max] ranges are disjoint, so the pruned scan touches a
+    strict subset of files while returning exactly the filtered rows.
+    The scan-count assertion is enforced here (fail-loud), the row
+    content is the driver-checked oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, "d_sorted", sf_dir)
+    # scatter l_orderkey across 6 files, then cluster
+    t.create(li.repartition(6))
+    pred = [("l_orderkey", "<=", 64)]
+    before = t.files_scanned(pred)
+    t.rewrite_sorted(["l_orderkey"], target_file_size_bytes=max(1, _table_bytes(t) // 6))
+    after = t.files_scanned(pred)
+    if not (after < before or before == 1):
+        raise AssertionError(f"sorted rewrite must shrink pruned scan: {before} -> {after}")
+    return t.read(prune=pred).filter(F.col("l_orderkey") <= 64)
+
+
+def _table_bytes(t: LakeTable) -> int:
+    cur = t.manifest()
+    return sum(os.path.getsize(os.path.join(t.root, f)) for f in cur.files)
+
+
+D_SORTED_ORACLE = "SELECT * FROM lineitem WHERE l_orderkey <= 64"
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE),
@@ -369,6 +415,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("s3_append", s3_append, S3_ORACLE),
     QuerySpec("s4_merge_upsert", s4_merge_upsert, S4_ORACLE),
     QuerySpec("s5_keyed_upsert", s5_keyed_upsert, S5_ORACLE),
+    QuerySpec("d_tag_read", d_tag_read, D_TAG_ORACLE),
+    QuerySpec("d_sorted_rewrite_skipping", d_sorted_rewrite_skipping, D_SORTED_ORACLE),
     QuerySpec("d5_schema_evolution", d5_schema_evolution, D5_ORACLE),
     QuerySpec("d6_time_travel", d6_time_travel, D6_ORACLE),
     QuerySpec("d7_compact", d7_compact, D7_ORACLE),
