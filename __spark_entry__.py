@@ -50,17 +50,19 @@ def _all_specs():
     return specs
 
 
-def _driver_green_names() -> set[str]:
-    """Query names already all-green in a past round's CORRECTNESS file.
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(all-green names, any-row names) across past CORRECTNESS files.
 
     The driver checks a bounded number of queries per round; enumerating
-    not-yet-proven queries first maximizes coverage across rounds.
+    never-checked queries first, then checked-but-not-green, then green
+    maximizes proven coverage across rounds.
     """
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
+    seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -68,6 +70,7 @@ def _driver_green_names() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            seen.add(name)
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
@@ -75,14 +78,37 @@ def _driver_green_names() -> set[str]:
                 and row.get("hash_match") is not False
             ):
                 green.add(name)
-    return green
+    return green, seen
+
+
+# Queries added AFTER the round-1 surface was declared: they still come
+# before already-proven queries, but after the round-1 backlog — so a
+# driver that caps per-round checks proves the longest-outstanding
+# queries first. Remove names once they appear in a CORRECTNESS file.
+_ADDED_LATER = {
+    "avro_roundtrip_transactions",
+    "stream_session_window_mv",
+    "d_tag_read",
+    "d_sorted_rewrite_skipping",
+}
 
 
 def _unchecked_first(d: dict) -> dict:
-    green = _driver_green_names()
-    return dict(
-        sorted(d.items(), key=lambda kv: (kv[0] in green, list(d).index(kv[0])))
-    )
+    green, seen = _driver_history()
+    order = list(d)
+
+    def rank(name: str) -> tuple:
+        if name in green:
+            tier = 3
+        elif name in seen:
+            tier = 1  # had a row but not green: re-prove early-ish
+        elif name in _ADDED_LATER:
+            tier = 2  # brand-new: after the long-outstanding backlog
+        else:
+            tier = 0  # never checked, declared longest ago
+        return (tier, order.index(name))
+
+    return dict(sorted(d.items(), key=lambda kv: rank(kv[0])))
 
 
 def entry(spark: SparkSession) -> DataFrame:
