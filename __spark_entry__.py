@@ -90,6 +90,9 @@ _ADDED_LATER = {
     "stream_session_window_mv",
     "d_tag_read",
     "d_sorted_rewrite_skipping",
+    "corpus_train_val_split",
+    "corpus_sample_mix",
+    "corpus_pack_sequences",
 }
 
 

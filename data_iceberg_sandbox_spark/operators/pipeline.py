@@ -177,6 +177,105 @@ def _cc_large_small_star(
     ).select("doc_id", F.coalesce("label", "doc_id").alias("label"))
 
 
+_SPLIT_HASH = (
+    "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT), 100)"
+)
+_SPLIT_HASH_DUCK = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 100"
+)
+
+
+def corpus_train_val_split(spark, sf_dir):
+    """Deterministic hash split (90/5/5 train/val/test): the assignment
+    is a pure function of doc_id via an md5-derived bucket, so it is
+    stable across runs, engines, and re-partitioning — the property a
+    training pipeline needs so no document ever migrates between splits.
+    Zero shuffle; engine-portable (same md5 bucket in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "source",
+        f"""CASE WHEN {_SPLIT_HASH} < 90 THEN 'train'
+                 WHEN {_SPLIT_HASH} < 95 THEN 'val'
+                 ELSE 'test' END AS split""",
+    )
+
+
+SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN {_SPLIT_HASH_DUCK} < 90 THEN 'train'
+            WHEN {_SPLIT_HASH_DUCK} < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def corpus_sample_mix(spark, sf_dir):
+    """Data-mixing sampler: per-source target rates (the corpus
+    composition knob of a pretraining data plan — here 100% for
+    src0-src9, 30% for the rest) applied via the same deterministic
+    md5 bucket, so the sample is reproducible and disjointness /
+    supersets across rate changes are guaranteed (a doc sampled at 30%
+    is still sampled at 50%). Zero shuffle, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        "CASE WHEN CAST(substring(source, 4) AS INT) < 10"
+        " THEN 100 ELSE 30 END"
+    )
+    return docs.selectExpr("doc_id", "source", f"{_SPLIT_HASH} AS bucket").where(
+        f"bucket < {rate}"
+    ).selectExpr("doc_id", "source")
+
+
+SAMPLE_MIX_ORACLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {_SPLIT_HASH_DUCK} <
+      CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 100 ELSE 30 END
+"""
+
+
+def corpus_pack_sequences(spark, sf_dir, budget: int = 512):
+    """Sequence packing (concat-and-chunk): assign each doc to a
+    token-budget bin, bin = floor(exclusive-cumulative-tokens / budget),
+    packed independently PER SOURCE in deterministic doc_id order.
+
+    Per-source packing is the scale shape: the running sum is a window
+    keyed (source), so packing parallelizes across sources instead of a
+    single global sort — at 100 TB you'd key on (source, shard). Integer
+    cumsum → exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = pattern_count(F.lower(F.col("text")), _WORD)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    per_doc = docs.select(
+        "doc_id", "source", n_tok.cast("bigint").alias("n_tok")
+    )
+    return per_doc.withColumn(
+        "bin_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / budget).cast("bigint"),
+    )
+
+
+PACK_ORACLE = rf"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{_WORD}')) AS n_tok
+  FROM documents)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok)
+                  / 512.0) AS BIGINT) AS bin_id
+FROM per_doc
+"""
+
+
 def duplicate_clusters(
     spark: SparkSession,
     sf_dir: str,
@@ -378,4 +477,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("corpus_token_stats", corpus_token_stats, CORPUS_STATS_ORACLE),
     QuerySpec("quality_filter", quality_filter, QUALITY_FILTER_ORACLE),
     QuerySpec("duplicate_clusters", duplicate_clusters, None),  # iterative CC
+    QuerySpec("corpus_train_val_split", corpus_train_val_split, SPLIT_ORACLE),
+    QuerySpec("corpus_sample_mix", corpus_sample_mix, SAMPLE_MIX_ORACLE),
+    QuerySpec("corpus_pack_sequences", corpus_pack_sequences, PACK_ORACLE),
 ]
