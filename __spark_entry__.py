@@ -93,6 +93,7 @@ _ADDED_LATER = {
     "corpus_train_val_split",
     "corpus_sample_mix",
     "corpus_pack_sequences",
+    "corpus_decontaminate",
 }
 
 

@@ -276,6 +276,57 @@ FROM per_doc
 """
 
 
+def corpus_decontaminate(spark, sf_dir, n: int = 8, n_eval_docs: int = 5):
+    """Benchmark decontamination: flag every training doc that shares
+    ANY word n-gram (n=8, the common contamination test) with the eval
+    set (here: doc_id < n_eval_docs stands in for the benchmark).
+
+    Inverted-index shape: eval n-grams are a distinct (tiny) set;
+    training shingles left-semi join against it — never doc×doc, and
+    the eval side broadcasts at any corpus size. Output: one row per
+    training doc with a `contaminated` verdict."""
+    from .dedup import _shingles_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_of(docs, n=n)
+    eval_sh = (
+        sh.filter(F.col("doc_id") < n_eval_docs).select("shingle").distinct()
+    )
+    flagged = (
+        sh.filter(F.col("doc_id") >= n_eval_docs)
+        .join(eval_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= n_eval_docs)
+        .select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("hit", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+7], ' ') AS shingle
+       FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-7, 1)))
+                     AS i) i),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ev AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 5),
+flagged AS (SELECT DISTINCT doc_id FROM ds
+            WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM ev))
+SELECT d.doc_id, d.source, f.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+WHERE d.doc_id >= 5
+"""
+
+
 def duplicate_clusters(
     spark: SparkSession,
     sf_dir: str,
@@ -480,4 +531,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("corpus_train_val_split", corpus_train_val_split, SPLIT_ORACLE),
     QuerySpec("corpus_sample_mix", corpus_sample_mix, SAMPLE_MIX_ORACLE),
     QuerySpec("corpus_pack_sequences", corpus_pack_sequences, PACK_ORACLE),
+    QuerySpec("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
 ]
