@@ -47,6 +47,20 @@ _PERMS: list[tuple[int, int]] = [
 _BANDS = 32  # r = 64 / 32 = 2 rows per band
 
 
+def _shingle_arr_sql(n: int, words_col: str = "w") -> str:
+    """THE shingle definition, as one SQL expression over a word-array
+    column — the single source of truth shared by `_shingles_of` (via
+    F.expr) and `minhash_signatures` (inline selectExpr): word n-grams
+    joined with ' '; docs shorter than n words contribute their whole
+    text as one shingle (matches functions.text.word_shingles)."""
+    return (
+        f"CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(0, size({words_col}) - {n}), "
+        f"i -> array_join(slice({words_col}, i + 1, {n}), ' ')) "
+        f"ELSE array(array_join({words_col}, ' ')) END"
+    )
+
+
 def _shingles_of(docs: DataFrame, n: int = 5, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) pairs for a docs frame.
 
@@ -55,24 +69,11 @@ def _shingles_of(docs: DataFrame, n: int = 5, distinct: bool = True) -> DataFram
     earlier posexplode + window-``lead`` form forced a doc_id sort/window
     pass that measured ~7× slower at bench scale — per-row HOF evaluation
     is far cheaper than the window machinery here, and shingling stays
-    embarrassingly parallel at 100 TB (no wide stage at all). Semantics
-    identical to functions.text.word_shingles: docs shorter than n words
-    contribute their whole text as one shingle."""
-    w = words(F.col("text"))
-    warr = docs.select("doc_id", w.alias("w"))
-    long_sh = warr.filter(F.size("w") >= n).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - n),
-                lambda i: F.array_join(F.slice(F.col("w"), i + 1, n), " "),
-            )
-        ).alias("shingle"),
+    embarrassingly parallel at 100 TB (no wide stage at all)."""
+    warr = docs.select("doc_id", words(F.col("text")).alias("w"))
+    out = warr.select(
+        "doc_id", F.explode(F.expr(_shingle_arr_sql(n))).alias("shingle")
     )
-    short_sh = warr.filter(F.size("w") < n).select(
-        "doc_id", F.array_join("w", " ").alias("shingle")
-    )
-    out = long_sh.unionByName(short_sh)
     return out.distinct() if distinct else out
 
 
@@ -197,15 +198,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFram
     # expressions from Python Column objects costs ~1.7 s of py4j round
     # trips PER CALL; one selectExpr parse is server-side and ~free.
     docs = load_table(spark, sf_dir, "documents")
-    shingle_arr = (
-        f"CASE WHEN size(w) >= {n} THEN "
-        f"transform(sequence(0, size(w) - {n}), "
-        f"i -> array_join(slice(w, i + 1, {n}), ' ')) "
-        "ELSE array(array_join(w, ' ')) END"
-    )
     harr = docs.select("doc_id", words(F.col("text")).alias("w")).selectExpr(
         "doc_id",
-        f"transform({shingle_arr}, s -> crc32(s) & {0x7FFFFFFF}L) AS h",
+        f"transform({_shingle_arr_sql(n)}, "
+        f"s -> crc32(s) & {0x7FFFFFFF}L) AS h",
     )
     sig_exprs = [
         f"array_min(transform(h, x -> pmod({a}L * x + {b}L, {_P}L))) AS mh{i}"

@@ -139,6 +139,7 @@ def _cc_large_small_star(
         return row["n"], row["h"]
 
     sig = None
+    converged = False
     for _ in range(max_rounds):
         # large-star over symmetric neighborhoods
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -167,9 +168,16 @@ def _cc_large_small_star(
         )
         new_sig = edge_sig(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
 
+    if not converged:
+        # an unconverged edge set is not a star forest: the label join
+        # below would fan out with conflicting labels — fail loud
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} rounds"
+        )
     return nodes.join(
         e.select(F.col("u").alias("doc_id"), F.col("v").alias("label")),
         "doc_id",

@@ -358,6 +358,10 @@ def ivf_assign(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
+    # cache: cents feeds both the assignment and the caller's probe
+    # ranking. Repeat calls build plan-identical frames, so Spark's
+    # CacheManager dedupes to ONE storage entry per distinct
+    # (sf_dir, refine_iters) — bounded, not a per-call leak.
     cents = ivf_centroids(spark, sf_dir, centroid_mod, refine_iters).cache()
     return _assign_cells(emb, cents), cents
 

@@ -63,16 +63,17 @@ _LT_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFr
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin UTC + nanosAsLong on EVERY call (cache hits included): session
+    # conf is read at action time, so a caller flipping the timezone
+    # after the first load would otherwise shift every event-time window
+    # — the pin is the invariant, the memo only skips plan re-building.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     per_session = _LT_CACHE.setdefault(spark, {})
     key = (os.path.abspath(sf_dir), name)
     hit = per_session.get(key)
     if hit is not None:
         return hit
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Pin UTC regardless of the caller's session: event-time windows and
-    # timestamp output must align with the (UTC-naive) parquet values —
-    # verified against a deliberately non-UTC driver session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _TS_COLS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):

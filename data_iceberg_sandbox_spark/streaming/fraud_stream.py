@@ -77,13 +77,18 @@ def bounded_shuffle(spark: SparkSession, n: int = 8):
     2 s pipeline into minutes of file churn. Production jobs set this
     per workload — these runners do the same, scoped, so they behave
     under any caller's session."""
-    old = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key, None)  # None = never explicitly set
+    spark.conf.set(key, str(n))
     try:
         yield
     finally:
         if old is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            spark.conf.set(key, old)
+        else:
+            # restore "unset" — leaving 8 pinned would silently cap the
+            # caller's batch parallelism for the session's lifetime
+            spark.conf.unset(key)
 
 
 def stage_event_files(
@@ -182,7 +187,15 @@ def run_fraud_alerts_stream(
         if not result.exists():
             result.create(out)
         else:
-            result.merge(out, on=["user_id", "window_start"], assume_unique_source=True)
+            # the plain aggregate is unique-keyed by construction; the
+            # enriched form joins CALLER-SUPPLIED dims (customer_df /
+            # nation_df) whose key uniqueness we cannot assume — keep
+            # the cardinality check there
+            result.merge(
+                out,
+                on=["user_id", "window_start"],
+                assume_unique_source=not enrich,
+            )
 
     alerts = windowed_alerts(events_stream(spark, staged, files_per_trigger), threshold)
     ckpt = table_root + "_ckpt"
