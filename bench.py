@@ -63,8 +63,12 @@ def main() -> None:
         # scheduling overhead ~0 at this volume. AQE is off for the timed
         # batch section: at 17 MB its per-stage re-optimization rounds cost
         # more than they save (measured ~10-15%; it cannot change these
-        # already-broadcast plans). On a real cluster all of these revert
-        # to defaults sized by executor count / data volume, AQE on.
+        # already-broadcast plans). Note (ADVICE r2): with AQE off, q17 —
+        # whose docstring defers its per-partkey aggregate join sizing to
+        # AQE — would run the conservative shuffle-join shape; q17 is not
+        # in HEADLINE, so no timed number here depends on AQE sizing.
+        # On a real cluster all of these revert to defaults sized by
+        # executor count / data volume, AQE on.
         shuffle_partitions=4,
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "4m",

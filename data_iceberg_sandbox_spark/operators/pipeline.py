@@ -185,14 +185,33 @@ def _cc_large_small_star(
     ).select("doc_id", F.coalesce("label", "doc_id").alias("label"))
 
 
-_SPLIT_HASH = (
-    "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
-    " AS BIGINT), 100)"
-)
-_SPLIT_HASH_DUCK = (
-    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
-    " % 100"
-)
+def _purpose_hash(purpose: str) -> tuple[str, str]:
+    """(Spark SQL, DuckDB SQL) md5 bucket in [0, 100), salted by purpose.
+
+    Each pipeline decision (split assignment, mix sampling, ...) gets an
+    INDEPENDENT hash: without the salt, a source sampled at 30% keeps
+    only buckets 0-29 — all 'train' under a 90/5/5 split on the same
+    bucket — so composing mix→split would yield zero val/test docs.
+    The salt makes the two bucketings independent while staying a pure,
+    engine-portable function of doc_id."""
+    if purpose:
+        spark_key = f"concat('{purpose}:', CAST(doc_id AS STRING))"
+        duck_key = f"'{purpose}:' || CAST(doc_id AS VARCHAR)"
+    else:
+        spark_key = "CAST(doc_id AS STRING)"
+        duck_key = "CAST(doc_id AS VARCHAR)"
+    spark = (
+        f"pmod(CAST(conv(substring(md5({spark_key}), 1, 15), 16, 10)"
+        " AS BIGINT), 100)"
+    )
+    duck = f"CAST('0x' || substring(md5({duck_key}), 1, 15) AS BIGINT) % 100"
+    return spark, duck
+
+
+# Split keeps the unsalted bucket (stable vs round-2 outputs); sampling
+# salts with 'mix:' so the two decisions are independent (ADVICE r2).
+_SPLIT_HASH, _SPLIT_HASH_DUCK = _purpose_hash("")
+_MIX_HASH, _MIX_HASH_DUCK = _purpose_hash("mix")
 
 
 def corpus_train_val_split(spark, sf_dir):
@@ -226,25 +245,31 @@ def corpus_sample_mix(spark, sf_dir):
     src0-src9, 30% for the rest) applied via the same deterministic
     md5 bucket, so the sample is reproducible and disjointness /
     supersets across rate changes are guaranteed (a doc sampled at 30%
-    is still sampled at 50%). Zero shuffle, embarrassingly parallel."""
+    is still sampled at 50%). The bucket is salted ('mix:') so sampling
+    is independent of the train/val/test split bucket — composing
+    mix→split keeps the 90/5/5 proportions within every sampled source.
+    Zero shuffle, embarrassingly parallel."""
     docs = load_table(spark, sf_dir, "documents")
     rate = (
         "CASE WHEN CAST(substring(source, 4) AS INT) < 10"
         " THEN 100 ELSE 30 END"
     )
-    return docs.selectExpr("doc_id", "source", f"{_SPLIT_HASH} AS bucket").where(
+    return docs.selectExpr("doc_id", "source", f"{_MIX_HASH} AS bucket").where(
         f"bucket < {rate}"
     ).selectExpr("doc_id", "source")
 
 
 SAMPLE_MIX_ORACLE = f"""
 SELECT doc_id, source FROM documents
-WHERE {_SPLIT_HASH_DUCK} <
+WHERE {_MIX_HASH_DUCK} <
       CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 100 ELSE 30 END
 """
 
 
-def corpus_pack_sequences(spark, sf_dir, budget: int = 512):
+PACK_BUDGET = 512
+
+
+def corpus_pack_sequences(spark, sf_dir, budget: int = PACK_BUDGET):
     """Sequence packing (concat-and-chunk): assign each doc to a
     token-budget bin, bin = floor(exclusive-cumulative-tokens / budget),
     packed independently PER SOURCE in deterministic doc_id order.
@@ -271,7 +296,10 @@ def corpus_pack_sequences(spark, sf_dir, budget: int = 512):
     )
 
 
-PACK_ORACLE = rf"""
+def pack_oracle_sql(budget: int = PACK_BUDGET) -> str:
+    """Oracle generated from the same ``budget`` as the Spark query, so a
+    non-default call never silently diverges from its oracle (ADVICE r2)."""
+    return rf"""
 WITH per_doc AS (
   SELECT doc_id, source,
          len(regexp_extract_all(lower(text), '{_WORD}')) AS n_tok
@@ -279,12 +307,21 @@ WITH per_doc AS (
 SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
        CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                                     ROWS UNBOUNDED PRECEDING) - n_tok)
-                  / 512.0) AS BIGINT) AS bin_id
+                  / {budget}.0) AS BIGINT) AS bin_id
 FROM per_doc
 """
 
 
-def corpus_decontaminate(spark, sf_dir, n: int = 8, n_eval_docs: int = 5):
+PACK_ORACLE = pack_oracle_sql()
+
+
+DECON_N = 8
+DECON_EVAL_DOCS = 5
+
+
+def corpus_decontaminate(
+    spark, sf_dir, n: int = DECON_N, n_eval_docs: int = DECON_EVAL_DOCS
+):
     """Benchmark decontamination: flag every training doc that shares
     ANY word n-gram (n=8, the common contamination test) with the eval
     set (here: doc_id < n_eval_docs stands in for the benchmark).
@@ -319,20 +356,29 @@ def corpus_decontaminate(spark, sf_dir, n: int = 8, n_eval_docs: int = 5):
     )
 
 
-DECONTAMINATE_ORACLE = """
+def decontaminate_oracle_sql(
+    n: int = DECON_N, n_eval_docs: int = DECON_EVAL_DOCS
+) -> str:
+    """Oracle generated from the same (n, n_eval_docs) as the Spark query
+    — non-default calls stay paired with a matching oracle (ADVICE r2)."""
+    return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+7], ' ') AS shingle
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+{n - 1}], ' ') AS shingle
        FROM toks,
-            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-7, 1)))
-                     AS i) i),
+            LATERAL (SELECT unnest(generate_series(1,
+                       greatest(len(w)-{n - 1}, 1))) AS i) i),
 ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
-ev AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < 5),
+ev AS (SELECT DISTINCT shingle FROM ds WHERE doc_id < {n_eval_docs}),
 flagged AS (SELECT DISTINCT doc_id FROM ds
-            WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM ev))
+            WHERE doc_id >= {n_eval_docs}
+              AND shingle IN (SELECT shingle FROM ev))
 SELECT d.doc_id, d.source, f.doc_id IS NOT NULL AS contaminated
 FROM documents d LEFT JOIN flagged f USING (doc_id)
-WHERE d.doc_id >= 5
+WHERE d.doc_id >= {n_eval_docs}
 """
+
+
+DECONTAMINATE_ORACLE = decontaminate_oracle_sql()
 
 
 def duplicate_clusters(

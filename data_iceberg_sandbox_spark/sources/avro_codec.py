@@ -42,10 +42,20 @@ TRANSACTION_SCHEMA_JSON = """{
 }"""
 
 
+class SchemaIncompatibleError(ValueError):
+    """Re-registering a subject with a different schema string."""
+
+
 class SchemaRegistry:
     """Minimal in-process stand-in for the reference's schema registry:
     subject → (id, schema). Only the two operations the wire format
-    needs: register (idempotent) and lookup-by-id."""
+    needs: register (idempotent) and lookup-by-id.
+
+    No compatibility *checker* is emulated, so any changed schema string
+    for an existing subject raises ``SchemaIncompatibleError`` rather
+    than silently rebinding the subject (a real registry would run the
+    configured compatibility mode; silently rebinding matches none of
+    them — ADVICE r2)."""
 
     def __init__(self) -> None:
         self._by_subject: dict[str, tuple[int, str]] = {}
@@ -54,8 +64,14 @@ class SchemaRegistry:
 
     def register(self, subject: str, schema_str: str) -> int:
         hit = self._by_subject.get(subject)
-        if hit and hit[1] == schema_str:
-            return hit[0]
+        if hit:
+            if hit[1] == schema_str:
+                return hit[0]
+            raise SchemaIncompatibleError(
+                f"subject {subject!r} already bound to schema id {hit[0]}; "
+                "this emulation has no compatibility checker, so changed "
+                "schemas are rejected rather than silently rebound"
+            )
         sid = self._next
         self._next += 1
         self._by_subject[subject] = (sid, schema_str)

@@ -46,11 +46,17 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# How long a tag writer waits for the tags lock before declaring a
+# conflict (module-level so tests can shrink it).
+TAGS_LOCK_TIMEOUT_SEC = 10.0
 
 
 class CommitConflict(RuntimeError):
@@ -543,26 +549,51 @@ class LakeTable:
         except (OSError, ValueError):
             return {}
 
+    @contextmanager
+    def _tags_lock(self):
+        """O_EXCL lock file serializing tag read-modify-write AND the
+        expire_snapshots critical section (same CAS discipline as
+        `_commit`): two concurrent tag writers can no longer silently
+        lose an update, and a tag() racing expire_snapshots() can no
+        longer pin a just-deleted manifest."""
+        lock = self._tags_path + ".lock"
+        deadline = time.time() + TAGS_LOCK_TIMEOUT_SEC
+        while True:
+            try:
+                fd = os.open(lock, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise CommitConflict(f"tag lock held: {lock}") from None
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.remove(lock)
+
+    def _write_tags(self, t: dict[str, int]) -> None:
+        tmp = self._tags_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(t, f, sort_keys=True)
+        os.replace(tmp, self._tags_path)
+
     def tag(self, name: str, version: int | None = None) -> "LakeTable":
         """Pin a named, immutable ref to a snapshot (Iceberg tag analog).
         Tagged snapshots survive expire_snapshots."""
         v = self.current_version() if version is None else version
-        self.manifest(v)  # raises NoSuchTable if absent
-        t = self.tags()
-        t[name] = v
-        tmp = self._tags_path + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(t, f, sort_keys=True)
-        os.replace(tmp, self._tags_path)
+        with self._tags_lock():
+            self.manifest(v)  # raises NoSuchTable if absent (or expired)
+            t = self.tags()
+            t[name] = v
+            self._write_tags(t)
         return self
 
     def drop_tag(self, name: str) -> "LakeTable":
-        t = self.tags()
-        t.pop(name, None)
-        tmp = self._tags_path + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(t, f, sort_keys=True)
-        os.replace(tmp, self._tags_path)
+        with self._tags_lock():
+            t = self.tags()
+            t.pop(name, None)
+            self._write_tags(t)
         return self
 
     def read_tag(self, name: str) -> DataFrame:
@@ -580,21 +611,25 @@ class LakeTable:
         mans = self.snapshots()
         if len(mans) <= retain_last:
             return []
-        tagged = set(self.tags().values())
-        keep = mans[-retain_last:] + [
-            m for m in mans[:-retain_last] if m.version in tagged
-        ]
-        drop = [m for m in mans[:-retain_last] if m.version not in tagged]
-        live = {f for m in keep for f in m.files}
         removed = []
-        for m in drop:
-            for f in m.files:
-                if f not in live:
-                    p = os.path.join(self.root, f)
-                    if os.path.exists(p):
-                        os.remove(p)
-            os.remove(self._manifest_path(m.version))
-            removed.append(m.version)
+        # tags lock: the tagged-set read and the deletes form one
+        # critical section, so a concurrent tag() cannot pin a manifest
+        # this call is about to delete (ADVICE r2).
+        with self._tags_lock():
+            tagged = set(self.tags().values())
+            keep = mans[-retain_last:] + [
+                m for m in mans[:-retain_last] if m.version in tagged
+            ]
+            drop = [m for m in mans[:-retain_last] if m.version not in tagged]
+            live = {f for m in keep for f in m.files}
+            for m in drop:
+                for f in m.files:
+                    if f not in live:
+                        p = os.path.join(self.root, f)
+                        if os.path.exists(p):
+                            os.remove(p)
+                os.remove(self._manifest_path(m.version))
+                removed.append(m.version)
         # prune empty commit dirs
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):

@@ -80,3 +80,22 @@ def test_avro_registry_is_idempotent():
     assert reg.register("s", "{}") == a
     b = reg.register("t", "{1}")
     assert b != a and reg.get_by_id(b) == "{1}"
+
+
+def test_avro_registry_rejects_changed_schema():
+    """Re-registering a subject with a DIFFERENT schema raises instead of
+    silently rebinding (no compatibility checker is emulated; ADVICE r2)."""
+    from data_iceberg_sandbox_spark.sources.avro_codec import (
+        SchemaIncompatibleError,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    a = reg.register("s", '{"type": "record1"}')
+    import pytest
+
+    with pytest.raises(SchemaIncompatibleError):
+        reg.register("s", '{"type": "record2"}')
+    # original binding untouched and still resolvable
+    assert reg.register("s", '{"type": "record1"}') == a
+    assert reg.get_by_id(a) == '{"type": "record1"}'

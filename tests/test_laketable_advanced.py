@@ -115,3 +115,37 @@ def test_tags_pin_snapshots_through_expiry(spark, scratch):
     t.drop_tag("baseline")
     with pytest.raises(NoSuchTable):
         t.read_tag("baseline")
+
+
+def test_tag_lock_serializes_writers(spark, scratch, monkeypatch):
+    """Two concurrent tag writers must both land (no lost update), and a
+    held lock must surface as CommitConflict, not a silent overwrite."""
+    import threading
+
+    from data_iceberg_sandbox_spark.tables import laketable as lt_mod
+
+    t = LakeTable(spark, os.path.join(scratch, "tag_lock"))
+    t.create(spark.range(3).withColumn("v", F.col("id")))
+    t.overwrite(spark.range(3).withColumn("v", F.col("id") + 1))
+
+    threads = [
+        threading.Thread(target=t.tag, args=(f"tag{i}", 1)) for i in range(8)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert {f"tag{i}" for i in range(8)} <= set(t.tags())
+
+    # a held lock times out as CommitConflict (shrunk deadline)
+    monkeypatch.setattr(lt_mod, "TAGS_LOCK_TIMEOUT_SEC", 0.1)
+    lock = t._tags_path + ".lock"
+    fd = os.open(lock, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    try:
+        with pytest.raises(CommitConflict):
+            t.tag("blocked", 1)
+    finally:
+        os.close(fd)
+        os.remove(lock)
+    t.tag("after", 1)  # lock released -> works again
+    assert t.tags()["after"] == 1

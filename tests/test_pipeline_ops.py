@@ -76,3 +76,27 @@ def test_large_small_star_chain_converges_in_log_rounds(spark):
     labels = _cc_large_small_star(chain, max_rounds=12)
     got = {r["doc_id"]: r["label"] for r in labels.collect()}
     assert got == {i: 0 for i in range(64)}
+
+
+def test_mix_then_split_keeps_val_and_test(spark):
+    """Sampling (mix) and split assignment are independent hash buckets:
+    a source down-sampled to 30% must still contain val and test docs
+    after composing mix -> split (the ADVICE r2 correlation defect)."""
+    from pyspark.sql import functions as F
+
+    from data_iceberg_sandbox_spark.operators.pipeline import (
+        corpus_sample_mix,
+        corpus_train_val_split,
+    )
+
+    mixed = corpus_sample_mix(spark, SF_ORACLE).select("doc_id")
+    split = corpus_train_val_split(spark, SF_ORACLE)
+    splits_of_sampled = {
+        r["split"]
+        for r in mixed.join(split, "doc_id")
+        .filter(F.expr("CAST(substring(source, 4) AS INT) >= 10"))
+        .select("split")
+        .distinct()
+        .collect()
+    }
+    assert splits_of_sampled == {"train", "val", "test"}
