@@ -96,6 +96,13 @@ _ADDED_LATER = {
     "corpus_decontaminate",
 }
 
+# Queries first declared in round 3: they enumerate AFTER the round-2
+# outstanding backlog above (VERDICT r2: "don't add new queries ahead
+# of them") but before already-proven ones. Remove names once green.
+_ADDED_R3 = {
+    "d_sql_ddl_surface",
+}
+
 
 def _unchecked_first(d: dict) -> dict:
     green, seen = _driver_history()
@@ -103,9 +110,11 @@ def _unchecked_first(d: dict) -> dict:
 
     def rank(name: str) -> tuple:
         if name in green:
-            tier = 3
+            tier = 4
         elif name in seen:
             tier = 1  # had a row but not green: re-prove early-ish
+        elif name in _ADDED_R3:
+            tier = 3  # newest additions: last of the unproven tiers
         elif name in _ADDED_LATER:
             tier = 2  # brand-new: after the long-outstanding backlog
         else:

@@ -406,6 +406,93 @@ def _table_bytes(t: LakeTable) -> int:
 D_SORTED_ORACLE = "SELECT * FROM lineitem WHERE l_orderkey <= 64"
 
 
+def d_sql_ddl_surface(spark, sf_dir):
+    """D1-D4 + D9 as ONE driver-checkable query (VERDICT r2 item 6):
+    typed SQL ``CREATE TABLE`` + ``INSERT`` (D1), ``tableExists`` (D2),
+    namespace create/list (D3), ``SHOW CATALOGS/DATABASES/TABLES`` (D4),
+    and a D9 secure-view scan (row filter + column mask + projection)
+    of the created table. Every catalog-introspection answer is emitted
+    AS A COLUMN, so a wrong catalog response breaks the driver's value
+    hash rather than passing silently.
+
+    Reference surface: create_table.py:92-104 (DDL), notebook
+    SHOW/exists cells, OPA allow_table.rego:73-109 (authz → D9 secure
+    view per tables/authz.py)."""
+    from ..tables.authz import AccessController, TablePolicy, mask_string
+
+    ns = "ddl_surface_ns"
+    # Fixed location: IF NOT EXISTS pins the FIRST location for the
+    # session, so an sf-dependent path would silently split catalog and
+    # filesystem. Each call drops + recreates the table, so one location
+    # serves every sf.
+    loc = os.path.join(SCRATCH, "ddl_ns")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {ns} LOCATION '{loc}'")
+    spark.sql(f"DROP TABLE IF EXISTS {ns}.nation_ddl")
+    tbl_dir = os.path.join(loc, "nation_ddl")
+    if os.path.isdir(tbl_dir):  # stale files from a crashed session
+        shutil.rmtree(tbl_dir)
+    spark.sql(
+        f"""CREATE TABLE {ns}.nation_ddl
+            (n_nationkey INT, n_name STRING, n_regionkey INT)
+            USING parquet"""
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "ddl_nation_src"
+    )
+    spark.sql(
+        f"INSERT INTO {ns}.nation_ddl "
+        "SELECT n_nationkey, n_name, n_regionkey FROM ddl_nation_src"
+    )
+
+    exists = spark.catalog.tableExists(f"{ns}.nation_ddl")
+    in_show = any(
+        r["tableName"] == "nation_ddl"
+        for r in spark.sql(f"SHOW TABLES IN {ns}").collect()
+    )
+    ns_listed = any(
+        r["namespace"] == ns
+        for r in spark.sql("SHOW DATABASES").collect()
+    )
+    cat_listed = any(
+        r["catalog"] == "spark_catalog"
+        for r in spark.sql("SHOW CATALOGS").collect()
+    )
+
+    ctrl = AccessController()
+    ctrl.grant(
+        "analyst",
+        "nation_ddl",
+        TablePolicy(
+            columns=["n_nationkey", "n_name"],
+            row_filter=F.col("n_regionkey") < 2,
+            masks={"n_name": mask_string(3)("n_name")},
+        ),
+    )
+    view = ctrl.secure_view(
+        "analyst", "nation_ddl", spark.table(f"{ns}.nation_ddl")
+    )
+    return view.select(
+        "n_nationkey",
+        "n_name",
+        F.lit(exists).alias("table_exists"),
+        F.lit(in_show).alias("in_show_tables"),
+        F.lit(ns_listed).alias("namespace_listed"),
+        F.lit(cat_listed).alias("catalog_listed"),
+    )
+
+
+DDL_SURFACE_ORACLE = """
+SELECT n_nationkey,
+       substring(n_name, 1, 3) || '***' AS n_name,
+       true AS table_exists,
+       true AS in_show_tables,
+       true AS namespace_listed,
+       true AS catalog_listed
+FROM nation
+WHERE n_regionkey < 2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE),
@@ -421,4 +508,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d6_time_travel", d6_time_travel, D6_ORACLE),
     QuerySpec("d7_compact", d7_compact, D7_ORACLE),
     QuerySpec("d8_expire_snapshots", d8_expire_snapshots, D8_ORACLE),
+    QuerySpec("d_sql_ddl_surface", d_sql_ddl_surface, DDL_SURFACE_ORACLE),
 ]
