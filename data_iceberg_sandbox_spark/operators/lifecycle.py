@@ -494,19 +494,19 @@ WHERE n_regionkey < 2
 
 
 SPECS: list[QuerySpec] = [
-    QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE),
-    QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE),
-    QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE),
-    QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE),
-    QuerySpec("s2_create_partitioned", s2_create_partitioned, S2_ORACLE),
-    QuerySpec("s3_append", s3_append, S3_ORACLE),
-    QuerySpec("s4_merge_upsert", s4_merge_upsert, S4_ORACLE),
-    QuerySpec("s5_keyed_upsert", s5_keyed_upsert, S5_ORACLE),
-    QuerySpec("d_tag_read", d_tag_read, D_TAG_ORACLE),
-    QuerySpec("d_sorted_rewrite_skipping", d_sorted_rewrite_skipping, D_SORTED_ORACLE),
-    QuerySpec("d5_schema_evolution", d5_schema_evolution, D5_ORACLE),
-    QuerySpec("d6_time_travel", d6_time_travel, D6_ORACLE),
-    QuerySpec("d7_compact", d7_compact, D7_ORACLE),
-    QuerySpec("d8_expire_snapshots", d8_expire_snapshots, D8_ORACLE),
-    QuerySpec("d_sql_ddl_surface", d_sql_ddl_surface, DDL_SURFACE_ORACLE),
+    QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE, memo=False),
+    QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
+    QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE, memo=False),
+    QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE, memo=False),
+    QuerySpec("s2_create_partitioned", s2_create_partitioned, S2_ORACLE, memo=False),
+    QuerySpec("s3_append", s3_append, S3_ORACLE, memo=False),
+    QuerySpec("s4_merge_upsert", s4_merge_upsert, S4_ORACLE, memo=False),
+    QuerySpec("s5_keyed_upsert", s5_keyed_upsert, S5_ORACLE, memo=False),
+    QuerySpec("d_tag_read", d_tag_read, D_TAG_ORACLE, memo=False),
+    QuerySpec("d_sorted_rewrite_skipping", d_sorted_rewrite_skipping, D_SORTED_ORACLE, memo=False),
+    QuerySpec("d5_schema_evolution", d5_schema_evolution, D5_ORACLE, memo=False),
+    QuerySpec("d6_time_travel", d6_time_travel, D6_ORACLE, memo=False),
+    QuerySpec("d7_compact", d7_compact, D7_ORACLE, memo=False),
+    QuerySpec("d8_expire_snapshots", d8_expire_snapshots, D8_ORACLE, memo=False),
+    QuerySpec("d_sql_ddl_surface", d_sql_ddl_surface, DDL_SURFACE_ORACLE, memo=False),
 ]

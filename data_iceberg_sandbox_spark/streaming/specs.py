@@ -117,15 +117,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "avro_roundtrip_transactions",
         avro_roundtrip_transactions,
-        AVRO_ROUNDTRIP_ORACLE,
-    ),
-    QuerySpec("stream_fraud_alerts", stream_fraud_alerts, fraud_alerts_oracle_sql()),
+        AVRO_ROUNDTRIP_ORACLE, memo=False),
+    QuerySpec("stream_fraud_alerts", stream_fraud_alerts, fraud_alerts_oracle_sql(), memo=False),
     QuerySpec(
         "stream_fraud_enriched_backfill",
         stream_fraud_enriched_backfill,
-        fraud_enriched_oracle_sql(),
-    ),
-    QuerySpec("stream_append_raw", stream_append_raw, "SELECT * FROM events"),
+        fraud_enriched_oracle_sql(), memo=False),
+    QuerySpec("stream_append_raw", stream_append_raw, "SELECT * FROM events", memo=False),
     QuerySpec(
         "stream_dedup_exactly_once",
         lambda spark, sf_dir: run_dedup_stream(
