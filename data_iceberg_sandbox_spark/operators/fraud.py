@@ -10,11 +10,11 @@ Re-expresses the reference's streaming MV chain on the driver testdata:
   LEFT OUTER JOIN enrichment (J1+J2)  →  here: alerts ⟕ customer
   (user_id = c_custkey) ⟕ nation (c_nationkey = n_nationkey).
 
-Determinism/oracle convention: monetary sums are computed over
-``DECIMAL(18,4)`` casts (exact, engine-independent — matches the
-reference's decimal(28,4) amounts, transaction.avsc:10-18) and the final
-column is cast back to DOUBLE so Spark and DuckDB emit bit-identical
-values.
+Determinism/oracle convention: monetary sums are exact scale-4
+fixed-point BIGINT (functions/money.py — same quantization as the
+reference's decimal(28,4) amounts, transaction.avsc:10-18; the DuckDB
+oracle keeps the ``DECIMAL(18,4)`` formulation) and the final column is
+emitted as DOUBLE so Spark and DuckDB produce bit-identical values.
 
 Scale notes (100 TB): the tumble+sum is a single hash aggregation,
 map-side partial combine included, keyed on (user_id, window) — high
@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import fixed, unscale
 from ..sources.registry import load_table
 
 FRAUD_THRESHOLD = 100.0  # analog of the reference's `> 5000` at its amounts
@@ -39,15 +40,20 @@ def fraud_alerts(
 ) -> DataFrame:
     """Windowed aggregation + HAVING (A1, A3, A4/W1)."""
     events = load_table(spark, sf_dir, "events")
+    # exact scale-4 fixed-point sum (functions/money.py): bit-equal to
+    # the DECIMAL(18,4) formulation the oracle runs, on the codegen long
+    # fast path. The threshold comparison happens at the same scale-4
+    # quantization as the decimal domain.
+    thr4 = int(round(threshold * 10_000))
     return (
         events.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
-        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("_total"))
-        .filter(F.col("_total") > F.lit(threshold))
+        .agg(F.sum(fixed(F.col("value"), 4)).alias("_t4"))
+        .filter(F.col("_t4") > F.lit(thr4))
         .select(
             "user_id",
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            F.col("_total").cast("double").alias("total_amount"),
+            unscale(F.col("_t4"), 4).alias("total_amount"),
         )
     )
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.money import fixed, unscale
 from ..sources.registry import load_table
 from ..sources.seeds import OWNERSHIP_ROWS, credit_card_ownership
 from .spec import QuerySpec
@@ -312,7 +313,9 @@ def a4_tumble_agg(spark, sf_dir):
         .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            # exact scale-4 fixed point (functions/money.py): bit-equal
+            # to the DECIMAL(18,4) oracle, codegen long fast path
+            unscale(F.sum(fixed(F.col("value"), 4)), 4).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -4,12 +4,18 @@ The reference's interactive-SQL surface (Trino/spark-sql/PyIceberg,
 SURVEY §3.3) is exercised here with the classic analytical shapes the
 testdata's star schema supports — these are also the bench headliners.
 
-Determinism: revenue expressions are computed with bounded-precision
-decimals so every intermediate stays exact in both Spark and DuckDB:
-price → DECIMAL(12,2) (max ~105k, fits), discount/tax → DECIMAL(4,3)
-(domain 0.00-0.10). (12,2)×(5,3)×(5,3) stays within 38 digits of
-precision, so no engine-specific rounding anywhere; the final cast to
-DOUBLE is the single lossy step and is identical on both sides.
+Determinism: revenue expressions are exact fixed-point BIGINT sums
+(functions/money.py — cents × milli-rates, whole-stage-codegen long
+arithmetic; Spark's decimal-product sum leaves the primitive fast path
+and measured ~2× slower). The DuckDB oracles keep the equivalent
+bounded-precision DECIMAL formulation — price → DECIMAL(12,2),
+discount/tax → DECIMAL(4,3) — and every query is hash-checked
+bit-equal against it; the final cast to DOUBLE is the single lossy
+step and is identical on both sides (exactness bounds in money.py).
+q1's two-rate ``charge`` product would exceed the scale-5 BIGINT
+headroom, so it pre-aggregates by the ~9 distinct tax classes in
+BIGINT and combines the 54 per-class sums in DECIMAL — unbounded
+headroom, negligible cost.
 
 Scale notes: q1 is a 6-group hash agg → pure map-side combine; q3/q5/q10
 join filtered fact partitions against dims (nation/region broadcast,
@@ -21,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.money import fixed, unscale
 from ..sources.registry import load_table
 from .spec import QuerySpec
 
@@ -28,36 +35,57 @@ PRICE = "decimal(12,2)"
 RATE = "decimal(4,3)"
 
 
-def _disc_price(price_col, disc_col):
-    return price_col.cast(PRICE) * (F.lit(1).cast(RATE) - disc_col.cast(RATE))
+def _disc_price_fixed():
+    """Per-row revenue in exact scale-5 fixed point: cents × (1000 −
+    discount-milli). BIGINT throughout → codegen long math; bounds in
+    functions/money.py."""
+    return fixed(F.col("l_extendedprice"), 2) * (
+        F.lit(1000) - fixed(F.col("l_discount"), 3)
+    )
+
+
+def _sum_rev(alias: str):
+    """Σ disc_price as the bit-identical DOUBLE of the decimal oracle."""
+    return unscale(F.sum(_disc_price_fixed()), 5).alias(alias)
 
 
 def q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-    charge = _disc_price(F.col("l_extendedprice"), F.col("l_discount")) * (
-        F.lit(1).cast(RATE) + F.col("l_tax").cast(RATE)
-    )
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
+    # Two-level exact agg: the heavy pass groups by (flag, status, tax
+    # class) — ~54 groups — with all sums in BIGINT fixed point; the
+    # final pass applies the per-class (1000 + tax_milli) charge factor
+    # in DECIMAL over those 54 rows (exact, unbounded headroom) and
+    # recombines. charge = Σ_t (1000+t)·Σ_rows[t] cents·(1000−d) at
+    # scale 8; the DECIMAL multiply-by-1e-8 shifts scale without
+    # rounding, so the DOUBLE emit is the same single rounding as the
+    # one-level decimal formulation the oracle runs.
+    pre = (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            fixed(F.col("l_tax"), 3).alias("_tm"),
+        )
         .agg(
-            F.sum(F.col("l_quantity").cast(PRICE)).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(PRICE))
-            .cast("double")
-            .alias("sum_base_price"),
-            F.sum(_disc_price(F.col("l_extendedprice"), F.col("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (
-                F.sum(F.col("l_quantity").cast(PRICE)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_qty"),
-            (
-                F.sum(F.col("l_extendedprice").cast(PRICE)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_price"),
-            F.count("*").alias("count_order"),
+            F.sum(fixed(F.col("l_quantity"), 2)).alias("_sq"),
+            F.sum(fixed(F.col("l_extendedprice"), 2)).alias("_sp"),
+            F.sum(_disc_price_fixed()).alias("_sd"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    charge_dec = F.sum(
+        F.col("_sd").cast("decimal(28,0)") * (F.lit(1000) + F.col("_tm"))
+    ) * F.expr("CAST(0.00000001 AS DECIMAL(9,8))")
+    return (
+        pre.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            unscale(F.sum("_sq"), 2).alias("sum_qty"),
+            unscale(F.sum("_sp"), 2).alias("sum_base_price"),
+            unscale(F.sum("_sd"), 5).alias("sum_disc_price"),
+            charge_dec.cast("double").alias("sum_charge"),
+            (unscale(F.sum("_sq"), 2) / F.sum("_n")).alias("avg_qty"),
+            (unscale(F.sum("_sp"), 2) / F.sum("_n")).alias("avg_price"),
+            F.sum("_n").alias("count_order"),
         )
     )
 
@@ -97,9 +125,7 @@ def q3_shipping_priority(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(_disc_price(F.col("l_extendedprice"), F.col("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _sum_rev("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -142,9 +168,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_disc_price(F.col("l_extendedprice"), F.col("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _sum_rev("revenue")
         )
         .select(F.col("n_name").alias("nation"), "revenue")
     )
@@ -178,9 +202,13 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice").cast(PRICE) * F.col("l_discount").cast(RATE))
-            .cast("double")
-            .alias("revenue")
+            unscale(
+                F.sum(
+                    fixed(F.col("l_extendedprice"), 2)
+                    * fixed(F.col("l_discount"), 3)
+                ),
+                5,
+            ).alias("revenue")
         )
     )
 
@@ -206,9 +234,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(_disc_price(F.col("l_extendedprice"), F.col("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            _sum_rev("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)

@@ -193,7 +193,10 @@ def run_fraud_alerts_stream(
                 )
             )
         if not result.exists():
-            result.create(out)
+            # stats off: a continuously-merged MV rewrites files every
+            # micro-batch — the per-commit stats job (one extra Spark
+            # pass per batch) buys nothing until a terminal compaction
+            result.create(out, properties={"stats.enabled": "false"})
         else:
             # the plain aggregate is unique-keyed by construction; the
             # enriched form joins CALLER-SUPPLIED dims (customer_df /
@@ -240,6 +243,9 @@ def run_append_stream(spark: SparkSession, sf_dir: str, table_root: str) -> Lake
     def append_batch(batch_df: DataFrame, epoch: int) -> None:
         marker = {"streaming.last_epoch": str(epoch)}
         if not result.exists():
+            # ingest lane: skip the per-commit stats pass (same opt-out
+            # as the batch raw-load path; see _commit stats.enabled)
+            marker = {**marker, "stats.enabled": "false"}
             result.create(batch_df, properties=marker)
         else:
             last = result.manifest().properties.get("streaming.last_epoch")
