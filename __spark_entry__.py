@@ -32,6 +32,7 @@ def _all_specs():
         "similarity",
         "textstats",
         "multimodal",
+        "retrieval",
     ):
         try:
             mod = __import__(
@@ -101,6 +102,10 @@ _ADDED_LATER = {
 # of them") but before already-proven ones. Remove names once green.
 _ADDED_R3 = {
     "d_sql_ddl_surface",
+    "json_extract_props",
+    "bm25_rank",
+    "tfidf_top_term",
+    "doc_chunk_sliding",
 }
 
 

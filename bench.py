@@ -177,11 +177,16 @@ def main() -> None:
         )
 
         n_events = load_table(spark, sf_dir, "events").count()
-        t0 = time.perf_counter()
-        run_fraud_alerts_stream(
-            spark, sf_dir, os.path.join(SCRATCH, "bench_mv"), 100.0, 8, 2
-        )
-        stream_eps = round(n_events / (time.perf_counter() - t0), 1)
+        # best-of-2 like the batch timings: a single stream run on a
+        # shared box swings ±30% (micro-batch scheduling vs GC pauses)
+        best = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            run_fraud_alerts_stream(
+                spark, sf_dir, os.path.join(SCRATCH, f"bench_mv{i}"), 100.0, 8, 2
+            )
+            best = min(best, time.perf_counter() - t0)
+        stream_eps = round(n_events / best, 1)
     except Exception:
         pass
 

@@ -662,8 +662,48 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def json_extract_props(spark, sf_dir):
+    """Semi-structured extraction: ``events.props`` is a JSON string
+    column; parse it with a TYPED ``from_json`` schema (the
+    scale-canonical path — a declared schema lets the JSON parser skip
+    unreferenced fields and keeps the extraction in codegen; ad-hoc
+    ``get_json_object`` re-parses per call site) and aggregate the
+    extracted value per event_type. Exact integer sums; the average is
+    one double division."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias(
+                "avg_k"
+            ),
+        )
+    )
+
+
+JSON_PROPS_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM e GROUP BY event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
+    QuerySpec("json_extract_props", json_extract_props, JSON_PROPS_ORACLE),
     QuerySpec("sliding_window_agg", sliding_window_agg, SLIDING_ORACLE),
     QuerySpec("multi_distinct_agg", multi_distinct_agg, MULTI_DISTINCT_ORACLE),
     QuerySpec("session_window_native", session_window_native, SESSION_NATIVE_ORACLE),

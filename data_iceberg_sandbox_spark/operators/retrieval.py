@@ -1,0 +1,260 @@
+"""Retrieval / chunking operators for LLM-data pipelines ([EXT] scope):
+BM25 ranking, per-doc TF-IDF top terms, sliding-window token chunking —
+all over ``documents``.
+
+Everything stays in JVM built-ins (regexp token extraction, explode,
+hash aggregation, higher-order array slicing) — no Python in the hot
+path. FP determinism across engines follows the repo convention: exact
+integer counts wherever possible, every double expression written with
+the identical operand order on both sides, one ``round(_, 6)`` at the
+emit boundary, LIMIT only behind a total order with a unique tie-break.
+``ln`` is the one libm call (BM25/TF-IDF idf); Spark's ``Math.log`` and
+DuckDB's ``std::log`` agree to the ulp on these magnitudes and the
+round-6 emit absorbs any residual (hash-checked by the driver).
+
+Scale notes (100 TB):
+- bm25_rank: the token explode is filtered to the query terms BEFORE the
+  (doc, term) aggregation, so only query-term postings ever shuffle —
+  the classic inverted-index pruning; doc length is a zero-shuffle
+  projection (regexp count, no explode); df and the corpus stats are
+  tiny broadcast sides; final top-k is TakeOrderedAndProject.
+- tfidf_top_term: one token-explode agg with map-side partial combine
+  (vocabulary-bounded output), df broadcast back, per-doc argmax via a
+  doc-partitioned window over the vocabulary-sized per-doc slice.
+- doc_chunk_sliding: pure flatMap shape — sequence + posexplode over a
+  per-row chunk count, zero shuffle, linear output in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .spec import QuerySpec
+
+_TOK = "[a-z]+"  # shared Spark/RE2 dialect, mirrors textstats._WORD
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "spark", "window")  # fixed query, tf-discriminative
+BM25_TOPK = 20
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+
+def _tokens_col():
+    return F.expr(f"regexp_extract_all(lower(text), '{_TOK}', 0)")
+
+
+def _corpus_stats(docs):
+    """1-row (n_docs, avgdl) frame — broadcast, never collected."""
+    return docs.select(F.size(_tokens_col()).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # exact integer sum; ONE double division, same on both sides
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+
+def bm25_rank(spark, sf_dir):
+    """Okapi BM25 top-k over a fixed term query (k1=1.2, b=0.75).
+
+    Per-term partial scores are pivoted into fixed columns and added in
+    a fixed order (never a float groupBy-sum, whose partial-aggregation
+    order is nondeterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(_tokens_col()).alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))  # prune BEFORE the agg
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(_corpus_stats(docs)))
+        .withColumn(
+            "s",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * (F.col("tf") * F.lit(BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    parts = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"s_{t}")
+        for t in BM25_TERMS
+    ]
+    pivoted = scored.groupBy("doc_id").agg(*parts)
+    total = F.col(f"s_{BM25_TERMS[0]}")
+    for t in BM25_TERMS[1:]:  # fixed left-assoc addition order
+        total = total + F.col(f"s_{t}")
+    return (
+        pivoted.select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_oracle() -> str:
+    pivot = ",\n    ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN s END), 0.0) AS s_{t}"
+        for t in BM25_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in BM25_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '{_TOK}')) AS dl
+  FROM documents),
+st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+    FROM documents)
+  WHERE term IN ({in_list}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * {BM25_K1 + 1})
+         / (tf.tf + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl.dl / st.avgdl)) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+p AS (SELECT doc_id, {pivot} FROM sc GROUP BY doc_id)
+SELECT doc_id, round({total}, 6) AS bm25
+FROM p ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+def tfidf_top_term(spark, sf_dir):
+    """Per-document most-distinctive term: argmax of tf·idf over the
+    whole vocabulary (idf = ln(N/df)); tie-break on the rounded score by
+    term ascending so the argmax is total-ordered on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "s",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            F.col("tf").alias("top_tf"),
+            F.col("s").alias("tfidf"),
+        )
+    )
+
+
+TFIDF_TOP_TERM_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+    FROM documents)
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(CAST(st.n_docs AS DOUBLE) / df.df), 6) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN st)
+SELECT doc_id, term AS top_term, tf AS top_tf, s AS tfidf
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY s DESC, term) AS rn FROM sc)
+WHERE rn = 1
+"""
+
+
+def doc_chunk_sliding(spark, sf_dir):
+    """Sliding-window token chunking (window 50 tokens, stride 25): the
+    standard training/RAG pre-tokenization split. Chunk count per doc is
+    exact integer arithmetic; the chunk text itself is emitted so the
+    hash check covers the slicing, not just the counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.expr(
+            f"((size(split(trim(text), '\\\\s+')) - {CHUNK_TOKENS}"
+            f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}) + 1"
+        )
+    )
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    sl = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * CHUNK_STRIDE).alias("start_token"),
+        F.size(sl).alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+DOC_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                ELSE ((n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}) + 1
+           END - 1)) AS chunk_idx
+  FROM t)
+SELECT doc_id,
+       chunk_idx,
+       chunk_idx * {CHUNK_STRIDE} AS start_token,
+       len(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                      chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                       chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM c
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("bm25_rank", bm25_rank, _bm25_oracle()),
+    QuerySpec("tfidf_top_term", tfidf_top_term, TFIDF_TOP_TERM_ORACLE),
+    QuerySpec("doc_chunk_sliding", doc_chunk_sliding, DOC_CHUNK_ORACLE),
+]

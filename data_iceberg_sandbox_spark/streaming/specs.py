@@ -130,6 +130,7 @@ SPECS: list[QuerySpec] = [
             spark, sf_dir, _root("dedup_stream", sf_dir)
         ).read(),
         "SELECT * FROM events",
+        memo=False,
     ),
     QuerySpec(
         "stream_stream_range_join",
@@ -143,6 +144,7 @@ SPECS: list[QuerySpec] = [
           ON a.user_id = b.user_id AND b.ts > a.ts
          AND b.ts <= a.ts + INTERVAL 5 MINUTE
         """,
+        memo=False,
     ),
     QuerySpec(
         "stream_sliding_window_mv",

@@ -138,3 +138,25 @@ def test_partition_pruning_on_laketable(spark, scratch):
     from data_iceberg_sandbox_spark.plans.inspect import partition_filters
 
     assert partition_filters(df), "partition filter must prune directories"
+
+
+def test_doc_chunking_is_zero_shuffle(spark):
+    """Chunking is a pure flatMap (sequence + posexplode) — any exchange
+    here would shuffle the full corpus text at 100 TB."""
+    from data_iceberg_sandbox_spark.operators.retrieval import (
+        doc_chunk_sliding,
+    )
+
+    df = doc_chunk_sliding(spark, SF_ORACLE)
+    assert exchange_count(df) == 0, physical_plan_excerpt(df)
+
+
+def test_bm25_broadcasts_stats_and_prunes_terms(spark):
+    """BM25: df/corpus-stats sides broadcast (never shuffled against the
+    postings), the term filter reaches the scan side of the explode, and
+    the final top-k is TakeOrdered."""
+    from data_iceberg_sandbox_spark.operators.retrieval import bm25_rank
+
+    df = bm25_rank(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df), "BM25 top-k must not global-sort"
