@@ -102,6 +102,7 @@ _ADDED_LATER = {
 # of them") but before already-proven ones. Remove names once green.
 _ADDED_R3 = {
     "d_sql_ddl_surface",
+    "d_incremental_read",
     "json_extract_props",
     "bm25_rank",
     "tfidf_top_term",

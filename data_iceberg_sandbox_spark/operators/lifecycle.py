@@ -189,6 +189,23 @@ def d6_time_travel(spark, sf_dir):
 D6_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 = 0"
 
 
+def d_incremental_read(spark, sf_dir):
+    """Incremental append scan (CDC catch-up): a consumer checkpointed
+    at the create-snapshot reads exactly the rows the two later appends
+    added — scanning only those appends' files, never the base (the
+    Iceberg incremental-scan analog; fails loud if a rewrite commit
+    lands in the range)."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "dinc_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    return t.read_incremental(from_version=1)
+
+
+D_INC_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 <> 0"
+
+
 def d7_compact(spark, sf_dir):
     """D7 rewrite_data_files: many small appends compacted into few files,
     content preserved (sink compaction, sink_iceberg...sql:23-24)."""
@@ -506,6 +523,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_sorted_rewrite_skipping", d_sorted_rewrite_skipping, D_SORTED_ORACLE, memo=False),
     QuerySpec("d5_schema_evolution", d5_schema_evolution, D5_ORACLE, memo=False),
     QuerySpec("d6_time_travel", d6_time_travel, D6_ORACLE, memo=False),
+    QuerySpec("d_incremental_read", d_incremental_read, D_INC_ORACLE, memo=False),
     QuerySpec("d7_compact", d7_compact, D7_ORACLE, memo=False),
     QuerySpec("d8_expire_snapshots", d8_expire_snapshots, D8_ORACLE, memo=False),
     QuerySpec("d_sql_ddl_surface", d_sql_ddl_surface, DDL_SURFACE_ORACLE, memo=False),

@@ -73,6 +73,12 @@ class MergeCardinalityError(RuntimeError):
     row; duplicate source keys would silently fan out the target)."""
 
 
+class IncrementalReadError(RuntimeError):
+    """The snapshot range contains a non-append commit: its file delta
+    rewrites existing rows, so it is not an append changelog (Iceberg's
+    incremental scan has the same appends-only restriction)."""
+
+
 @dataclass
 class Manifest:
     version: int
@@ -181,6 +187,95 @@ class LakeTable:
         # one distributed scan over the manifest's file list; column order
         # pinned to the table schema
         return reader.parquet(*paths).select([f.name for f in schema.fields])
+
+    def read_incremental(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Iceberg-style incremental append scan: the rows ADDED by the
+        snapshots in ``(from_version, to_version]`` (to defaults to
+        current) — the CDC feed a downstream consumer reads to catch up
+        from a checkpointed version.
+
+        Scans ONLY each snapshot's newly-added files (set difference vs
+        its parent manifest), never the table history — at 100 TB a
+        catch-up of 3 appends reads 3 appends' worth of data, not the
+        table. Raises :class:`IncrementalReadError` if the range holds a
+        non-append commit with a file delta (merge/overwrite/delete/
+        compact rewrite rows in place; their delta is not an append
+        changelog — Iceberg's incremental scan has the same
+        restriction). Metadata-only commits (schema evolution, property
+        changes) add no files and pass through. Raises
+        :class:`NoSuchTable` if a manifest in the range was expired."""
+        to_v = self.current_version() if to_version is None else to_version
+        if to_v < from_version:
+            raise ValueError(f"to_version {to_v} < from_version {from_version}")
+        prev = set(self.manifest(from_version).files)
+        new_files: list[str] = []
+        for v in range(from_version + 1, to_v + 1):
+            man = self.manifest(v)
+            delta = [f for f in man.files if f not in prev]
+            if delta and man.operation not in ("create", "append"):
+                raise IncrementalReadError(
+                    f"snapshot v{v} is a '{man.operation}' commit; "
+                    "incremental read supports appends only"
+                )
+            new_files.extend(delta)
+            prev = set(man.files)
+        schema = T.StructType.fromJson(
+            json.loads(self.manifest(to_v).schema_json)
+        )
+        if not new_files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in new_files]
+        reader = self.spark.read.schema(schema).option(
+            "basePath", os.path.join(self.root, "data")
+        )
+        return reader.parquet(*paths).select([f.name for f in schema.fields])
+
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
+        """Iceberg ``remove_orphan_files`` analog: delete data files on
+        disk that no live snapshot references — the debris of writes
+        whose commit lost a CAS race or crashed between the data write
+        and the manifest commit.
+
+        ``older_than_ms`` (epoch millis) protects in-flight writers: a
+        file younger than the cutoff is kept even if unreferenced,
+        because its commit may simply not have happened yet (Iceberg's
+        ``older_than`` has the same role; default keeps only files older
+        than the newest live snapshot's timestamp)."""
+        mans = self.snapshots()
+        if not mans:
+            return []
+        if older_than_ms is None:
+            older_than_ms = mans[-1].timestamp_ms
+        live = {f for m in mans for f in m.files}
+        removed: list[str] = []
+        data_dir = os.path.join(self.root, "data")
+        if not os.path.isdir(data_dir):
+            return []
+        for dirpath, _dirnames, filenames in os.walk(data_dir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel in live:
+                    continue
+                if os.path.getmtime(full) * 1000 >= older_than_ms:
+                    continue  # possibly an in-flight commit's data
+                os.remove(full)
+                removed.append(rel)
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            # a commit dir with no parquet left holds only write sidecars
+            # (_SUCCESS, .crc) — debris, same rule as expire_snapshots
+            if os.path.isdir(full) and not any(
+                fn.endswith(".parquet")
+                for _, _, fns in os.walk(full)
+                for fn in fns
+            ):
+                shutil.rmtree(full)
+        return sorted(removed)
 
     def files_scanned(self, prune: list[tuple[str, str, object]]) -> int:
         """How many current files a pruned scan would touch (test/metrics

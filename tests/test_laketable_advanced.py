@@ -149,3 +149,70 @@ def test_tag_lock_serializes_writers(spark, scratch, monkeypatch):
         os.remove(lock)
     t.tag("after", 1)  # lock released -> works again
     assert t.tags()["after"] == 1
+
+
+def test_incremental_read_appends_only(spark, scratch):
+    from data_iceberg_sandbox_spark.tables.laketable import (
+        IncrementalReadError,
+    )
+
+    t = LakeTable(spark, os.path.join(scratch, "incr"))
+    base = spark.range(0, 100).withColumnRenamed("id", "k")
+    t.create(base)
+    t.append(spark.range(100, 150).withColumnRenamed("id", "k"))
+    t.append(spark.range(150, 180).withColumnRenamed("id", "k"))
+    # catch-up from v1: exactly the two appends, never the base
+    got = sorted(r["k"] for r in t.read_incremental(1).collect())
+    assert got == list(range(100, 180))
+    # sub-range (v2 -> v3]: just the second append
+    got = sorted(r["k"] for r in t.read_incremental(2, 3).collect())
+    assert got == list(range(150, 180))
+    # empty range
+    assert t.read_incremental(3).count() == 0
+    # a rewrite commit inside the range fails loud
+    t.delete_where(F.col("k") < 10)
+    with pytest.raises(IncrementalReadError):
+        t.read_incremental(1)
+    # ... but a range ending before the rewrite still works
+    assert t.read_incremental(1, 3).count() == 80
+    # metadata-only commits pass through (no file delta)
+    t2 = LakeTable(spark, os.path.join(scratch, "incr_meta"))
+    t2.create(base)
+    t2.add_column("extra", "double")
+    t2.append(
+        spark.range(200, 210)
+        .withColumnRenamed("id", "k")
+        .withColumn("extra", F.lit(1.5))
+    )
+    got = sorted(r["k"] for r in t2.read_incremental(1).collect())
+    assert got == list(range(200, 210))
+
+
+def test_remove_orphan_files(spark, scratch):
+    import time as _time
+
+    t = LakeTable(spark, os.path.join(scratch, "orphans"))
+    t.create(spark.range(0, 50).withColumnRenamed("id", "k"))
+    t.append(spark.range(50, 80).withColumnRenamed("id", "k"))
+    # simulate a crashed write: data files on disk, no manifest commit
+    orphan_dir = os.path.join(t.root, "data", "deadbeefcafe")
+    os.makedirs(orphan_dir)
+    spark.range(0, 5).write.mode("overwrite").parquet(
+        os.path.join(orphan_dir, "tmp")
+    )
+    before = t.read().count()
+    # cutoff in the future → everything unreferenced is old enough
+    removed = t.remove_orphan_files(
+        older_than_ms=int(_time.time() * 1000) + 60_000
+    )
+    assert removed and all("deadbeefcafe" in f for f in removed)
+    assert not os.path.isdir(orphan_dir)
+    assert t.read().count() == before  # live data untouched
+    # young unreferenced files survive (in-flight commit protection)
+    young = os.path.join(t.root, "data", "inflight0000")
+    os.makedirs(young)
+    spark.range(0, 3).write.mode("overwrite").parquet(
+        os.path.join(young, "tmp")
+    )
+    assert t.remove_orphan_files() == []  # default cutoff: newest snapshot
+    assert os.path.isdir(young)
