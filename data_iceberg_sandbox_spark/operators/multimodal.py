@@ -123,15 +123,24 @@ def decode_features(
                 )
             payloads = pdf["payload"]
             n = payloads.str.len()
-            mean_byte = payloads.map(
-                lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-            )
+
+            def _mean(b: bytes) -> float:
+                # half-up at 6 dp in INTEGER arithmetic, then one IEEE
+                # division — bit-identical to the DuckDB oracle's
+                # (2*s*1000000 + n) // (2*n) / 1e6 (a float round() would
+                # diverge on exact midpoints: numpy rounds half-even,
+                # DuckDB half-away)
+                if not b:
+                    return 0.0
+                s, ln = sum(b), len(b)
+                return (2 * s * 1_000_000 + ln) // (2 * ln) / 1e6
+
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
                     "n_bytes": n.astype("int64"),
-                    "mean_byte": mean_byte.round(6),
+                    "mean_byte": payloads.map(_mean),
                 }
             )
 
@@ -149,8 +158,33 @@ def mm_decode_features(spark, sf_dir):
     return decode_features(synth_media(spark, sf_dir))
 
 
+# The shipped fake is DETERMINISTIC (payload = utf-8 bytes of text), so
+# its outputs are replayable in pure SQL and the hash check covers the
+# actual emitted values (VERDICT r3 item 3). The testdata corpus is
+# ASCII (verified: octet_length(encode(text)) == length(text) for every
+# row), so byte values == character code points and the byte sum is
+# list_sum over unicode(). half-up at 6 dp in integer arithmetic
+# mirrors the Python side exactly.
+MM_DECODE_FEATURES_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'audio/wav'
+                         ELSE 'video/mp4' END AS mime,
+         octet_length(encode(text)) AS n_bytes,
+         list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS s
+  FROM documents)
+SELECT doc_id, mime, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CASE WHEN n_bytes = 0 THEN 0.0
+            ELSE CAST((2*s*1000000 + n_bytes) // (2*n_bytes) AS DOUBLE)
+                 / 1000000 END AS mean_byte
+FROM b
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("mm_metadata", mm_metadata, MM_METADATA_ORACLE),
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_ORACLE),
-    QuerySpec("mm_decode_features", mm_decode_features, None),  # pandas-UDF path
+    # pandas-UDF path; oracle replays the deterministic fake bit-exactly
+    QuerySpec("mm_decode_features", mm_decode_features, MM_DECODE_FEATURES_ORACLE),
 ]

@@ -573,6 +573,40 @@ FROM per_dim GROUP BY label
 """
 
 
+# Connected components IS SQL-expressible (VERDICT r3 item 2): DuckDB's
+# recursive CTE propagates labels along the (symmetric) candidate-pair
+# edges until fixpoint — min reachable node id == the union-find keeper.
+# The edge set is the dedup.DEDUP_JACCARD_ORACLE pair query verbatim
+# (threshold 0.5, 5-gram shingles), matching jaccard_pairs() above.
+# UNION (set semantics) bounds the walk at O(component_size²) states —
+# fine at oracle scale; the Spark side stays union-find / star-contraction.
+DUPLICATE_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS shingle
+       FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 1))) AS i) i),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+n AS (SELECT doc_id, count(*) n_sh FROM ds GROUP BY doc_id),
+common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+           FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+  WHERE round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) >= 0.5),
+edges AS (SELECT doc_a u, doc_b v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_keeper,
+       (node = min(label)) AS is_keeper
+FROM walk GROUP BY node
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE),
     QuerySpec(
@@ -581,7 +615,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("curate_corpus", curate_corpus, CURATE_ORACLE),
     QuerySpec("corpus_token_stats", corpus_token_stats, CORPUS_STATS_ORACLE),
     QuerySpec("quality_filter", quality_filter, QUALITY_FILTER_ORACLE),
-    QuerySpec("duplicate_clusters", duplicate_clusters, None),  # iterative CC
+    # iterative CC; oracle = recursive-CTE min-label propagation
+    QuerySpec("duplicate_clusters", duplicate_clusters, DUPLICATE_CLUSTERS_ORACLE),
     QuerySpec("corpus_train_val_split", corpus_train_val_split, SPLIT_ORACLE),
     QuerySpec("corpus_sample_mix", corpus_sample_mix, SAMPLE_MIX_ORACLE),
     QuerySpec("corpus_pack_sequences", corpus_pack_sequences, PACK_ORACLE),

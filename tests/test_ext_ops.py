@@ -140,7 +140,10 @@ def test_decode_features_matches_local_computation(spark):
         b = bytes(r["payload"])
         got = feats[r["doc_id"]]
         assert got["n_bytes"] == len(b)
-        assert abs(got["mean_byte"] - round(sum(b) / len(b), 6)) < 1e-9
+        s, n = sum(b), len(b)
+        # integer half-up at 6 dp — the exact arithmetic of the fake
+        # (and of the DuckDB oracle that replays it)
+        assert got["mean_byte"] == (2 * s * 1_000_000 + n) // (2 * n) / 1e6
 
 
 def test_real_decode_is_explicitly_stubbed(spark):
