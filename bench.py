@@ -111,27 +111,62 @@ def main() -> None:
         # row without a driver transfer or an extra count-agg stage
         df.write.format("noop").mode("overwrite").save()
 
+    # Fixed-floor probe: Spark charges a per-action scheduling/driver
+    # round-trip cost even for a 1-row noop write. Median of 10 is the
+    # box's floor; multiplied by each query's job count below it bounds
+    # how much of the sequential total is irreducible harness latency
+    # rather than plan work (VERDICT r3/r4 ask).
+    floor_samples = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_samples.append(time.perf_counter() - t0)
+    floor_sec = round(sorted(floor_samples)[len(floor_samples) // 2], 4)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
     # best-of-3: single-shot timings on a shared box are dominated by
-    # GC/scheduling noise; the min is the honest steady-state latency
+    # GC/scheduling noise; the min is the honest steady-state latency.
+    # Per-query try/except: one broken query must never abort the suite
+    # (BENCH_r04 lost ALL signal to a single erroring query).
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    jobs_per_query: dict[str, int] = {}
     for n in names:
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            materialize(queries[n](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[n] = round(best, 4)
+        group = f"bench:{n}"
+        try:
+            sc.setJobGroup(group, n)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(queries[n](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = round(best, 4)
+            # 3 identical runs → jobs for ONE run is the third
+            jobs_per_query[n] = len(tracker.getJobIdsForGroup(group)) // 3
+        except Exception as e:  # noqa: BLE001 — isolate, report, continue
+            errors[n] = f"{type(e).__name__}: {e}"[:300]
     sequential_total = round(sum(times.values()), 4)
+    total_jobs = sum(jobs_per_query.values())
+    floor_total = round(floor_sec * total_jobs, 4)
+    names = [n for n in names if n not in errors]
 
     # Throughput view: the suite issued concurrently (FAIR scheduler, one
     # SparkSession) — the realistic multi-tenant shape; wall-clock amortizes
     # Spark's fixed per-query scheduling latency across the fleet of cores.
     # Best-of-2: a single concurrent wall on a shared box swings ±50%.
+    def _run_isolated(n: str) -> None:
+        try:
+            materialize(queries[n](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — isolate, report, continue
+            errors.setdefault(n, f"{type(e).__name__}: {e}"[:300])
+
     concurrent_wall = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=min(8, len(names) or 1)) as ex:
-            list(ex.map(lambda n: materialize(queries[n](spark, sf_dir)), names))
+            list(ex.map(_run_isolated, names))
         concurrent_wall = min(concurrent_wall, time.perf_counter() - t0)
     concurrent_wall = round(concurrent_wall, 4)
 
@@ -156,12 +191,15 @@ def main() -> None:
         for n in names:
             if n not in oracles:
                 continue
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(oracles[n]).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            dtot += best
+            try:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(oracles[n]).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                dtot += best
+            except Exception:  # one broken oracle must not kill the ratio
+                pass
         duckdb_sequential = round(dtot, 4)
     except Exception:
         pass
@@ -228,6 +266,11 @@ def main() -> None:
                 "concurrent_wall_sec": concurrent_wall,
                 "concurrency": min(8, len(names) or 1),
                 "n_queries": len(names),
+                "errors": errors or None,
+                "floor_sec_per_action": floor_sec,
+                "jobs_per_query": jobs_per_query,
+                "total_jobs": total_jobs,
+                "floor_decomposition_sec": floor_total,
                 "streaming_events_per_sec": stream_eps,
                 "batch_load_rows_per_sec": load_rows_per_sec,
                 "duckdb_sequential_sec_same_sql": duckdb_sequential,
@@ -245,7 +288,13 @@ def main() -> None:
                     "under-measures, which also inflated r1/r2 numbers "
                     "for q1/asof). duckdb_sequential_sec_same_sql runs "
                     "the byte-identical oracle SQL best-of-3 in the same "
-                    "process immediately after the Spark batch phase."
+                    "process immediately after the Spark batch phase. "
+                    "floor_decomposition_sec = floor_sec_per_action x "
+                    "total_jobs: the measured lower bound the per-action "
+                    "scheduling floor imposes on the sequential total "
+                    "regardless of plan quality; each query is wrapped in "
+                    "try/except so one failure can no longer zero out the "
+                    "round's bench signal."
                 ),
             }
         )

@@ -160,18 +160,24 @@ def mm_decode_features(spark, sf_dir):
 
 # The shipped fake is DETERMINISTIC (payload = utf-8 bytes of text), so
 # its outputs are replayable in pure SQL and the hash check covers the
-# actual emitted values (VERDICT r3 item 3). The testdata corpus is
-# ASCII (verified: octet_length(encode(text)) == length(text) for every
-# row), so byte values == character code points and the byte sum is
-# list_sum over unicode(). half-up at 6 dp in integer arithmetic
-# mirrors the Python side exactly.
+# actual emitted values (VERDICT r3 item 3). The oracle's byte-sum ==
+# codepoint-sum identity only holds for pure-ASCII text; the guarded
+# n_bytes below raises a named error() on the first non-ASCII row
+# (ADVICE r4), so a future non-ASCII corpus fails loudly instead of
+# surfacing as an opaque hash mismatch. half-up at 6 dp in integer
+# arithmetic mirrors the Python side exactly.
 MM_DECODE_FEATURES_ORACLE = """
 WITH b AS (
   SELECT doc_id,
          CASE doc_id % 3 WHEN 0 THEN 'image/png'
                          WHEN 1 THEN 'audio/wav'
                          ELSE 'video/mp4' END AS mime,
-         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN octet_length(encode(text)) = length(text)
+              THEN octet_length(encode(text))
+              ELSE CAST(error('mm_decode_features oracle assumes an '
+                   || 'ASCII corpus (byte sum == codepoint sum); '
+                   || 'non-ASCII text at doc_id ' || doc_id) AS BIGINT)
+         END AS n_bytes,
          list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS s
   FROM documents)
 SELECT doc_id, mime, CAST(n_bytes AS BIGINT) AS n_bytes,

@@ -576,16 +576,20 @@ FROM per_dim GROUP BY label
 # Connected components IS SQL-expressible (VERDICT r3 item 2): DuckDB's
 # recursive CTE propagates labels along the (symmetric) candidate-pair
 # edges until fixpoint — min reachable node id == the union-find keeper.
-# The edge set is the dedup.DEDUP_JACCARD_ORACLE pair query verbatim
-# (threshold 0.5, 5-gram shingles), matching jaccard_pairs() above.
+# The edge set is the dedup.DEDUP_JACCARD_ORACLE pair query shape,
+# generated from the SAME (threshold, n) as duplicate_clusters() /
+# jaccard_pairs() so a non-default invocation stays paired with a
+# matching oracle (ADVICE r4; same pattern as decontaminate_oracle_sql).
 # UNION (set semantics) bounds the walk at O(component_size²) states —
 # fine at oracle scale; the Spark side stays union-find / star-contraction.
-DUPLICATE_CLUSTERS_ORACLE = """
+def duplicate_clusters_oracle_sql(threshold: float = 0.5, n: int = 5) -> str:
+    return f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS shingle
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+{n - 1}], ' ') AS shingle
        FROM toks,
-            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 1))) AS i) i),
+            LATERAL (SELECT unnest(generate_series(1,
+                       greatest(len(w)-{n - 1}, 1))) AS i) i),
 ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
 n AS (SELECT doc_id, count(*) n_sh FROM ds GROUP BY doc_id),
 common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
@@ -594,7 +598,7 @@ common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
 pairs AS (
   SELECT doc_a, doc_b
   FROM common JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
-  WHERE round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) >= 0.5),
+  WHERE round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) >= {threshold}),
 edges AS (SELECT doc_a u, doc_b v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
 walk(node, label) AS (
   SELECT u, u FROM edges
@@ -605,6 +609,9 @@ SELECT node AS doc_id, min(label) AS cluster_keeper,
        (node = min(label)) AS is_keeper
 FROM walk GROUP BY node
 """
+
+
+DUPLICATE_CLUSTERS_ORACLE = duplicate_clusters_oracle_sql()
 
 
 SPECS: list[QuerySpec] = [

@@ -465,6 +465,47 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+def s15_arrow_export(spark, sf_dir):
+    """S15 client interchange (reference count_clients.py:14-16:
+    ``scan().to_arrow()``). Round-trips ``nation`` through Arrow
+    driver-side: DataFrame → ``toArrow()`` → an Arrow-side compute
+    (``utf8_length`` per row, ``sum``/row-count checksums) → back in via
+    ``createDataFrame``. The re-imported rows AND the Arrow-computed
+    checksums are emitted as result columns, so a lossy export or import
+    breaks the driver's value hash instead of passing silently.
+
+    Scale note: Arrow export is deliberately a driver-side client
+    surface (the reference's notebook path), sized to dimension tables —
+    never a distributed-plan stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbl = load_table(spark, sf_dir, "nation").toArrow()
+    n_rows = tbl.num_rows
+    key_sum = pc.sum(tbl.column("n_nationkey")).as_py()
+    tbl = tbl.append_column(
+        "name_len", pc.cast(pc.utf8_length(tbl.column("n_name")), pa.int64())
+    )
+    out = spark.createDataFrame(tbl)
+    return out.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        "name_len",
+        F.lit(n_rows).cast("long").alias("roundtrip_rows"),
+        F.lit(key_sum).cast("long").alias("arrow_key_sum"),
+    )
+
+
+S15_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(length(n_name) AS BIGINT) AS name_len,
+       CAST((SELECT count(*) FROM nation) AS BIGINT) AS roundtrip_rows,
+       CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT) AS arrow_key_sum
+FROM nation
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("s1_scan_region", s1_scan_region, "SELECT * FROM region"),
     QuerySpec("s6_inmemory_rows", s6_inmemory_rows, S6_ORACLE),
@@ -489,4 +530,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("l1_sort_limit", l1_sort_limit, L1_ORACLE),
     QuerySpec("set_union", set_union, SET_UNION_ORACLE),
     QuerySpec("set_except", set_except, SET_EXCEPT_ORACLE),
+    QuerySpec("s15_arrow_export", s15_arrow_export, S15_ORACLE),
 ]

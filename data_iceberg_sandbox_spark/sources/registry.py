@@ -76,9 +76,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _TS_COLS.get(name, ()):
-        if isinstance(df.schema[c].dataType, T.LongType):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # legacy driver stamp: INT64 TIMESTAMP(NANOS) read as long.
             # integer `div` — float division would lose sub-µs exactness
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # current driver stamp: Timestamp(isAdjustedToUTC=false, micros)
+            # arrives as TIMESTAMP_NTZ. The engine's event-time contract is
+            # plain TIMESTAMP (watermarks and epoch casts require it); with
+            # the session tz pinned UTC above, this cast relabels the same
+            # wall-clock as the same instant — DuckDB reads the identical
+            # naive value, so every oracle hash is unchanged.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     per_session[key] = df
     return df
 

@@ -1,0 +1,94 @@
+"""Scale up the driver's testdata by key-shifted replication (VERDICT r3
+item 6 / r4 item 6: "bench at sf1, show the spark/duckdb ratio falling
+as data grows").
+
+/root/testdata is read-only and ships sf<=0.1, so this derives sfN from
+sf0.1 with N/0.1 key-shifted copies of every fact table: each copy's
+keys are offset by copy_index * (max key + 1) of the referenced table,
+so referential integrity (orders->customer, lineitem->orders/part/
+supplier) holds exactly and every bench query + its DuckDB oracle runs
+unchanged on the bigger directory. Dims nation/region keep their
+reference-fixed cardinality (25/5, broadcast at any SF). Event
+timestamps get +copy_index seconds so per-user event density grows
+without creating pathological exact-tie runs.
+
+Usage: python tools/gen_sf.py [factor] [out_dir]
+  factor default 10 (sf0.1 -> sf1), out_dir default .scratch/sf1
+DuckDB does the generation — columnar read + write, no Spark needed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+
+def gen(factor: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
+
+    K = {
+        t: con.execute(f"SELECT max({k}) + 1 FROM {t}").fetchone()[0]
+        for t, k in (
+            ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+            ("part", "p_partkey"), ("orders", "o_orderkey"),
+            ("events", "event_id"), ("documents", "doc_id"),
+            ("embeddings", "vec_id"),
+        )
+    }
+    copies = f"(SELECT unnest(range({factor})) AS i)"
+    # `tbl.* REPLACE (...)` keeps the generator schema-agnostic: the
+    # driver ships slimmed TPC-H columns and may reshape them again.
+    shifted = {
+        "region": "SELECT * FROM region",
+        "nation": "SELECT * FROM nation",
+        "customer": f"""SELECT customer.* REPLACE
+            (c_custkey + i * {K['customer']} AS c_custkey)
+            FROM customer, {copies}""",
+        "supplier": f"""SELECT supplier.* REPLACE
+            (s_suppkey + i * {K['supplier']} AS s_suppkey)
+            FROM supplier, {copies}""",
+        "part": f"""SELECT part.* REPLACE
+            (p_partkey + i * {K['part']} AS p_partkey)
+            FROM part, {copies}""",
+        "orders": f"""SELECT orders.* REPLACE
+            (o_orderkey + i * {K['orders']} AS o_orderkey,
+             o_custkey + i * {K['customer']} AS o_custkey)
+            FROM orders, {copies}""",
+        "lineitem": f"""SELECT lineitem.* REPLACE
+            (l_orderkey + i * {K['orders']} AS l_orderkey,
+             l_partkey + i * {K['part']} AS l_partkey,
+             l_suppkey + i * {K['supplier']} AS l_suppkey)
+            FROM lineitem, {copies}""",
+        "events": f"""SELECT events.* REPLACE
+            (event_id + i * {K['events']} AS event_id,
+             ts + i * INTERVAL 1 SECOND AS ts)
+            FROM events, {copies}""",
+        "documents": f"""SELECT documents.* REPLACE
+            (doc_id + i * {K['documents']} AS doc_id)
+            FROM documents, {copies}""",
+        "embeddings": f"""SELECT embeddings.* REPLACE
+            (vec_id + i * {K['embeddings']} AS vec_id)
+            FROM embeddings, {copies}""",
+    }
+    for t, sql in shifted.items():
+        out = os.path.join(out_dir, f"{t}.parquet")
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT parquet)")
+        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"{t}: {n} rows -> {out}")
+
+
+if __name__ == "__main__":
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "sf1",
+    )
+    gen(factor, out)
