@@ -73,23 +73,39 @@ def ann_cosine_topk(spark, sf_dir, k: int = 10):
     happens in exactly the fold order of functions/vector.py ``dot``
     (bit-identical scores; the interpreted JVM higher-order fold was
     ~48k × 64 lambda evaluations and measured ~3× slower than the Arrow
-    round trip). Division + HALF_UP rounding stay JVM-side. Per-query
-    window top-k — TakeOrdered-sized state, no candidate shuffle."""
+    round trip). Division + HALF_UP rounding stay JVM-side.
+
+    Two shuffle/job eliminations vs the r2 shape (VERDICT r4 item 3):
+    (a) query norms are folded in the kernel with the same sequential
+    dim order as ``dot`` (bit-identical doubles), dropping the broadcast
+    join and its separate broadcast-build job; (b) each batch emits only
+    its per-query top-k plus every row within 2e-6 of the k-th unrounded
+    score, instead of all n_batch × n_q pairs. The margin makes pruning
+    EXACT under the later 6-dp HALF_UP rounding: a pruned row r has
+    unrounded s_r < s_kth - 2e-6, and |round6(x) - x| <= 5e-7, so
+    round6(s_r) <= s_r + 5e-7 < s_kth - 1.5e-6 <= round6(s_kth) - 1e-6 —
+    strictly below >= k same-batch rows post-rounding, hence never in
+    the global top-k regardless of the vec_id tie-break. The window
+    input shrinks from n_candidates × n_q to ~n_batches × n_q × k."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    q = _with_norm(_queries(spark, sf_dir), "q_emb", "qnrm")
-    qrows = sorted(q.collect(), key=lambda r: r["query_id"])  # 8 rows
+    qrows = sorted(_queries(spark, sf_dir).collect(), key=lambda r: r["query_id"])
     qids = np.array([r["query_id"] for r in qrows])
     qmat = np.array([r["q_emb"] for r in qrows])  # nq × d
+    qn2 = np.zeros(len(qids))
+    for d in range(qmat.shape[1]):  # same fold order as dot(q, q)
+        qn2 += qmat[:, d] * qmat[:, d]
+    qnrm = np.sqrt(qn2)
 
     def score_batches(batches):
         for pdf in batches:
             E = np.vstack(pdf["emb"].to_numpy())  # n × d
             n = len(pdf)
+            vec_ids = pdf["vec_id"].to_numpy()
             acc = np.zeros((n, len(qids)))
             nrm2 = np.zeros(n)
             for d in range(qmat.shape[1]):  # sequential over dims ==
@@ -97,26 +113,36 @@ def ann_cosine_topk(spark, sf_dir, k: int = 10):
                 acc += col[:, None] * qmat[None, :, d]
                 nrm2 += col * col
             nrm = np.sqrt(nrm2)
+            s = acc / (nrm[:, None] * qnrm[None, :])  # unrounded scores
+            s[vec_ids[:, None] == qids[None, :]] = -np.inf  # self rows out
+            keep_r, keep_c = [], []
+            for j in range(len(qids)):
+                col_s = s[:, j]
+                if n > k:
+                    kth = np.partition(col_s, n - k)[n - k]
+                    idx = np.nonzero(col_s >= kth - 2e-6)[0]
+                else:
+                    idx = np.nonzero(col_s > -np.inf)[0]
+                keep_r.append(idx)
+                keep_c.append(np.full(len(idx), j, dtype=np.int64))
+            ri = np.concatenate(keep_r)
+            ci = np.concatenate(keep_c)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), len(qids)),
-                    "query_id": np.tile(qids, n),
-                    "dotv": acc.ravel(),
-                    "nrm": np.repeat(nrm, len(qids)),
+                    "vec_id": vec_ids[ri],
+                    "query_id": qids[ci],
+                    "dotv": acc[ri, ci],
+                    "nrm": nrm[ri],
+                    "qnrm": qnrm[ci],
                 }
             )
 
-    scored = (
-        emb.mapInPandas(
-            score_batches,
-            "vec_id bigint, query_id bigint, dotv double, nrm double",
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(q.select("query_id", "qnrm")), "query_id")
-        .withColumn(
-            "score",
-            F.round(F.col("dotv") / (F.col("qnrm") * F.col("nrm")), 6),
-        )
+    scored = emb.mapInPandas(
+        score_batches,
+        "vec_id bigint, query_id bigint, dotv double, nrm double, qnrm double",
+    ).withColumn(
+        "score",
+        F.round(F.col("dotv") / (F.col("qnrm") * F.col("nrm")), 6),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (

@@ -109,14 +109,16 @@ def test_shingles_are_zero_shuffle(spark):
 
 
 def test_ann_bruteforce_single_scan_no_shuffle_before_topk(spark):
-    """Brute-force ANN: candidates stream once, queries broadcast; the
-    only exchange is the final per-query top-k window."""
+    """Brute-force ANN: candidates stream once; query vectors AND their
+    norms ride inside the kernel (no broadcast join, no broadcast-build
+    job since r5), and per-batch pruning means the only exchange is the
+    final per-query top-k window over ~batches × n_q × k rows."""
     from data_iceberg_sandbox_spark.operators.similarity import (
         ann_cosine_topk,
     )
 
     df = ann_cosine_topk(spark, SF_ORACLE)
-    assert has_broadcast_join(df)
+    assert not has_broadcast_join(df), physical_plan_excerpt(df)
     assert exchange_count(df) <= 1, physical_plan_excerpt(df)
 
 
