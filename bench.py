@@ -54,7 +54,19 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
-    names = [n for n in HEADLINE if n in queries]
+    headline = HEADLINE
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:  # comma-separated override for quick/partial runs
+        headline = [n.strip() for n in subset.split(",") if n.strip()]
+    names = [n for n in headline if n in queries]
+    if "--self-test-broken" in sys.argv:
+        # prove fault isolation end-to-end: a query that always raises
+        # must show up under "errors" while the rest still get timed
+        def _broken(spark, sf_dir):
+            raise RuntimeError("bench self-test: deliberately broken query")
+
+        queries["__broken__"] = _broken
+        names.append("__broken__")
 
     spark = get_spark_session(
         app_name="bench",
