@@ -208,10 +208,78 @@ FROM with_pii
 """
 
 
+def text_repetition_score(
+    spark, sf_dir, dup_bigram_max: float = 0.2, top_word_max: float = 0.3
+):
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetitious text" filters — public paper): the fraction of
+    word 2-grams that are duplicates and the fraction of tokens taken by
+    the single most frequent word, plus the resulting keep/drop flag.
+
+    Spark-first shape: BOTH signals are computed with higher-order array
+    functions (``transform``/``array_distinct``/``filter``) inside one
+    stateless projection — zero shuffle, fully codegen'd, the same
+    embarrassingly-parallel scan shape as the rest of this file. The
+    top-word count is O(distinct × tokens) per document JVM-side, which
+    beats exploding 100 TB of tokens through a groupBy by orders of
+    magnitude."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+    )
+    top_word_n = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')),"
+        " w -> size(filter(split(text, ' '), x -> x = w))))"
+    )
+    dup_frac = F.when(
+        F.size(bigrams) > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.round(top_word_n / F.size(toks).cast("double"), 6)
+    return docs.select(
+        "doc_id",
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_word_frac"),
+        (
+            (dup_frac <= F.lit(dup_bigram_max)) & (top_frac <= F.lit(top_word_max))
+        ).alias("keep"),
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+b AS (
+  SELECT doc_id, w,
+         list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM t),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(bg) > 0
+              THEN round(1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_bigram_frac,
+         round(list_max(list_transform(list_distinct(w),
+                 u -> len(list_filter(w, x -> x = u))))
+               / CAST(len(w) AS DOUBLE), 6) AS top_word_frac
+  FROM b)
+SELECT doc_id, dup_bigram_frac, top_word_frac,
+       (dup_bigram_frac <= 0.2 AND top_word_frac <= 0.3) AS keep
+FROM s
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE),
     QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE),
     QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ORACLE),
     QuerySpec("text_token_count", text_token_count, TOKEN_COUNT_ORACLE),
     QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_ORACLE),
+    QuerySpec("text_repetition_score", text_repetition_score, TEXT_REPETITION_ORACLE),
 ]

@@ -108,6 +108,17 @@ def test_shingles_are_zero_shuffle(spark):
     assert exchange_count(df) == 0, physical_plan_excerpt(df)
 
 
+def test_repetition_score_zero_shuffle(spark):
+    """Gopher-style repetition signals are one stateless projection —
+    higher-order array functions, no explode/groupBy, zero exchanges."""
+    from data_iceberg_sandbox_spark.operators.textstats import (
+        text_repetition_score,
+    )
+
+    df = text_repetition_score(spark, SF_ORACLE)
+    assert exchange_count(df) == 0, physical_plan_excerpt(df)
+
+
 def test_ann_bruteforce_single_scan_no_shuffle_before_topk(spark):
     """Brute-force ANN: candidates stream once; query vectors AND their
     norms ride inside the kernel (no broadcast join, no broadcast-build
