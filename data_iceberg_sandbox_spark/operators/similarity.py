@@ -461,7 +461,10 @@ def ann_ivf_topk(spark, sf_dir, k: int = 10, nprobe: int = 4, refine_iters: int 
 
 
 _IVF_CAP = 97 * IVF_MAX_CENTROIDS
-ANN_IVF_ORACLE = f"""
+# Shared oracle prefix: seeds → assign → DECIMAL-exact Lloyd mean →
+# re-assign (a1) — the SQL replay of ivf_assign(refine_iters=1). Used by
+# both the IVF ANN oracle and the SemDeDup oracle below.
+_IVF_A1_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
 seeds AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
           WHERE vec_id % 97 = 0 AND vec_id < {_IVF_CAP}),
@@ -485,7 +488,9 @@ a1 AS (SELECT vec_id, emb, cent_id FROM (
            row_number() OVER (PARTITION BY v.vec_id
                ORDER BY round({_cos_sql('v.emb', 'c.cent_emb')}, 6) DESC,
                         c.cent_id) AS rn
-    FROM e v CROSS JOIN cents c) WHERE rn = 1),
+    FROM e v CROSS JOIN cents c) WHERE rn = 1)"""
+
+ANN_IVF_ORACLE = f"""{_IVF_A1_SQL},
 q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
 probes AS (SELECT query_id, q_emb, cent_id FROM (
     SELECT q.query_id, q.q_emb, c.cent_id,
@@ -559,10 +564,77 @@ FROM s
 """
 
 
+def embedding_semdedup(spark, sf_dir, threshold: float = 0.45):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): assign
+    every vector to its nearest Lloyd-refined IVF cell, then inside each
+    cell mark a vector a duplicate when a LOWER-vec_id cellmate has
+    cosine >= threshold; `dup_of` names the smallest such keeper. The
+    prune step (`WHERE NOT is_dup`) is the corpus-reduction pass a
+    training pipeline runs before tokenization.
+
+    Scale: pairwise work is confined to IVF cells (the SemDeDup recipe —
+    cluster count grows with the corpus so cells stay bounded), assignment
+    is one broadcast argmax pass, and the self-join shuffles on cent_id
+    only. Deterministic throughout → the DuckDB twin replays seed →
+    Lloyd → assign → pair verbatim. Default threshold is calibrated to
+    the synthetic testdata corpus (max pairwise cosine ~0.51; real
+    embedding corpora use ~0.95+)."""
+    assigned, _ = ivf_assign(spark, sf_dir)
+    a = _with_norm(assigned, "emb", "na")
+    b = a.select(
+        F.col("vec_id").alias("vb"),
+        "cent_id",
+        F.col("emb").alias("emb_b"),
+        F.col("na").alias("nb"),
+    )
+    dup_of = (
+        a.join(b, "cent_id")
+        .filter(F.col("vb") < F.col("vec_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("emb"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.min("vb").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def embedding_semdedup_oracle_sql(threshold: float = 0.45) -> str:
+    """Oracle generated from the same threshold as the query (the
+    decontaminate_oracle_sql pattern)."""
+    return f"""{_IVF_A1_SQL},
+pairs AS (SELECT a.vec_id, b.vec_id AS vb,
+                 round({_cos_sql('a.emb', 'b.emb')}, 6) AS sim
+          FROM a1 a JOIN a1 b
+            ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id),
+d AS (SELECT vec_id, min(vb) AS dup_of FROM pairs
+      WHERE sim >= {threshold} GROUP BY vec_id)
+SELECT a1.vec_id, a1.cent_id, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+FROM a1 LEFT JOIN d USING (vec_id)
+"""
+
+
+SEMDEDUP_ORACLE = embedding_semdedup_oracle_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("embedding_quantize_int8", embedding_quantize_int8_check, QUANTIZE_ORACLE),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QuerySpec("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_PAIRS_ORACLE),
     QuerySpec("ann_lsh_bucketed", ann_lsh_bucketed, ANN_LSH_ORACLE),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
+    QuerySpec("embedding_semdedup", embedding_semdedup, SEMDEDUP_ORACLE),
 ]

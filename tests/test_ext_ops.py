@@ -20,8 +20,33 @@ from data_iceberg_sandbox_spark.operators.similarity import (
     ann_cosine_topk,
     ann_ivf_topk,
     ann_lsh_bucketed,
+    embedding_semdedup,
 )
 from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_semdedup_invariants(spark):
+    """Keeper ordering and cell containment: a duplicate always points
+    at a LOWER vec_id in the SAME cell, is_dup mirrors dup_of, and an
+    impossible threshold (above the corpus's max pairwise cosine) marks
+    nothing."""
+    df = embedding_semdedup(spark, SF_ORACLE).cache()
+    assert df.filter(F.col("is_dup") != F.col("dup_of").isNotNull()).count() == 0
+    assert df.filter(F.col("dup_of") >= F.col("vec_id")).count() == 0
+    dups = df.filter("is_dup")
+    assert dups.count() > 0  # calibrated default must exercise the path
+    keeper_cells = df.select(
+        F.col("vec_id").alias("dup_of"), F.col("cent_id").alias("keeper_cell")
+    )
+    cross_cell = (
+        dups.join(keeper_cells, "dup_of")
+        .filter(F.col("cent_id") != F.col("keeper_cell"))
+        .count()
+    )
+    assert cross_cell == 0
+    none_marked = embedding_semdedup(spark, SF_ORACLE, threshold=0.99)
+    assert none_marked.filter("is_dup").count() == 0
+    df.unpersist()
 
 
 def _pair_set(df):
