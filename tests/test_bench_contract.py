@@ -1,0 +1,41 @@
+"""bench.py contract (VERDICT r4 item 2): the driver's only perf signal
+is one JSON line on stdout — a broken query must degrade to an `errors`
+entry, never abort the suite (round 4 lost its entire bench signal to a
+single erroring query). Runs the real script in a subprocess on a
+two-query subset at the smallest SF."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_full_json_despite_broken_query():
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_BENCH_QUERIES": "dedup_exact,w_rank_topk",
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--self-test-broken"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["errors"] == {
+        "__broken__": "RuntimeError: bench self-test: deliberately broken query"
+    }
+    assert set(d["queries"]) == {"dedup_exact", "w_rank_topk"}
+    assert all(v > 0 for v in d["queries"].values())
+    assert d["value"] > 0 and d["unit"] == "sec"
+    assert d["floor_sec_per_action"] > 0
+    assert d["total_jobs"] >= 2
