@@ -138,6 +138,27 @@ def physical_plan_excerpt(df):
     return plan[:2000]
 
 
+def test_no_cartesian_product_in_any_pure_query(spark):
+    """Sweep gate: no pure (memoizable) query may compile to a
+    CartesianProduct — the one physical operator that cannot survive a
+    100× scale-up. Bounded broadcast nested-loop joins (tiny dim/query
+    sets, e.g. IVF centroid argmax) are allowed; an unbounded cartesian
+    is a plan bug wherever it appears. Side-effectful specs (lifecycle
+    table builds, streaming runs) are excluded: building their frame
+    executes the side effect."""
+    import __spark_entry__ as entry_mod
+
+    offenders = []
+    for spec in entry_mod._all_specs():
+        if not spec.memo:
+            continue
+        df = spec.fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(spec.name)
+    assert not offenders, offenders
+
+
 def test_partition_pruning_on_laketable(spark, scratch):
     import os
 
