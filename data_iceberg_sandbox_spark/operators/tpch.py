@@ -149,28 +149,60 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
+def _inline_nations(spark, sf_dir, region_name: str | None = None):
+    """Reference-fixed dims inlined at plan build: ``nation`` (25 rows)
+    and ``region`` (5 rows) keep those cardinalities at EVERY scale
+    factor (TPC-H spec; the driver's datagen mirrors it), so collecting
+    them once while the plan is constructed — and memoized WITH the plan
+    (spec.py `_memoized`) — and folding them into a literal IN-list plus
+    a literal nationkey→name lookup map is scale-safe by construction.
+    This is the map-side dimension join without its broadcast-build job:
+    the bench floor decomposition showed each build is a whole
+    per-action floor payment (~40-60 ms local) for a ≤25-row dim.
+    Returns (sorted nationkeys, name dict, map column)."""
+    n = load_table(spark, sf_dir, "nation")
+    if region_name is not None:
+        r = load_table(spark, sf_dir, "region").filter(
+            F.col("r_name") == region_name
+        )
+        n = n.join(r, n.n_regionkey == r.r_regionkey)
+    rows = sorted(
+        n.select("n_nationkey", "n_name").collect(),
+        key=lambda row: row["n_nationkey"],
+    )
+    keys = [row["n_nationkey"] for row in rows]
+    names = {row["n_nationkey"]: row["n_name"] for row in rows}
+    nmap = F.create_map(
+        *[F.lit(x) for row in rows for x in (row["n_nationkey"], row["n_name"])]
+    )
+    return keys, names, nmap
+
+
 def q5_local_supplier_volume(spark, sf_dir):
-    """Revenue per nation where customer and supplier share the nation."""
-    c = load_table(spark, sf_dir, "customer")
+    """Revenue per nation where customer and supplier share the nation.
+    nation⋈region fold into literal predicates (`_inline_nations`):
+    6 jobs → 4, same bit-exact result vs the join-form oracle."""
+    keys, _, nmap = _inline_nations(spark, sf_dir, region_name="ASIA")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(keys)
+    )
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(keys)
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
+        .groupBy("c_nationkey")
         .agg(
             _sum_rev("revenue")
         )
-        .select(F.col("n_name").alias("nation"), "revenue")
+        .select(F.element_at(nmap, F.col("c_nationkey")).alias("nation"), "revenue")
     )
 
 
@@ -223,22 +255,29 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 
 def q10_returned_items(spark, sf_dir):
-    """Top-20 customers by revenue lost to returns (l_returnflag='R')."""
+    """Top-20 customers by revenue lost to returns (l_returnflag='R').
+    The nation name lookup folds to a literal map (`_inline_nations`):
+    grouping moves to c_nationkey (1:1 with n_name), one fewer
+    broadcast-build job, bit-exact vs the join-form oracle."""
+    _, _, nmap = _inline_nations(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy("c_custkey", "c_name", "c_nationkey")
         .agg(
             _sum_rev("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.element_at(nmap, F.col("c_nationkey")).alias("nation"),
+            "revenue",
+        )
     )
 
 

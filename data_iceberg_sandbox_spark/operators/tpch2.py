@@ -24,29 +24,35 @@ def _rev(price, disc):
 
 def q7_volume_shipping(spark, sf_dir):
     """Q7 shape: revenue by (supplier nation, customer nation, year) for
-    two nations' bilateral trade."""
+    two nations' bilateral trade. The two nation-role joins fold into
+    literal key predicates + a literal name map (tpch._inline_nations —
+    nation is reference-fixed at 25 rows for every SF): the bilateral
+    pair filter pushes onto the customer/supplier scans as key IN-lists,
+    two broadcast-build jobs disappear, result bit-exact vs the
+    join-form oracle."""
+    from .tpch import _inline_nations
+
+    _, names, nmap = _inline_nations(spark, sf_dir)
+    key_of = {v: k for k, v in names.items()}
+    k1, k2 = key_of["NATION_1"], key_of["NATION_2"]
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    n1 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin([k1, k2])
     )
-    n2 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin([k1, k2])
     )
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    pair = ((F.col("s_nationkey") == k1) & (F.col("c_nationkey") == k2)) | (
+        (F.col("s_nationkey") == k2) & (F.col("c_nationkey") == k1)
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(pair)
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "s_nationkey", "c_nationkey", F.year("l_shipdate").alias("l_year")
         )
         .agg(
             # exact fixed-point sum (functions/money.py; headline-hot —
@@ -58,6 +64,12 @@ def q7_volume_shipping(spark, sf_dir):
                 ),
                 5,
             ).alias("revenue")
+        )
+        .select(
+            F.element_at(nmap, F.col("s_nationkey")).alias("supp_nation"),
+            F.element_at(nmap, F.col("c_nationkey")).alias("cust_nation"),
+            "l_year",
+            "revenue",
         )
     )
 

@@ -51,9 +51,16 @@ def test_q3_topk_is_take_ordered(spark):
     assert has_take_ordered(df), "ORDER BY+LIMIT must not global-sort"
 
 
-def test_q5_broadcasts_nation_and_region(spark):
+def test_q5_inlines_fixed_dims_and_broadcasts_facts(spark):
+    """q5 after dimension inlining: the fact-side joins still broadcast,
+    but nation/region never appear as execution-time scans — their 30
+    reference-fixed rows fold into literal predicates + a lookup map at
+    plan build (tpch._inline_nations), dropping two broadcast-build
+    jobs per run."""
     df = tpch.q5_local_supplier_volume(spark, SF_ORACLE)
     assert has_broadcast_join(df)
+    schemas = " ".join(read_schemas(df))
+    assert "n_regionkey" not in schemas and "r_name" not in schemas, schemas
 
 
 def test_agg_has_partial_combine(spark):
