@@ -61,17 +61,24 @@ def fraud_alerts(
 def fraud_alerts_enriched(
     spark: SparkSession, sf_dir: str, threshold: float = FRAUD_THRESHOLD
 ) -> DataFrame:
-    """Alerts enriched via 2-hop left outer joins (J1, J2, P1)."""
+    """Alerts enriched via 2-hop left outer joins (J1, J2, P1).
+
+    The second hop (nation, reference-fixed 25 rows at every SF) folds
+    into a literal lookup map (tpch._inline_nations): ``element_at``
+    returns NULL for a missing or NULL key, which is exactly the LEFT
+    JOIN semantics for a unique-key dim — one fewer broadcast-build job
+    per run, bit-exact vs the join-form oracle."""
+    from .tpch import _inline_nations
+
     alerts = fraud_alerts(spark, sf_dir, threshold)
     customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
+    _, _, nmap = _inline_nations(spark, sf_dir)
     return (
         alerts.join(customer, alerts.user_id == customer.c_custkey, "left")
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .select(
             F.col("c_custkey").alias("client_id"),
             F.col("c_name").alias("client_name"),
-            F.col("n_name").alias("client_nation"),
+            F.element_at(nmap, F.col("c_nationkey")).alias("client_nation"),
             "user_id",
             "window_start",
             "window_end",

@@ -150,3 +150,19 @@ def test_category_counts_upsert_on_rerun(spark, scratch):
         ("young", "2024-01-02"): 3,
         ("adult", "2024-01-02"): 70,
     }
+
+
+def test_inlined_nation_lookup_keeps_left_join_null_semantics(spark):
+    """The flagship's second enrichment hop folds nation into a literal
+    map (fraud.py r5): `element_at` must behave exactly like the LEFT
+    JOIN it replaced — NULL key → NULL, key absent from the dim → NULL,
+    present key → the name. The testdata has no orphan users, so the
+    orphan/NULL paths are exercised with synthesized keys here."""
+    from data_iceberg_sandbox_spark.operators.tpch import _inline_nations
+
+    keys, names, nmap = _inline_nations(spark, "/root/testdata/sf0.001")
+    probe = spark.createDataFrame(
+        [(keys[0],), (None,), (10_000,)], "c_nationkey: int"
+    ).select(F.element_at(nmap, F.col("c_nationkey")).alias("n"))
+    got = [r["n"] for r in probe.collect()]
+    assert got == [names[keys[0]], None, None]
