@@ -51,20 +51,25 @@ def _all_specs():
     return specs
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(all-green names, any-row names) across past CORRECTNESS files.
+def _driver_history() -> tuple[dict[str, int], set[str]]:
+    """(name -> round of most recent green row, any-row names).
 
     The driver checks a bounded number of queries per round; enumerating
     never-checked queries first, then checked-but-not-green, then green
-    maximizes proven coverage across rounds.
+    ordered stalest-first makes the full surface re-prove itself every
+    few rounds instead of re-checking the same recent greens forever
+    (the testdata regenerates between rounds, so old greens go stale).
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    last_green: dict[str, int] = {}
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -78,54 +83,24 @@ def _driver_history() -> tuple[set[str], set[str]]:
                 and row.get("schema_match")
                 and row.get("hash_match") is not False
             ):
-                green.add(name)
-    return green, seen
-
-
-# Queries added AFTER the round-1 surface was declared: they still come
-# before already-proven queries, but after the round-1 backlog — so a
-# driver that caps per-round checks proves the longest-outstanding
-# queries first. Remove names once they appear in a CORRECTNESS file.
-_ADDED_LATER = {
-    "avro_roundtrip_transactions",
-    "stream_session_window_mv",
-    "d_tag_read",
-    "d_sorted_rewrite_skipping",
-    "corpus_train_val_split",
-    "corpus_sample_mix",
-    "corpus_pack_sequences",
-    "corpus_decontaminate",
-}
-
-# Queries first declared in round 3: they enumerate AFTER the round-2
-# outstanding backlog above (VERDICT r2: "don't add new queries ahead
-# of them") but before already-proven ones. Remove names once green.
-_ADDED_R3 = {
-    "d_sql_ddl_surface",
-    "d_incremental_read",
-    "json_extract_props",
-    "bm25_rank",
-    "tfidf_top_term",
-    "doc_chunk_sliding",
-}
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, seen
 
 
 def _unchecked_first(d: dict) -> dict:
-    green, seen = _driver_history()
+    last_green, seen = _driver_history()
     order = list(d)
 
     def rank(name: str) -> tuple:
-        if name in green:
-            tier = 4
-        elif name in seen:
-            tier = 1  # had a row but not green: re-prove early-ish
-        elif name in _ADDED_R3:
-            tier = 3  # newest additions: last of the unproven tiers
-        elif name in _ADDED_LATER:
-            tier = 2  # brand-new: after the long-outstanding backlog
-        else:
-            tier = 0  # never checked, declared longest ago
-        return (tier, order.index(name))
+        if name in last_green:
+            # Green queries re-prove stalest-first: a capped driver
+            # cycles the whole surface every ceil(total/cap) rounds.
+            return (2, last_green[name], order.index(name))
+        if name in seen:
+            return (1, 0, order.index(name))  # had a row but never green
+        return (0, 0, order.index(name))  # never checked at all
+        # tier 0/1 names come first so regressions and new queries
+        # always get a driver row the round they appear.
 
     return dict(sorted(d.items(), key=lambda kv: rank(kv[0])))
 
