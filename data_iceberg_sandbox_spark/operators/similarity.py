@@ -113,7 +113,14 @@ def ann_cosine_topk(spark, sf_dir, k: int = 10):
                 acc += col[:, None] * qmat[None, :, d]
                 nrm2 += col * col
             nrm = np.sqrt(nrm2)
-            s = acc / (nrm[:, None] * qnrm[None, :])  # unrounded scores
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = acc / (nrm[:, None] * qnrm[None, :])  # unrounded scores
+            # A zero-norm vector (cosine undefined) yields NaN/inf; NaN
+            # sorts as LARGEST under np.partition, so an unsanitized NaN
+            # kth would make the >= kth-2e-6 mask all-False and silently
+            # drop every candidate in the batch for that query. Map all
+            # non-finite scores to -inf: degenerate rows lose, never win.
+            s[~np.isfinite(s)] = -np.inf
             s[vec_ids[:, None] == qids[None, :]] = -np.inf  # self rows out
             keep_r, keep_c = [], []
             for j in range(len(qids)):

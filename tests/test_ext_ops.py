@@ -180,3 +180,34 @@ def test_real_decode_is_explicitly_stubbed(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_ann_zero_norm_vector_never_corrupts_topk(spark, tmp_path):
+    """A zero-norm embedding (cosine undefined → NaN score) must lose,
+    not poison the batch: NaN sorts as largest under np.partition, so an
+    unsanitized kth==NaN made the prune mask all-False and silently
+    dropped every candidate for that query (ADVICE r5)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 40, 64, 5
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[15] = 0.0  # degenerate candidate (not a query: query ids are 0..7)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = ann_cosine_topk(spark, str(tmp_path), k=k).toPandas()
+    assert set(out["query_id"]) == set(range(8))
+    # every query keeps a full, finite top-k; the zero vector never appears
+    assert (out.groupby("query_id").size() == k).all()
+    assert np.isfinite(out["score"]).all()
+    assert 15 not in set(out["neighbor_id"])

@@ -73,3 +73,47 @@ def test_keys_stay_unique(sf2_dir):
             f" GROUP BY {k} HAVING count(*) > 1)",
         )
         assert dup == 0, f"{t}.{k} collides across shifted copies"
+
+
+def test_replicated_docs_and_vectors_are_perturbed(sf2_dir):
+    """Copies i>0 must not be verbatim clones (ADVICE r5: clone groups
+    inflate dedup pair counts ~factor²) while the base copy i=0 stays
+    byte-identical and cheap invariants hold: text length and vector
+    norm are preserved by the cyclic rotations."""
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.1"
+    n_docs = _one(con, f"SELECT count(*) FROM '{src}/documents.parquet'")
+    base_same = _one(
+        con,
+        f"SELECT count(*) FROM '{src}/documents.parquet' s"
+        f" JOIN '{sf2_dir}/documents.parquet' d USING (doc_id)"
+        " WHERE s.text = d.text AND s.doc_id < 1e18",
+    )
+    assert base_same == n_docs  # copy 0 verbatim
+    len_ok, identical = con.execute(
+        f"SELECT count(*) FILTER (WHERE length(d.text) = length(s.text)),"
+        f" count(*) FILTER (WHERE d.text = s.text)"
+        f" FROM '{src}/documents.parquet' s"
+        f" JOIN '{sf2_dir}/documents.parquet' d ON d.doc_id = s.doc_id + {n_docs}"
+    ).fetchone()
+    assert len_ok == n_docs  # rotation preserves length exactly
+    # multi-word docs must differ; only 0/1-word docs may pass through
+    multiword = _one(
+        con,
+        f"SELECT count(*) FROM '{src}/documents.parquet'"
+        " WHERE len(string_split(text, ' ')) >= 2",
+    )
+    assert identical <= n_docs - multiword
+
+    n_vec = _one(con, f"SELECT count(*) FROM '{src}/embeddings.parquet'")
+    norm_delta, mean_cos, vec_identical = con.execute(
+        f"SELECT max(abs(list_inner_product(s.embedding, s.embedding)"
+        " - list_inner_product(d.embedding, d.embedding))),"
+        " avg(abs(list_cosine_similarity(s.embedding, d.embedding))),"
+        " count(*) FILTER (WHERE s.embedding = d.embedding)"
+        f" FROM '{src}/embeddings.parquet' s"
+        f" JOIN '{sf2_dir}/embeddings.parquet' d ON d.vec_id = s.vec_id + {n_vec}"
+    ).fetchone()
+    assert norm_delta < 1e-5  # rotation preserves the norm
+    assert vec_identical == 0
+    assert mean_cos < 0.3  # copies are decorrelated, not near-dups

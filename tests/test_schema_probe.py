@@ -48,9 +48,15 @@ def test_event_time_instant_unchanged_by_normalization(spark, sf_dir):
     duckdb = pytest.importorskip("duckdb")
     from pyspark.sql import functions as F
 
+    # Compare epoch MICROS, not collected datetimes: toPandas/collect
+    # render timestamps in the driver's OS-local timezone, so a Python-
+    # datetime comparison only holds on a UTC box (ADVICE r5).
     df = load_table(spark, sf_dir, "events")
-    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    lo, hi = df.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
     dlo, dhi = duckdb.sql(
-        f"SELECT min(ts), max(ts) FROM '{sf_dir}/events.parquet'"
+        f"SELECT epoch_us(min(ts)), epoch_us(max(ts))"
+        f" FROM '{sf_dir}/events.parquet'"
     ).fetchone()
-    assert lo.replace(tzinfo=None) == dlo and hi.replace(tzinfo=None) == dhi
+    assert (lo, hi) == (dlo, dhi)

@@ -71,12 +71,36 @@ def gen(factor: int, out_dir: str) -> None:
             (event_id + i * {K['events']} AS event_id,
              ts + i * INTERVAL 1 SECOND AS ts)
             FROM events, {copies}""",
-        "documents": f"""SELECT documents.* REPLACE
-            (doc_id + i * {K['documents']} AS doc_id)
-            FROM documents, {copies}""",
-        "embeddings": f"""SELECT embeddings.* REPLACE
-            (vec_id + i * {K['embeddings']} AS vec_id)
-            FROM embeddings, {copies}""",
+        # Copies i>0 of documents/embeddings are deterministically
+        # PERTURBED (ADVICE r5): verbatim replication would give every
+        # doc/vector `factor` exact clones, so dedup/similarity pair
+        # counts grow ~factor² inside clone groups — a workload shape no
+        # real corpus has, which flattered the sf1 "ratio falls with
+        # scale" headline for those rows. A key-derived cyclic rotation
+        # (words for text, dimensions for vectors) preserves length,
+        # token multiset, and vector norm — so token/quality/ANN-query
+        # distributions are unchanged — while rewriting the shingle set
+        # and decorrelating the cosine, killing the clone structure.
+        # Copy i=0 stays verbatim: the base corpus (and its deliberate
+        # near-dup pairs) is preserved exactly.
+        "documents": f"""SELECT d.* EXCLUDE (i, w, off) REPLACE
+            (doc_id + i * {K['documents']} AS doc_id,
+             CASE WHEN i = 0 OR len(w) < 2 THEN text
+                  ELSE array_to_string(
+                      list_concat(w[off + 1:], w[1:off]), ' ')
+             END AS text)
+            FROM (SELECT documents.*, i,
+                         string_split(text, ' ') AS w,
+                         1 + (i * 7 + doc_id) % greatest(len(string_split(text, ' ')) - 1, 1) AS off
+                  FROM documents, {copies}) d""",
+        "embeddings": f"""SELECT e.* EXCLUDE (i, r) REPLACE
+            (vec_id + i * {K['embeddings']} AS vec_id,
+             CASE WHEN i = 0 OR len(embedding) < 2 THEN embedding
+                  ELSE list_concat(embedding[r + 1:], embedding[1:r])
+             END AS embedding)
+            FROM (SELECT embeddings.*, i,
+                         1 + (i * 11 + vec_id) % greatest(len(embedding) - 1, 1) AS r
+                  FROM embeddings, {copies}) e""",
     }
     for t, sql in shifted.items():
         out = os.path.join(out_dir, f"{t}.parquet")
