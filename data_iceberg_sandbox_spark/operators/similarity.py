@@ -67,31 +67,39 @@ def ann_cosine_topk(spark, sf_dir, k: int = 10):
     """Brute-force cosine top-k per query vector (the exact baseline).
 
     Plan: the tiny query set (8×64 doubles) rides into an Arrow-batched
-    ``mapInPandas`` kernel over ONE streamed scan of the candidates —
-    each batch scores all queries against its vectors with vectorized
-    numpy, accumulating dim-by-dim in float64 so every add/multiply
-    happens in exactly the fold order of functions/vector.py ``dot``
-    (bit-identical scores; the interpreted JVM higher-order fold was
-    ~48k × 64 lambda evaluations and measured ~3× slower than the Arrow
-    round trip). Division + HALF_UP rounding stay JVM-side.
+    ``mapInArrow`` kernel over ONE streamed scan of the candidates.
+    Emitted (dot, norm) values are accumulated dim-by-dim in float64 so
+    every add/multiply happens in exactly the fold order of
+    functions/vector.py ``dot`` (bit-identical scores vs the DuckDB
+    ``list_inner_product`` oracle; the interpreted JVM higher-order fold
+    was ~48k × 64 lambda evaluations, ~3× slower than the Arrow round
+    trip). Division + HALF_UP rounding stay JVM-side.
 
-    Two shuffle/job eliminations vs the r2 shape (VERDICT r4 item 3):
-    (a) query norms are folded in the kernel with the same sequential
-    dim order as ``dot`` (bit-identical doubles), dropping the broadcast
-    join and its separate broadcast-build job; (b) each batch emits only
-    its per-query top-k plus every row within 2e-6 of the k-th unrounded
-    score, instead of all n_batch × n_q pairs. The margin makes pruning
-    EXACT under the later 6-dp HALF_UP rounding: a pruned row r has
-    unrounded s_r < s_kth - 2e-6, and |round6(x) - x| <= 5e-7, so
-    round6(s_r) <= s_r + 5e-7 < s_kth - 1.5e-6 <= round6(s_kth) - 1e-6 —
-    strictly below >= k same-batch rows post-rounding, hence never in
-    the global top-k regardless of the vec_id tie-break. The window
-    input shrinks from n_candidates × n_q to ~n_batches × n_q × k."""
+    Python-stage cost engineering (VERDICT r5 item 5 — profiled at sf1:
+    ~70% of query time was the JVM→Python transfer, not compute):
+    (a) the scan ships raw float32 over ``mapInArrow`` — no JVM-side
+    double cast, half the bytes, zero-copy numpy view on the Arrow
+    values buffer; widening float32→float64 in numpy is exact, so the
+    fold consumes bit-identical inputs; (b) candidate selection uses a
+    fast matmul approximation and the exact sequential fold is
+    recomputed only for the ~n_q×k kept rows per batch (the fold is
+    per-row independent, so the subset recompute is bit-identical to a
+    full-batch fold); (c) each batch emits only its per-query top-k
+    plus every row within 2e-6 + 1e-9 of the k-th approximate score.
+    The margin keeps pruning EXACT: by Cauchy-Schwarz Σ|x_d q_d| <=
+    ||x||·||q||, so |s_apx - s_exact| <= ~70·eps ≈ 1.6e-14 per score —
+    a row pruned under the widened margin has exact s_r < s_kth - 2e-6,
+    and |round6(x) - x| <= 5e-7 then gives round6(s_r) <
+    round6(s_kth) - 1e-6: strictly below >= k same-batch rows
+    post-rounding, hence never in the global top-k regardless of the
+    vec_id tie-break. Extra emitted rows are always safe (the window
+    ranks them out); only under-emission would be a correctness bug.
+    The window input shrinks from n_candidates × n_q to ~batches×n_q×k."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
+        "vec_id", F.col("embedding").alias("emb")
     )
     qrows = sorted(_queries(spark, sf_dir).collect(), key=lambda r: r["query_id"])
     qids = np.array([r["query_id"] for r in qrows])
@@ -100,51 +108,65 @@ def ann_cosine_topk(spark, sf_dir, k: int = 10):
     for d in range(qmat.shape[1]):  # same fold order as dot(q, q)
         qn2 += qmat[:, d] * qmat[:, d]
     qnrm = np.sqrt(qn2)
+    nq = len(qids)
 
     def score_batches(batches):
-        for pdf in batches:
-            E = np.vstack(pdf["emb"].to_numpy())  # n × d
-            n = len(pdf)
-            vec_ids = pdf["vec_id"].to_numpy()
-            acc = np.zeros((n, len(qids)))
-            nrm2 = np.zeros(n)
-            for d in range(qmat.shape[1]):  # sequential over dims ==
-                col = E[:, d]  # the exact fold order of dot()
-                acc += col[:, None] * qmat[None, :, d]
-                nrm2 += col * col
-            nrm = np.sqrt(nrm2)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec_ids = np.asarray(b.column(0))
+            flat = b.column(1).flatten()  # offset-aware list flatten
+            E = np.asarray(flat).reshape(n, -1).astype(np.float64, copy=False)
+            # Approximate scores: BLAS matmul (pairwise summation), only
+            # ever used to SELECT candidates, never emitted.
+            dot_apx = E @ qmat.T
+            nrm = np.sqrt((E * E).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
-                s = acc / (nrm[:, None] * qnrm[None, :])  # unrounded scores
+                s = dot_apx / (nrm[:, None] * qnrm[None, :])
             # A zero-norm vector (cosine undefined) yields NaN/inf; NaN
             # sorts as LARGEST under np.partition, so an unsanitized NaN
-            # kth would make the >= kth-2e-6 mask all-False and silently
+            # kth would make the >= kth-margin mask all-False and silently
             # drop every candidate in the batch for that query. Map all
             # non-finite scores to -inf: degenerate rows lose, never win.
             s[~np.isfinite(s)] = -np.inf
             s[vec_ids[:, None] == qids[None, :]] = -np.inf  # self rows out
             keep_r, keep_c = [], []
-            for j in range(len(qids)):
+            for j in range(nq):
                 col_s = s[:, j]
                 if n > k:
                     kth = np.partition(col_s, n - k)[n - k]
-                    idx = np.nonzero(col_s >= kth - 2e-6)[0]
+                    idx = np.nonzero(col_s >= kth - (2e-6 + 1e-9))[0]
                 else:
                     idx = np.nonzero(col_s > -np.inf)[0]
                 keep_r.append(idx)
                 keep_c.append(np.full(len(idx), j, dtype=np.int64))
             ri = np.concatenate(keep_r)
             ci = np.concatenate(keep_c)
-            yield pd.DataFrame(
-                {
-                    "vec_id": vec_ids[ri],
-                    "query_id": qids[ci],
-                    "dotv": acc[ri, ci],
-                    "nrm": nrm[ri],
-                    "qnrm": qnrm[ci],
-                }
+            # Exact refine: sequential dim-by-dim fold over ONLY the kept
+            # rows — per-element accumulation order is row-independent,
+            # so these doubles equal a full-batch fold bit for bit.
+            kept_rows, inv = np.unique(ri, return_inverse=True)
+            Ek = E[kept_rows]
+            acc = np.zeros((len(kept_rows), nq))
+            nrm2 = np.zeros(len(kept_rows))
+            for d in range(qmat.shape[1]):
+                col = Ek[:, d]
+                acc += col[:, None] * qmat[None, :, d]
+                nrm2 += col * col
+            nrm_x = np.sqrt(nrm2)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids[ri], pa.int64()),
+                    pa.array(qids[ci], pa.int64()),
+                    pa.array(acc[inv, ci], pa.float64()),
+                    pa.array(nrm_x[inv], pa.float64()),
+                    pa.array(qnrm[ci], pa.float64()),
+                ],
+                ["vec_id", "query_id", "dotv", "nrm", "qnrm"],
             )
 
-    scored = emb.mapInPandas(
+    scored = emb.mapInArrow(
         score_batches,
         "vec_id bigint, query_id bigint, dotv double, nrm double, qnrm double",
     ).withColumn(
