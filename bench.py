@@ -68,24 +68,36 @@ def main() -> None:
         queries["__broken__"] = _broken
         names.append("__broken__")
 
+    # Local-bench sizing scales with the SF under test — exactly what a
+    # cluster deployment does (conf sized by executor count / data
+    # volume, AQE on at real scale):
+    #   sf<=0.1 (17 MB): the cluster default (128 MB splits) serializes
+    #     every scan onto one core — 4 MB splits give each core work
+    #     while keeping the pinned cache at a handful of partitions; 4
+    #     post-shuffle partitions keep stage scheduling overhead ~0. AQE
+    #     off: at 17 MB its per-stage re-optimization rounds cost more
+    #     than they save (measured ~10-15%; it cannot change these
+    #     already-broadcast plans). Note (ADVICE r2): with AQE off, q17 —
+    #     whose docstring defers its per-partkey aggregate join sizing to
+    #     AQE — would run the conservative shuffle-join shape; q17 is not
+    #     in HEADLINE, so no timed number depends on AQE sizing.
+    #   sf>=1 (175 MB+): wide aggs/joins move real row volume, so the
+    #     post-shuffle width rises toward the core count and splits grow
+    #     so the scan task count stays O(cores), not O(hundreds).
+    # Both knobs stay env-overridable for tuning sweeps.
+    if sf >= 10:
+        _shuffle, _split = 32, "32m"
+    elif sf >= 1:
+        _shuffle, _split = 8, "8m"
+    else:
+        _shuffle, _split = 4, "4m"
+    _shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _shuffle))
+    _split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", _split)
     spark = get_spark_session(
         app_name="bench",
-        # Local-bench sizing: the sf0.1 files are 0.3-11 MB, so the cluster
-        # default (128 MB splits) serializes every scan onto one core. 4 MB
-        # splits give each core work while keeping the pinned cache at a
-        # handful of partitions; 4 post-shuffle partitions keep stage
-        # scheduling overhead ~0 at this volume. AQE is off for the timed
-        # batch section: at 17 MB its per-stage re-optimization rounds cost
-        # more than they save (measured ~10-15%; it cannot change these
-        # already-broadcast plans). Note (ADVICE r2): with AQE off, q17 —
-        # whose docstring defers its per-partkey aggregate join sizing to
-        # AQE — would run the conservative shuffle-join shape; q17 is not
-        # in HEADLINE, so no timed number here depends on AQE sizing.
-        # On a real cluster all of these revert to defaults sized by
-        # executor count / data volume, AQE on.
-        shuffle_partitions=4,
+        shuffle_partitions=_shuffle,
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.maxPartitionBytes": _split,
             "spark.sql.files.openCostInBytes": "262144",
             "spark.scheduler.mode": "FAIR",
             "spark.sql.adaptive.enabled": "false",
