@@ -174,7 +174,10 @@ def main() -> None:
                     jobs_before_last = len(tracker.getJobIdsForGroup(group))
                 t0 = time.perf_counter()
                 materialize(queries[n](spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
+                    print(f"  [run {run}] {n}: {dt:.3f}", file=sys.stderr)
+                best = min(best, dt)
             times[n] = round(best, 4)
             jobs_per_query[n] = (
                 len(tracker.getJobIdsForGroup(group)) - jobs_before_last
