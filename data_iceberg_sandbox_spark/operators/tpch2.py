@@ -46,10 +46,21 @@ def q7_volume_shipping(spark, sf_dir):
     pair = ((F.col("s_nationkey") == k1) & (F.col("c_nationkey") == k2)) | (
         (F.col("s_nationkey") == k2) & (F.col("c_nationkey") == k1)
     )
+    # Join order is the scale lever here: broadcast the nation-pruned
+    # dims into their facts FIRST (each fact drops to ~2/25 of its
+    # rows), THEN shuffle-join the two reduced facts on orderkey —
+    # ~12x less shuffle volume than lineitem><orders-first, and the
+    # width of the exchange is trimmed to the five columns the agg
+    # needs. Inner equi-joins commute, so the result is unchanged.
+    li_f = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount",
+        "s_nationkey",
+    )
+    o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
         .filter(pair)
         .groupBy(
             "s_nationkey", "c_nationkey", F.year("l_shipdate").alias("l_year")
