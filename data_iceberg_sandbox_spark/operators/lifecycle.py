@@ -510,6 +510,88 @@ WHERE n_regionkey < 2
 """
 
 
+def d_bucketed_colocated_join(spark, sf_dir):
+    """Bucketed co-located join — the cluster-scale shuffle eliminator.
+
+    Both fact tables are written ``bucketBy(8, orderkey).sortBy(orderkey)``
+    into the session catalog, then joined on the bucket key with a
+    sort-merge hint (a broadcast would make the demo vacuous at test SF).
+    Because both sides report identical hash-partitioned output from the
+    bucketed scan, ``EnsureRequirements`` inserts NO pre-join exchange:
+    at 100 TB this is the difference between re-shuffling every fact
+    byte per join and reading co-located buckets in place. The plan
+    property is asserted fail-loud here (exactly one Exchange — the
+    post-join aggregate's); the joined content is the driver-checked
+    oracle.
+
+    Reference parity: the reference's lakehouse tables declare
+    distribution/sort metadata at create time (SURVEY §2.8 D1/D7 —
+    write-time clustering); bucketed saveAsTable is the Spark-native
+    equivalent with the join-time payoff."""
+    ns = "bucketed_ns"
+    loc = os.path.join(SCRATCH, "bucketed_ns")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {ns} LOCATION '{loc}'")
+    for tbl in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {ns}.{tbl}")
+        d = os.path.join(loc, tbl)
+        if os.path.isdir(d):  # stale files from a crashed session
+            shutil.rmtree(d)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{ns}.orders_b")
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{ns}.lineitem_b")
+    )
+    from ..functions.money import fixed, unscale
+
+    li = spark.table(f"{ns}.lineitem_b").hint("merge")
+    o = spark.table(f"{ns}.orders_b").hint("merge")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            unscale(
+                F.sum(
+                    fixed(F.col("l_extendedprice"), 2)
+                    * (F.lit(1000) - fixed(F.col("l_discount"), 3))
+                ),
+                5,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    from ..plans.inspect import exchange_count
+
+    n_exchanges = exchange_count(joined)
+    if n_exchanges > 1:
+        raise AssertionError(
+            "bucketed join must not shuffle before the aggregate: "
+            f"expected <=1 Exchange (post-join agg), plan has {n_exchanges}"
+        )
+    return joined
+
+
+D_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE, memo=False),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
@@ -527,4 +609,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d7_compact", d7_compact, D7_ORACLE, memo=False),
     QuerySpec("d8_expire_snapshots", d8_expire_snapshots, D8_ORACLE, memo=False),
     QuerySpec("d_sql_ddl_surface", d_sql_ddl_surface, DDL_SURFACE_ORACLE, memo=False),
+    QuerySpec("d_bucketed_colocated_join", d_bucketed_colocated_join, D_BUCKETED_ORACLE, memo=False),
 ]

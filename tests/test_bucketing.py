@@ -49,3 +49,22 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed):
     li = spark.table("b_lineitem")
     agg = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
     assert exchange_count(agg) == 0, "bucketed groupBy must not shuffle"
+
+
+def test_bucketed_colocated_join_query(spark):
+    # the driver-facing query asserts <=1 Exchange itself (fail-loud);
+    # here we additionally pin that the single exchange is the post-join
+    # aggregate's, i.e. the join runs co-located on bucketed scans
+    from data_iceberg_sandbox_spark.operators.lifecycle import (
+        d_bucketed_colocated_join,
+    )
+    from data_iceberg_sandbox_spark.plans.inspect import (
+        has_sort_merge_join,
+        physical_plan,
+    )
+
+    df = d_bucketed_colocated_join(spark, SF_ORACLE)
+    assert has_sort_merge_join(df), "bucketed demo must not broadcast"
+    assert exchange_count(df) <= 1
+    assert "BroadcastExchange" not in physical_plan(df)
+    assert df.count() > 0
