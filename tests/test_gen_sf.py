@@ -76,10 +76,13 @@ def test_keys_stay_unique(sf2_dir):
 
 
 def test_replicated_docs_and_vectors_are_perturbed(sf2_dir):
-    """Copies i>0 must not be verbatim clones (ADVICE r5: clone groups
-    inflate dedup pair counts ~factor²) while the base copy i=0 stays
-    byte-identical and cheap invariants hold: text length and vector
-    norm are preserved by the cyclic rotations."""
+    """Copies i>0 must not be NEAR-dup clones of the base (ADVICE r5 +
+    r6 follow-up: verbatim clones — and the earlier cyclic rotation,
+    which preserves ~all 5-shingles — inflate dedup pair counts
+    ~factor² in clone groups). The copy-keyed word replacement must
+    drive cross-copy shingle Jaccard to ~0 while preserving word count;
+    the base copy i=0 stays byte-identical; vector rotations preserve
+    norms and all WITHIN-copy inner products exactly."""
     con = duckdb.connect()
     src = "/root/testdata/sf0.1"
     n_docs = _one(con, f"SELECT count(*) FROM '{src}/documents.parquet'")
@@ -90,20 +93,31 @@ def test_replicated_docs_and_vectors_are_perturbed(sf2_dir):
         " WHERE s.text = d.text AND s.doc_id < 1e18",
     )
     assert base_same == n_docs  # copy 0 verbatim
-    len_ok, identical = con.execute(
-        f"SELECT count(*) FILTER (WHERE length(d.text) = length(s.text)),"
+    words_ok, identical = con.execute(
+        f"SELECT count(*) FILTER (WHERE len(string_split(d.text, ' '))"
+        "                         = len(string_split(s.text, ' '))),"
         f" count(*) FILTER (WHERE d.text = s.text)"
         f" FROM '{src}/documents.parquet' s"
         f" JOIN '{sf2_dir}/documents.parquet' d ON d.doc_id = s.doc_id + {n_docs}"
     ).fetchone()
-    assert len_ok == n_docs  # rotation preserves length exactly
-    # multi-word docs must differ; only 0/1-word docs may pass through
-    multiword = _one(
-        con,
-        f"SELECT count(*) FROM '{src}/documents.parquet'"
-        " WHERE len(string_split(text, ' ')) >= 2",
-    )
-    assert identical <= n_docs - multiword
+    assert words_ok == n_docs  # word count preserved exactly
+    assert identical == 0
+    # the property that kills the factor² pair blowup: no 5-shingle of a
+    # copy survives vs its base doc, so cross-copy Jaccard ~ 0
+    max_j = con.execute(
+        f"""WITH sh AS (SELECT doc_id % {n_docs} AS base, doc_id,
+              list_distinct(list_transform(
+                  range(greatest(len(string_split(text,' ')) - 4, 1)),
+                  i -> array_to_string(string_split(text,' ')[i+1:i+5], ' ')
+              )) AS s
+            FROM '{sf2_dir}/documents.parquet'
+            WHERE doc_id % {n_docs} IN (3, 17, 41)
+              AND len(string_split(text, ' ')) >= 10)
+        SELECT max(len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s))))
+        FROM sh a JOIN sh b ON a.base = b.base AND a.doc_id < b.doc_id"""
+    ).fetchone()[0]
+    assert max_j is not None and max_j < 0.05
 
     n_vec = _one(con, f"SELECT count(*) FROM '{src}/embeddings.parquet'")
     norm_delta, mean_cos, vec_identical = con.execute(
@@ -117,3 +131,17 @@ def test_replicated_docs_and_vectors_are_perturbed(sf2_dir):
     assert norm_delta < 1e-5  # rotation preserves the norm
     assert vec_identical == 0
     assert mean_cos < 0.3  # copies are decorrelated, not near-dups
+    # the uniform per-copy rotation preserves WITHIN-copy structure
+    # exactly: cos(copy_i(u), copy_i(v)) == cos(u, v), so neardup /
+    # semdedup pair counts scale linearly with factor
+    within_delta = con.execute(
+        f"""SELECT max(abs(
+              list_cosine_similarity(s1.embedding, s2.embedding)
+            - list_cosine_similarity(d1.embedding, d2.embedding)))
+        FROM '{src}/embeddings.parquet' s1
+        JOIN '{src}/embeddings.parquet' s2 ON s2.vec_id = s1.vec_id + 1
+        JOIN '{sf2_dir}/embeddings.parquet' d1 ON d1.vec_id = s1.vec_id + {n_vec}
+        JOIN '{sf2_dir}/embeddings.parquet' d2 ON d2.vec_id = s2.vec_id + {n_vec}
+        WHERE s1.vec_id < 50"""
+    ).fetchone()[0]
+    assert within_delta < 1e-5

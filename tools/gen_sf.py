@@ -72,34 +72,53 @@ def gen(factor: int, out_dir: str) -> None:
              ts + i * INTERVAL 1 SECOND AS ts)
             FROM events, {copies}""",
         # Copies i>0 of documents/embeddings are deterministically
-        # PERTURBED (ADVICE r5): verbatim replication would give every
-        # doc/vector `factor` exact clones, so dedup/similarity pair
-        # counts grow ~factor² inside clone groups — a workload shape no
-        # real corpus has, which flattered the sf1 "ratio falls with
-        # scale" headline for those rows. A key-derived cyclic rotation
-        # (words for text, dimensions for vectors) preserves length,
-        # token multiset, and vector norm — so token/quality/ANN-query
-        # distributions are unchanged — while rewriting the shingle set
-        # and decorrelating the cosine, killing the clone structure.
-        # Copy i=0 stays verbatim: the base corpus (and its deliberate
-        # near-dup pairs) is preserved exactly.
-        "documents": f"""SELECT d.* EXCLUDE (i, w, off) REPLACE
+        # PERTURBED so that near-dup structure scales LINEARLY with the
+        # corpus, the way a bigger crawl does. Verbatim replication (and
+        # the earlier cyclic word rotation, which preserves ~all
+        # 5-shingles of the circular word sequence — measured J=0.9 vs
+        # the base copy) gives every doc `factor` near-clones, so dedup
+        # pair counts grow ~factor² inside clone groups — a workload
+        # shape no real corpus has, and one that turns any sfN dedup
+        # bench into a quadratic pair-materialization contest.
+        #
+        # documents: copy i>0 replaces every word at position p with
+        # (p-1) % 3 == i % 3 by a copy-keyed token. Any 5-gram contains
+        # a replaced position, and replacement tokens differ per copy,
+        # so cross-copy shingle Jaccard ~= 0 — while two ALIGNED base
+        # docs (the driver's deliberate near-dup pairs) get identical
+        # replacements at identical positions, so each copy contributes
+        # its own version of every base near-dup pair: pairs scale
+        # ~linearly with factor. Word count is preserved exactly.
+        #
+        # embeddings: copy i>0 cyclically rotates EVERY vector of the
+        # copy by the same copy-derived offset — a permutation applied
+        # uniformly preserves all within-copy inner products exactly
+        # (norms, neardup/semdedup pair structure) while decorrelating
+        # vectors across copies. Copy i=0 stays verbatim in both tables.
+        "documents": f"""SELECT d.* EXCLUDE (i, w) REPLACE
             (doc_id + i * {K['documents']} AS doc_id,
-             CASE WHEN i = 0 OR len(w) < 2 THEN text
-                  ELSE array_to_string(
-                      list_concat(w[off + 1:], w[1:off]), ' ')
+             CASE WHEN i = 0 THEN text
+                  ELSE array_to_string(list_transform(w, (x, p) ->
+                      CASE WHEN (p - 1) % 3 = i % 3
+                           THEN 'x' || (i * 131071 + p) % 999983
+                           ELSE x END), ' ')
              END AS text)
-            FROM (SELECT documents.*, i,
-                         string_split(text, ' ') AS w,
-                         1 + (i * 7 + doc_id) % greatest(len(string_split(text, ' ')) - 1, 1) AS off
+            FROM (SELECT documents.*, i, string_split(text, ' ') AS w
                   FROM documents, {copies}) d""",
+        # (the odd-copy sign flip keeps copies with colliding rotation
+        # offsets — i and i+dims-1 — from being bit-identical clones;
+        # a uniform flip mask per copy preserves within-copy inner
+        # products and norms exactly)
         "embeddings": f"""SELECT e.* EXCLUDE (i, r) REPLACE
             (vec_id + i * {K['embeddings']} AS vec_id,
              CASE WHEN i = 0 OR len(embedding) < 2 THEN embedding
-                  ELSE list_concat(embedding[r + 1:], embedding[1:r])
+                  ELSE list_transform(
+                      list_concat(embedding[r + 1:], embedding[1:r]),
+                      (x, p) -> CASE WHEN i % 2 = 1 AND p % 2 = 1
+                                THEN -x ELSE x END)
              END AS embedding)
             FROM (SELECT embeddings.*, i,
-                         1 + (i * 11 + vec_id) % greatest(len(embedding) - 1, 1) AS r
+                         1 + (i * 11) % greatest(len(embedding) - 1, 1) AS r
                   FROM embeddings, {copies}) e""",
     }
     for t, sql in shifted.items():
