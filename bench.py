@@ -218,6 +218,7 @@ def main() -> None:
     # after the streaming/load phases have churned all cores), so the
     # spark/duckdb ratio is same-conditions.
     duckdb_sequential = None
+    duckdb_queries: dict[str, float] = {}
     try:
         import duckdb
 
@@ -241,6 +242,7 @@ def main() -> None:
                     con.execute(oracles[n]).fetchall()
                     best = min(best, time.perf_counter() - t0)
                 dtot += best
+                duckdb_queries[n] = round(best, 4)
             except Exception:  # one broken oracle must not kill the ratio
                 pass
         duckdb_sequential = round(dtot, 4)
@@ -318,6 +320,7 @@ def main() -> None:
                 "streaming_events_per_sec": stream_eps,
                 "batch_load_rows_per_sec": load_rows_per_sec,
                 "duckdb_sequential_sec_same_sql": duckdb_sequential,
+                "duckdb_queries": duckdb_queries or None,
                 "notes": (
                     "concurrent_wall_sec is the scale-representative "
                     "headline: sequential latency at 17 MB is dominated by "
