@@ -141,9 +141,14 @@ def q3_shipping_priority(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # Broadcast the segment-filtered customer dim into orders BEFORE the
+    # orderkey shuffle: the exchange then carries ~1/5 of orders (and
+    # only the three columns the agg needs) instead of the whole table.
+    o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(o_f, li.l_orderkey == o_f.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             _sum_rev("revenue")
@@ -215,10 +220,25 @@ def q5_local_supplier_volume(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(keys)
     )
+    # Same scale lever as q7: broadcast the pruned dims into their facts
+    # FIRST (orders is already date-filtered; the region's customers cut
+    # it to a few %, the region's suppliers cut lineitem to ~1/5), THEN
+    # shuffle-join the two reduced facts on orderkey with the
+    # same-nation predicate riding on the join. Inner equi-joins
+    # commute, so the result is unchanged; the orderkey exchange moves
+    # ~10x fewer bytes.
+    li_f = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey"
+    )
+    o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        li_f.join(
+            o_f,
+            (li_f.l_orderkey == o_f.o_orderkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("c_nationkey")
         .agg(
             _sum_rev("revenue")
@@ -284,15 +304,20 @@ def q10_returned_items(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
+    # Top-k pushdown: the grouping keys (c_custkey, c_name, c_nationkey)
+    # are 1:1 with o_custkey, so aggregate revenue by o_custkey and take
+    # the top 20 (same tiebreak) BEFORE touching the customer table —
+    # the name/nation lookup then joins 20 rows by broadcast instead of
+    # dragging every customer's name through the shuffle and agg.
+    rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "c_nationkey")
-        .agg(
-            _sum_rev("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(_sum_rev("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
         .limit(20)
+    )
+    return (
+        c.join(F.broadcast(rev), rev.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
