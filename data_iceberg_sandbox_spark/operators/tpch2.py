@@ -469,6 +469,39 @@ WHERE share > 0.15
 """
 
 
+def q13_customer_distribution(spark, sf_dir):
+    """Q13 shape: distribution of per-customer order counts, including
+    zero-order customers (o_orderpriority <> '1-URGENT' substitutes the
+    reference schema's missing o_comment NOT LIKE filter).
+
+    Scale shape: orders is aggregated to (custkey, count) BEFORE the
+    customer join — the exchange carries one row per active customer
+    instead of one per order, and the left join that manufactures the
+    zero bucket runs between two customer-cardinality sides. The final
+    distribution agg is a ~tiny second exchange."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    cnts = o.groupBy("o_custkey").agg(F.count("*").alias("c_count"))
+    return (
+        c.join(cnts, c.c_custkey == cnts.o_custkey, "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q2_cheapest_supplier", q2_cheapest_supplier, Q2_ORACLE),
     QuerySpec("tpch_q20_volume_share", q20_volume_share_suppliers, Q20_ORACLE),
@@ -480,4 +513,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q15_top_supplier", q15_top_supplier, Q15_ORACLE),
     QuerySpec("tpch_q17_small_quantity", q17_small_quantity, Q17_ORACLE),
     QuerySpec("tpch_q22_sales_opportunity", q22_global_sales_opportunity, Q22_ORACLE),
+    QuerySpec("tpch_q13_customer_distribution", q13_customer_distribution, Q13_ORACLE),
 ]
