@@ -147,11 +147,18 @@ def q3_shipping_priority(spark, sf_dir):
     o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
+    # Group by l_orderkey ALONE: o_orderdate/o_orderpriority are
+    # functionally dependent on it (order attributes), which Catalyst
+    # cannot prove from a 3-column key — carried via first() instead,
+    # the aggregate's required distribution is satisfied by the join's
+    # orderkey partitioning and the per-group agg exchange disappears.
     return (
         li.join(o_f, li.l_orderkey == o_f.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy("l_orderkey")
         .agg(
-            _sum_rev("revenue")
+            F.first("o_orderdate").alias("o_orderdate"),
+            F.first("o_orderpriority").alias("o_orderpriority"),
+            _sum_rev("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
