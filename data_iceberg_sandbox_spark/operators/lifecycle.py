@@ -510,6 +510,44 @@ WHERE n_regionkey < 2
 """
 
 
+def d_zorder_skipping(spark, sf_dir):
+    """Z-order clustering rewrite: after rewrite_zorder(l_partkey,
+    l_suppkey) each file covers a compact 2-D tile, so a selective
+    predicate on EITHER column prunes files — the multi-column
+    generalization of d_sorted_rewrite_skipping, where a 1-D sort only
+    serves its leading column. Both single-column prunes are asserted
+    to shrink vs the scattered layout (fail-loud); the pruned+filtered
+    row content is the driver-checked oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, "d_zorder", sf_dir)
+    # scatter: every file spans the full range of both keys
+    t.create(li.repartition(8))
+    pred_a = [("l_partkey", "<=", 64)]
+    pred_b = [("l_suppkey", "<=", 8)]
+    before_a, before_b = t.files_scanned(pred_a), t.files_scanned(pred_b)
+    t.rewrite_zorder(
+        ["l_partkey", "l_suppkey"],
+        target_file_size_bytes=max(1, _table_bytes(t) // 16),
+    )
+    after_a, after_b = t.files_scanned(pred_a), t.files_scanned(pred_b)
+    if not (after_a < before_a or before_a == 1):
+        raise AssertionError(
+            f"zorder must prune on l_partkey: {before_a} -> {after_a}"
+        )
+    if not (after_b < before_b or before_b == 1):
+        raise AssertionError(
+            f"zorder must prune on l_suppkey: {before_b} -> {after_b}"
+        )
+    return t.read(prune=pred_a + pred_b).filter(
+        (F.col("l_partkey") <= 64) & (F.col("l_suppkey") <= 8)
+    )
+
+
+D_ZORDER_ORACLE = (
+    "SELECT * FROM lineitem WHERE l_partkey <= 64 AND l_suppkey <= 8"
+)
+
+
 def d_bucketed_colocated_join(spark, sf_dir):
     """Bucketed co-located join — the cluster-scale shuffle eliminator.
 
@@ -610,4 +648,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d8_expire_snapshots", d8_expire_snapshots, D8_ORACLE, memo=False),
     QuerySpec("d_sql_ddl_surface", d_sql_ddl_surface, DDL_SURFACE_ORACLE, memo=False),
     QuerySpec("d_bucketed_colocated_join", d_bucketed_colocated_join, D_BUCKETED_ORACLE, memo=False),
+    QuerySpec("d_zorder_skipping", d_zorder_skipping, D_ZORDER_ORACLE, memo=False),
 ]

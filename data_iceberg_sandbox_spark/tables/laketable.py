@@ -632,6 +632,79 @@ class LakeTable:
         )
         return self
 
+    def rewrite_zorder(
+        self,
+        by: list[str],
+        bits: int = 16,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+    ) -> "LakeTable":
+        """Z-order clustering rewrite (the Iceberg
+        `rewrite_data_files(strategy => 'sort', sort_order => zorder(...))`
+        analog): each column is min-max scaled to `bits` bits, the bit
+        planes are interleaved into one z-value, and files are
+        range-partitioned + sorted by it. Every file then covers a
+        compact k-D tile, so per-file min/max stats shrink on EVERY
+        z-ordered column and `read(prune=)` skips files for predicates
+        on any of them — where a 1-D sort only serves its leading
+        column. The z-value is a pure generated column expression
+        (2·bits·k shift/mask terms, whole-stage-codegen'd, no UDF);
+        min/max normalization bounds come from one aggregate job
+        (2k scalars to the driver — bounded by construction).
+        Content-preserving like compact()/rewrite_sorted()."""
+        cur = self.manifest()
+        total = sum(
+            os.path.getsize(os.path.join(self.root, f)) for f in cur.files
+        )
+        n = int(max(1, -(-total // target_file_size_bytes)))
+        df = self.read()
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in by],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in by],
+        ).collect()[0]
+        top = (1 << bits) - 1
+        scaled = []
+        for c in by:
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            rng = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+            scaled.append(
+                F.least(
+                    F.lit(top).cast("bigint"),
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        (
+                            (F.col(c).cast("double") - F.lit(mn or 0.0))
+                            / F.lit(rng)
+                            * F.lit(float(top))
+                        ).cast("bigint"),
+                    ),
+                )
+            )
+        k = len(by)
+        z = F.lit(0).cast("bigint")
+        for b in range(bits):
+            for j, s in enumerate(scaled):
+                z = z.bitwiseOR(
+                    F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + j)
+                )
+        dfz = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        files = self._write_data_files(dfz, cur.partition_by)
+        props = dict(cur.properties)
+        props["sort.order"] = f"zorder({','.join(by)})"
+        self._commit(
+            "rewrite-zorder",
+            files,
+            cur.schema_json,
+            cur.partition_by,
+            props,
+            expected_parent=cur.version,
+        )
+        return self
+
     # ---- tags (Iceberg refs analog) --------------------------------------
     @property
     def _tags_path(self) -> str:

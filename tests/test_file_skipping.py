@@ -73,3 +73,33 @@ def test_conservative_without_stats_on_strings(spark, scratch):
         .count()
         == 10
     )
+
+
+def test_zorder_prunes_on_both_columns(spark, scratch):
+    """rewrite_zorder tiles the (x, y) plane: single-column predicates
+    prune on EITHER column and a corner predicate touches ~1 tile —
+    where a 1-D sort only serves its leading column. Content preserved
+    exactly."""
+    t = LakeTable(spark, os.path.join(scratch, "fz1"))
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.create(df.repartition(8))  # scattered: every file spans both ranges
+    pa, pb = [("x", "<=", 5)], [("y", "<=", 5)]
+    assert t.files_scanned(pa) == 8 and t.files_scanned(pb) == 8
+    total = sum(
+        os.path.getsize(os.path.join(t.root, f)) for f in t.manifest().files
+    )
+    t.rewrite_zorder(["x", "y"], target_file_size_bytes=max(1, total // 16))
+    n_files = len(t.manifest().files)
+    assert n_files >= 8
+    # each single-column predicate prunes (a 1-D x-sort would leave the
+    # y predicate scanning everything), the corner predicate hits ~1 tile
+    assert t.files_scanned(pa) <= n_files // 2
+    assert t.files_scanned(pb) <= n_files // 2
+    assert t.files_scanned(pa + pb) <= max(1, n_files // 4)
+    got = t.read(prune=pa + pb).filter((F.col("x") <= 5) & (F.col("y") <= 5))
+    assert got.count() == 6 * 6  # id = y*100 + x: one row per (x, y) cell
+    assert t.read().count() == 20000
