@@ -510,6 +510,61 @@ WHERE n_regionkey < 2
 """
 
 
+def d_merge_on_read(spark, sf_dir):
+    """Merge-on-read equality deletes end to end (Iceberg v2 analog):
+
+    1. MoR delete of every c_custkey % 7 == 0 — commits a key sidecar
+       only; asserts NO data file was rewritten (the O(deletes) GDPR/CDC
+       erasure shape at 100 TB, vs copy-on-write's O(table)).
+    2. Append that RE-INSERTS key 7 with a new name — the appended
+       file's higher sequence number keeps it out of the older delete's
+       scope (the semantic that makes equality deletes safe under
+       ongoing ingest).
+    3. A second MoR delete wave (% 5 == 0) that, committed after the
+       append, applies to the appended rows too.
+    4. compact() materializes: asserts the sidecars are gone and the
+       row count is unchanged by materialization.
+    The final content is the driver-checked oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "d_mor", sf_dir)
+    t.create(c)
+    files_before = set(t.manifest().files)
+    t.delete_keys_mor(
+        c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    )
+    if set(t.manifest().files) != files_before:
+        raise AssertionError("MoR delete must not rewrite data files")
+    n_after_del1 = t.read().count()
+    t.append(
+        c.filter(F.col("c_custkey") == 7).withColumn(
+            "c_name", F.lit("REINSERTED")
+        )
+    )
+    if t.read().count() != n_after_del1 + 1:
+        raise AssertionError(
+            "row re-inserted after a MoR delete must survive the read"
+        )
+    t.delete_keys_mor(
+        c.filter(F.col("c_custkey") % 5 == 0).select("c_custkey")
+    )
+    n_before_compact = t.read().count()
+    t.compact()
+    if t.manifest().delete_files:
+        raise AssertionError("compact() must materialize MoR sidecars")
+    if t.read().count() != n_before_compact:
+        raise AssertionError("materialization must not change content")
+    return t.read()
+
+
+D_MOR_ORACLE = """
+SELECT * FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
+UNION ALL
+SELECT c_custkey, 'REINSERTED' AS c_name, c_nationkey, c_acctbal,
+       c_mktsegment
+FROM customer WHERE c_custkey = 7
+"""
+
+
 def d_zorder_skipping(spark, sf_dir):
     """Z-order clustering rewrite: after rewrite_zorder(l_partkey,
     l_suppkey) each file covers a compact 2-D tile, so a selective
@@ -649,4 +704,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_sql_ddl_surface", d_sql_ddl_surface, DDL_SURFACE_ORACLE, memo=False),
     QuerySpec("d_bucketed_colocated_join", d_bucketed_colocated_join, D_BUCKETED_ORACLE, memo=False),
     QuerySpec("d_zorder_skipping", d_zorder_skipping, D_ZORDER_ORACLE, memo=False),
+    QuerySpec("d_merge_on_read", d_merge_on_read, D_MOR_ORACLE, memo=False),
 ]

@@ -92,6 +92,14 @@ class Manifest:
     # per-file column ranges for scan pruning: path → col → [min, max]
     # (numeric/string columns; Iceberg manifest-stats analog)
     file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # merge-on-read equality deletes (Iceberg v2 analog): sidecar path →
+    # sequence number; a sidecar suppresses matching rows in every data
+    # file whose own sequence is <= the sidecar's (so rows appended
+    # AFTER the delete are never suppressed by it)
+    delete_files: dict[str, int] = field(default_factory=dict)
+    # data file → sequence (the version that first added it); files from
+    # manifests predating this field default to their manifest's version
+    file_seq: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -180,13 +188,52 @@ class LakeTable:
             ]
         if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f) for f in files]
         reader = self.spark.read.schema(schema).option(
             "basePath", os.path.join(self.root, "data")
         )
-        # one distributed scan over the manifest's file list; column order
-        # pinned to the table schema
-        return reader.parquet(*paths).select([f.name for f in schema.fields])
+        cols = [f.name for f in schema.fields]
+
+        def _scan(flist: list[str]) -> DataFrame:
+            # one distributed scan over the file list; column order
+            # pinned to the table schema
+            paths = [os.path.join(self.root, f) for f in flist]
+            return reader.parquet(*paths).select(cols)
+
+        if not man.delete_files:
+            return _scan(files)
+        # merge-on-read: group data files by the set of equality-delete
+        # sidecars that apply to them (sidecar seq >= file seq), scan
+        # each group once and LEFT ANTI join its sidecars' keys — the
+        # Iceberg v2 read shape (the sidecar side is small and
+        # broadcasts). Files appended after a delete carry a higher seq,
+        # so re-inserted keys are never suppressed by older deletes.
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            fseq = man.file_seq.get(f, man.version)
+            key = tuple(
+                sorted(d for d, ds in man.delete_files.items() if fseq <= ds)
+            )
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for dels, flist in groups.items():
+            df = _scan(flist)
+            for d in dels:
+                keys = self.spark.read.parquet(os.path.join(self.root, d))
+                missing = [c for c in keys.columns if c not in cols]
+                if missing:
+                    raise RuntimeError(
+                        f"equality-delete sidecar {d} references dropped "
+                        f"column(s) {missing}; compact() before dropping "
+                        "delete-key columns"
+                    )
+                df = df.join(
+                    F.broadcast(keys), on=list(keys.columns), how="left_anti"
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_incremental(
         self, from_version: int, to_version: int | None = None
@@ -214,6 +261,13 @@ class LakeTable:
         for v in range(from_version + 1, to_v + 1):
             man = self.manifest(v)
             delta = [f for f in man.files if f not in prev]
+            if man.operation == "delete-mor":
+                # metadata-only commit, but it REMOVES rows: an
+                # appends-only changelog cannot represent it
+                raise IncrementalReadError(
+                    f"snapshot v{v} is a merge-on-read delete; "
+                    "incremental read supports appends only"
+                )
             if delta and man.operation not in ("create", "append"):
                 raise IncrementalReadError(
                     f"snapshot v{v} is a '{man.operation}' commit; "
@@ -356,6 +410,8 @@ class LakeTable:
         partition_by: list[str],
         properties: dict[str, str],
         expected_parent: int | None,
+        delete_files: dict[str, int] | None = None,
+        file_seq: dict[str, int] | None = None,
     ) -> Manifest:
         os.makedirs(self._manifest_dir, exist_ok=True)
         new_version = (expected_parent or 0) + 1
@@ -364,9 +420,11 @@ class LakeTable:
         # job (one extra Spark pass, ~30% on raw-load throughput) for
         # ingest-heavy tables that never benefit from file skipping.
         inherited: dict[str, dict[str, list]] = {}
+        parent_man: Manifest | None = None
         if expected_parent is not None:
             try:
-                inherited = self.manifest(expected_parent).file_stats
+                parent_man = self.manifest(expected_parent)
+                inherited = parent_man.file_stats
             except NoSuchTable:
                 inherited = {}
         stats = {f: s for f, s in inherited.items() if f in set(files)}
@@ -375,6 +433,34 @@ class LakeTable:
             stats.update(
                 self._collect_file_stats(new_files, schema_json, partition_by)
             )
+        # Sequence threading (Iceberg v2): retained files keep the seq of
+        # the commit that added them; new files get this commit's. A
+        # delete sidecar is inherited only while at least one data file
+        # it applies to survives — a full content rewrite (compact/COW
+        # delete/merge/overwrite, whose input came from read() with
+        # deletes applied) therefore drops materialized sidecars
+        # automatically.
+        if file_seq is None:
+            parent_seq = (parent_man.file_seq if parent_man else {}) or {}
+            pv = parent_man.version if parent_man else new_version
+            file_seq = {
+                f: parent_seq.get(f, pv)
+                if parent_man and f in set(parent_man.files)
+                else new_version
+                for f in files
+            }
+        if delete_files is None:
+            delete_files = {}
+            if parent_man and parent_man.delete_files:
+                fset = set(files)
+                delete_files = {
+                    d: seq
+                    for d, seq in parent_man.delete_files.items()
+                    if any(
+                        f in fset and file_seq.get(f, new_version) <= seq
+                        for f in parent_man.files
+                    )
+                }
         man = Manifest(
             version=new_version,
             parent=expected_parent,
@@ -385,6 +471,8 @@ class LakeTable:
             files=files,
             properties=properties,
             file_stats=stats,
+            delete_files=delete_files,
+            file_seq=file_seq,
         )
         mpath = self._manifest_path(new_version)
         # O_EXCL create: two racing writers with the same expected_parent
@@ -570,6 +658,47 @@ class LakeTable:
             cur.partition_by,
             cur.properties,
             expected_parent=cur.version,
+        )
+        return self
+
+    def delete_keys_mor(self, keys: DataFrame) -> "LakeTable":
+        """Merge-on-read DELETE by equality keys (Iceberg v2 equality-
+        delete analog). Writes the distinct key rows as a parquet
+        sidecar and commits METADATA ONLY — no data file is rewritten,
+        so a delete of k keys costs O(k) regardless of table size (the
+        CDC/GDPR-erasure shape at 100 TB). ``read()`` suppresses
+        matching rows in every data file whose sequence predates the
+        sidecar's via a broadcast anti-join; rows appended AFTER the
+        delete carry a higher sequence and are never suppressed.
+        ``compact()`` (or any full rewrite) materializes the deletes and
+        drops the sidecar. The key columns must be a subset of the table
+        schema; NULL key values are ignored (SQL equality never matches
+        NULL — use delete_where for predicate deletes)."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur.schema_json))
+        table_cols = {f.name for f in schema.fields}
+        bad = [c for c in keys.columns if c not in table_cols]
+        if bad:
+            raise ValueError(
+                f"equality-delete key columns {bad} not in table schema"
+            )
+        rel = f"data/{uuid.uuid4().hex[:12]}-eqdelete"
+        cond = None
+        for c in keys.columns:
+            cn = F.col(c).isNotNull()
+            cond = cn if cond is None else (cond & cn)
+        keys.filter(cond).distinct().write.mode("overwrite").parquet(
+            os.path.join(self.root, rel)
+        )
+        new_seq = cur.version + 1  # CAS in _commit guarantees this slot
+        self._commit(
+            "delete-mor",
+            cur.files,
+            cur.schema_json,
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+            delete_files={**cur.delete_files, rel: new_seq},
         )
         return self
 
@@ -789,12 +918,16 @@ class LakeTable:
                 m for m in mans[:-retain_last] if m.version in tagged
             ]
             drop = [m for m in mans[:-retain_last] if m.version not in tagged]
-            live = {f for m in keep for f in m.files}
+            live = {f for m in keep for f in m.files} | {
+                d for m in keep for d in m.delete_files
+            }
             for m in drop:
-                for f in m.files:
+                for f in list(m.files) + list(m.delete_files):
                     if f not in live:
                         p = os.path.join(self.root, f)
-                        if os.path.exists(p):
+                        if os.path.isdir(p):  # equality-delete sidecar dir
+                            shutil.rmtree(p)
+                        elif os.path.exists(p):
                             os.remove(p)
                 os.remove(self._manifest_path(m.version))
                 removed.append(m.version)
@@ -854,6 +987,10 @@ class LakeTable:
             past.partition_by,
             past.properties,
             expected_parent=cur.version,
+            # restore the past snapshot's MoR state verbatim — content
+            # fidelity requires its sidecars and sequences, not cur's
+            delete_files=dict(past.delete_files),
+            file_seq=dict(past.file_seq) or {f: past.version for f in past.files},
         )
         return self
 
