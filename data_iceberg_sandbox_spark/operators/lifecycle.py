@@ -565,6 +565,52 @@ FROM customer WHERE c_custkey = 7
 """
 
 
+def d_upsert_mor(spark, sf_dir):
+    """Merge-on-read UPSERT (the O(batch) streaming-CDC ingest shape):
+    one commit writes the source keys as an equality-delete sidecar AND
+    the source rows as new data files — old versions suppressed at read
+    by sequence scoping, new versions exempt (same-commit sequence), no
+    existing file rewritten (asserted). Source = every c_custkey % 10
+    == 0 renamed + three brand-new keys; final content is the
+    driver-checked oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "d_upsert_mor", sf_dir)
+    t.create(c)
+    files_before = set(t.manifest().files)
+    new_rows = spark.createDataFrame(
+        [
+            (1000000001, "NEW_A", 1, 100.0, "BUILDING"),
+            (1000000002, "NEW_B", 2, 200.0, "MACHINERY"),
+            (1000000003, "NEW_C", 3, 300.0, "HOUSEHOLD"),
+        ],
+        "c_custkey: long, c_name: string, c_nationkey: int, "
+        "c_acctbal: double, c_mktsegment: string",
+    )
+    src = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_name", F.lit("UPSERTED"))
+        .unionByName(new_rows)
+    )
+    t.upsert_keys_mor(src, ["c_custkey"])
+    if not files_before <= set(t.manifest().files):
+        raise AssertionError("MoR upsert must not rewrite existing files")
+    return t.read()
+
+
+D_UPSERT_MOR_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN 'UPSERTED' ELSE c_name END AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+UNION ALL
+SELECT * FROM (VALUES
+  (1000000001, 'NEW_A', 1, 100.0, 'BUILDING'),
+  (1000000002, 'NEW_B', 2, 200.0, 'MACHINERY'),
+  (1000000003, 'NEW_C', 3, 300.0, 'HOUSEHOLD'))
+  t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+"""
+
+
 def d_zorder_skipping(spark, sf_dir):
     """Z-order clustering rewrite: after rewrite_zorder(l_partkey,
     l_suppkey) each file covers a compact 2-D tile, so a selective
@@ -705,4 +751,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_bucketed_colocated_join", d_bucketed_colocated_join, D_BUCKETED_ORACLE, memo=False),
     QuerySpec("d_zorder_skipping", d_zorder_skipping, D_ZORDER_ORACLE, memo=False),
     QuerySpec("d_merge_on_read", d_merge_on_read, D_MOR_ORACLE, memo=False),
+    QuerySpec("d_upsert_mor", d_upsert_mor, D_UPSERT_MOR_ORACLE, memo=False),
 ]

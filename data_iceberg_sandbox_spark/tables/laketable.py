@@ -94,8 +94,9 @@ class Manifest:
     file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
     # merge-on-read equality deletes (Iceberg v2 analog): sidecar path →
     # sequence number; a sidecar suppresses matching rows in every data
-    # file whose own sequence is <= the sidecar's (so rows appended
-    # AFTER the delete are never suppressed by it)
+    # file whose own sequence is STRICTLY BELOW the sidecar's — so rows
+    # appended after the delete, or written by the sidecar's own
+    # upsert commit, are never suppressed by it
     delete_files: dict[str, int] = field(default_factory=dict)
     # data file → sequence (the version that first added it); files from
     # manifests predating this field default to their manifest's version
@@ -202,7 +203,7 @@ class LakeTable:
         if not man.delete_files:
             return _scan(files)
         # merge-on-read: group data files by the set of equality-delete
-        # sidecars that apply to them (sidecar seq >= file seq), scan
+        # sidecars that apply to them (file seq < sidecar seq), scan
         # each group once and LEFT ANTI join its sidecars' keys — the
         # Iceberg v2 read shape (the sidecar side is small and
         # broadcasts). Files appended after a delete carry a higher seq,
@@ -211,7 +212,7 @@ class LakeTable:
         for f in files:
             fseq = man.file_seq.get(f, man.version)
             key = tuple(
-                sorted(d for d, ds in man.delete_files.items() if fseq <= ds)
+                sorted(d for d, ds in man.delete_files.items() if fseq < ds)
             )
             groups.setdefault(key, []).append(f)
         parts = []
@@ -457,7 +458,7 @@ class LakeTable:
                     d: seq
                     for d, seq in parent_man.delete_files.items()
                     if any(
-                        f in fset and file_seq.get(f, new_version) <= seq
+                        f in fset and file_seq.get(f, new_version) < seq
                         for f in parent_man.files
                     )
                 }
@@ -694,6 +695,53 @@ class LakeTable:
         self._commit(
             "delete-mor",
             cur.files,
+            cur.schema_json,
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+            delete_files={**cur.delete_files, rel: new_seq},
+        )
+        return self
+
+    def upsert_keys_mor(
+        self, df: DataFrame, key_cols: list[str]
+    ) -> "LakeTable":
+        """Merge-on-read UPSERT (Iceberg v2 CDC write shape): ONE commit
+        carrying both an equality-delete sidecar for the source keys and
+        the source rows as new data files. Existing rows with matching
+        keys are suppressed at read (the sidecar applies to every data
+        file with a lower sequence), while the commit's own data files
+        share the sidecar's sequence and are exempt — so the new
+        versions win without rewriting a single existing file. This is
+        the O(batch) streaming-CDC ingest path; `merge()` is the
+        copy-on-write equivalent. Enforces the MERGE cardinality
+        contract (distinct source keys)."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur.schema_json))
+        table_cols = {f.name for f in schema.fields}
+        bad = [c for c in key_cols if c not in table_cols or c not in df.columns]
+        if bad:
+            raise ValueError(
+                f"upsert key columns {bad} must exist in table and source"
+            )
+        dup = (
+            df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+        ).collect()
+        if dup:
+            raise MergeCardinalityError(
+                f"duplicate source key {tuple(dup[0][c] for c in key_cols)}"
+            )
+        rel = f"data/{uuid.uuid4().hex[:12]}-eqdelete"
+        df.select(*key_cols).distinct().write.mode("overwrite").parquet(
+            os.path.join(self.root, rel)
+        )
+        new_files = self._write_data_files(
+            _align(df, cur.schema_json), cur.partition_by
+        )
+        new_seq = cur.version + 1  # CAS in _commit guarantees this slot
+        self._commit(
+            "upsert-mor",
+            sorted(cur.files + new_files),
             cur.schema_json,
             cur.partition_by,
             cur.properties,

@@ -102,3 +102,30 @@ def test_mor_rejects_unknown_key_columns_and_guards_drops(spark, scratch):
         t.delete_keys_mor(
             spark.createDataFrame([(1,)], "nope: long")
         )
+
+
+def test_mor_upsert_one_commit_updates_and_inserts(spark, scratch):
+    t = _mk(spark, scratch, "mor8")
+    v0 = t.current_version()
+    files = set(t.manifest().files)
+    src = spark.createDataFrame(
+        [(5, 555), (150, 150)], "id: long, v: long"
+    )  # id=5 exists (update), id=150 is new (insert)
+    t.upsert_keys_mor(src, ["id"])
+    assert t.current_version() == v0 + 1  # ONE commit
+    assert files <= set(t.manifest().files)  # no existing file rewritten
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[5] == 555 and got[150] == 150 and len(got) == 101
+    # cardinality contract: duplicate source keys refuse loudly
+    from data_iceberg_sandbox_spark.tables.laketable import (
+        MergeCardinalityError,
+    )
+
+    with pytest.raises(MergeCardinalityError):
+        t.upsert_keys_mor(
+            spark.createDataFrame([(1, 1), (1, 2)], "id: long, v: long"),
+            ["id"],
+        )
+    # a later MoR delete removes the upserted version too
+    t.delete_keys_mor(_keys(spark, [5]))
+    assert t.read().filter(F.col("id") == 5).count() == 0
