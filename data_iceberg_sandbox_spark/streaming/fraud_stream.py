@@ -269,6 +269,63 @@ def run_append_stream(spark: SparkSession, sf_dir: str, table_root: str) -> Lake
 
 
 @with_bounded_shuffle
+def run_mor_profile_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_root: str,
+    files_per_trigger: int = 2,
+) -> LakeTable:
+    """Streaming keyed MV maintained by MERGE-ON-READ upserts: an
+    update-mode per-user aggregate (count / exact decimal sum / max ts)
+    where each micro-batch's changed rows land via
+    ``LakeTable.upsert_keys_mor`` — one equality-delete sidecar + one
+    data-file set per batch, ZERO rewrites of prior MV files. This is
+    the CDC-style sink shape for high-churn keyed MVs at 100 TB: commit
+    cost tracks the batch's changed-key count, not the MV size, and the
+    read side resolves sidecars with sequence-scoped broadcast
+    anti-joins. The table is returned UNMATERIALIZED (sidecars intact),
+    so the oracle comparison exercises the MoR read path end to end;
+    `compact()` is the maintenance hook that folds it flat. Converges
+    to the one-shot batch groupBy — the same incremental-MV contract as
+    the COW-merge runners."""
+    staged = stage_event_files(spark, sf_dir, "morprof", n_files=8)
+    if os.path.isdir(table_root):
+        shutil.rmtree(table_root)
+    result = LakeTable(spark, table_root)
+
+    prof = (
+        events_stream(spark, staged, files_per_trigger)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+    def upsert_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if not result.exists():
+            result.create(batch_df)
+        elif batch_df.take(1):
+            result.upsert_keys_mor(batch_df, ["user_id"])
+
+    ckpt = table_root + "_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    q = (
+        prof.writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result
+
+
+@with_bounded_shuffle
 def run_dedup_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeTable:
     """Streaming deduplication: the backlog is staged TWICE (every event
     duplicated across different micro-batches), and

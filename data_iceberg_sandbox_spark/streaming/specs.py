@@ -27,6 +27,7 @@ from .fraud_stream import (
     run_append_stream,
     run_dedup_stream,
     run_fraud_alerts_stream,
+    run_mor_profile_stream,
     run_session_window_stream,
     run_sliding_window_stream,
     run_stream_stream_join,
@@ -152,6 +153,20 @@ SPECS: list[QuerySpec] = [
             spark, sf_dir, _root("sliding_mv", sf_dir)
         ).read(),
         SLIDING_ORACLE,  # converges to the batch sliding-window aggregate
+    ),
+    QuerySpec(
+        "stream_mor_upsert_mv",
+        lambda spark, sf_dir: run_mor_profile_stream(
+            spark, sf_dir, _root("mor_profile_mv", sf_dir)
+        ).read(),
+        """
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+        """,
+        memo=False,
     ),
     QuerySpec(
         "stream_session_window_mv",
