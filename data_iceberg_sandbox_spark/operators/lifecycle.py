@@ -565,6 +565,42 @@ FROM customer WHERE c_custkey = 7
 """
 
 
+def d_partition_evolution(spark, sf_dir):
+    """Partition-spec evolution end to end: create UNpartitioned from
+    half of customer, evolve the spec to (c_mktsegment) — asserted
+    metadata-only, no file rewritten — then append the other half,
+    which lands hive-partitioned while the old flat files stay put.
+    read() must merge both layouts into exactly `customer`; compact()
+    then unifies everything under the current spec (asserted: one
+    layout, same content). The final read is the driver-checked
+    oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "d_evolve", sf_dir)
+    t.create(c.filter(F.col("c_custkey") % 2 == 1))
+    files_before = set(t.manifest().files)
+    t.evolve_partition_spec(["c_mktsegment"])
+    if set(t.manifest().files) != files_before:
+        raise AssertionError("spec evolution must be metadata-only")
+    t.append(c.filter(F.col("c_custkey") % 2 == 0))
+    new_files = set(t.manifest().files) - files_before
+    if not all("c_mktsegment=" in f for f in new_files):
+        raise AssertionError("post-evolution appends must use the new spec")
+    n_mixed = t.read().count()
+    t.compact()
+    layouts = {
+        tuple(s.split("=", 1)[0] for s in f.split("/") if "=" in s)
+        for f in t.manifest().files
+    }
+    if layouts != {("c_mktsegment",)}:
+        raise AssertionError(f"compact must unify layouts, got {layouts}")
+    if t.read().count() != n_mixed:
+        raise AssertionError("layout unification must not change content")
+    return t.read()
+
+
+D_EVOLVE_ORACLE = "SELECT * FROM customer"
+
+
 def d_upsert_mor(spark, sf_dir):
     """Merge-on-read UPSERT (the O(batch) streaming-CDC ingest shape):
     one commit writes the source keys as an equality-delete sidecar AND
@@ -752,4 +788,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_zorder_skipping", d_zorder_skipping, D_ZORDER_ORACLE, memo=False),
     QuerySpec("d_merge_on_read", d_merge_on_read, D_MOR_ORACLE, memo=False),
     QuerySpec("d_upsert_mor", d_upsert_mor, D_UPSERT_MOR_ORACLE, memo=False),
+    QuerySpec("d_partition_evolution", d_partition_evolution, D_EVOLVE_ORACLE, memo=False),
 ]

@@ -200,23 +200,40 @@ class LakeTable:
             paths = [os.path.join(self.root, f) for f in flist]
             return reader.parquet(*paths).select(cols)
 
-        if not man.delete_files:
+        def _layout(f: str) -> tuple:
+            # a file's partition layout is its hive path segments —
+            # partition-spec evolution (metadata-only) leaves files of
+            # older layouts in place, and Spark needs a consistent
+            # directory structure per scan
+            return tuple(
+                seg.split("=", 1)[0] for seg in f.split("/") if "=" in seg
+            )
+
+        layouts = {_layout(f) for f in files}
+        if not man.delete_files and len(layouts) == 1:
             return _scan(files)
-        # merge-on-read: group data files by the set of equality-delete
-        # sidecars that apply to them (file seq < sidecar seq), scan
-        # each group once and LEFT ANTI join its sidecars' keys — the
-        # Iceberg v2 read shape (the sidecar side is small and
-        # broadcasts). Files appended after a delete carry a higher seq,
-        # so re-inserted keys are never suppressed by older deletes.
+        # Group data files by (partition layout, applicable delete set)
+        # and scan each group once.
+        # - layout: files written under different partition specs cannot
+        #   share one scan (mixed hive depths under one basePath).
+        # - deletes (merge-on-read): each group LEFT ANTI joins the
+        #   equality-delete sidecars that apply to it (file seq <
+        #   sidecar seq) — the Iceberg v2 read shape (the sidecar side
+        #   is small and broadcasts). Files appended after a delete
+        #   carry a higher seq, so re-inserted keys are never
+        #   suppressed by older deletes.
         groups: dict[tuple, list[str]] = {}
         for f in files:
             fseq = man.file_seq.get(f, man.version)
-            key = tuple(
-                sorted(d for d, ds in man.delete_files.items() if fseq < ds)
+            key = (
+                _layout(f),
+                tuple(
+                    sorted(d for d, ds in man.delete_files.items() if fseq < ds)
+                ),
             )
             groups.setdefault(key, []).append(f)
         parts = []
-        for dels, flist in groups.items():
+        for (_lay, dels), flist in groups.items():
             df = _scan(flist)
             for d in dels:
                 keys = self.spark.read.parquet(os.path.join(self.root, d))
@@ -700,6 +717,34 @@ class LakeTable:
             cur.properties,
             expected_parent=cur.version,
             delete_files={**cur.delete_files, rel: new_seq},
+        )
+        return self
+
+    def evolve_partition_spec(
+        self, new_partition_by: list[str]
+    ) -> "LakeTable":
+        """Partition-spec evolution (Iceberg `REPLACE PARTITION FIELD`
+        analog): a METADATA-ONLY commit — zero data files rewritten.
+        Existing files keep their old hive layout; writes after this
+        commit use the new spec; ``read()`` groups files by layout and
+        scans each group with its own partition recovery, so mixed
+        layouts coexist indefinitely. ``compact()`` (any full rewrite)
+        unifies everything under the current spec. At 100 TB this is
+        how a table follows its query patterns (e.g. daily → hourly
+        partitioning) without an O(table) migration."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur.schema_json))
+        cols = {f.name for f in schema.fields}
+        bad = [c for c in new_partition_by if c not in cols]
+        if bad:
+            raise ValueError(f"partition columns {bad} not in table schema")
+        self._commit(
+            "evolve-partition",
+            cur.files,
+            cur.schema_json,
+            new_partition_by,
+            cur.properties,
+            expected_parent=cur.version,
         )
         return self
 
