@@ -223,6 +223,39 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def j_skew_salted(spark, sf_dir):
+    """Skew-mitigated join as a driver-checkable query: the salted join
+    (functions/skew.py — left side gets a random salt in [0, n), the
+    build side is replicated n×, so one hot key spreads over n reducer
+    partitions instead of stalling one task) must be BIT-EQUAL to the
+    plain join — salting changes physical row routing, never content.
+    AQE's skew-join split is the runtime fix; explicit salting is the
+    deterministic fallback when a known hot key must never stall a
+    stage at 100 TB."""
+    from ..functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+J_SKEW_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def j_semi(spark, sf_dir):
     """Left-semi join (EXISTS) — engine surface."""
     c = load_table(spark, sf_dir, "customer")
@@ -519,6 +552,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("j2_two_hop_left_join", j2_two_hop_left_join, J2_ORACLE),
     QuerySpec("j_inner", j_inner, J_INNER_ORACLE),
     QuerySpec("j_semi", j_semi, J_SEMI_ORACLE),
+    QuerySpec("j_skew_salted", j_skew_salted, J_SKEW_ORACLE),
     QuerySpec("j_anti", j_anti, J_ANTI_ORACLE),
     QuerySpec("a1_grouped_sum", a1_grouped_sum, A1_ORACLE),
     QuerySpec("a2_grouped_count", a2_grouped_count, A2_ORACLE),
