@@ -502,6 +502,179 @@ GROUP BY c_count
 """
 
 
+def q11_important_stock(spark, sf_dir):
+    """Q11 shape: parts whose stocked value through one region's
+    suppliers exceeds a fixed fraction of the region total. No partsupp
+    in this schema — "stocked value" is the lineitem revenue routed via
+    EUROPE suppliers (region-scoped: a single nation is empty at the
+    smallest SFs). nation⋈region folds into a literal suppkey IN-list
+    (`tpch._inline_nations` — both dims are reference-fixed).
+
+    Scale shape: the filtered fact is paired down to (partkey, value)
+    before its ONE shuffle (the per-part groupBy); the global total is a
+    scalar agg over the same reduced projection — partial-agg'd
+    map-side, no second shuffle — and joins back as a broadcast single
+    row. The threshold compare stays in exact integer fixed-point
+    (value_fp × 1000 > total_fp, both BIGINT-derived decimals), so the
+    fraction gate is bit-deterministic on both engines."""
+    from .tpch import _inline_nations
+
+    keys, _, _ = _inline_nations(spark, sf_dir, region_name="EUROPE")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(keys)
+    )
+    contrib = fixed(F.col("l_extendedprice"), 2) * (
+        F.lit(1000) - fixed(F.col("l_discount"), 3)
+    )
+    f = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+        "l_partkey", contrib.alias("v")
+    )
+    per_part = f.groupBy("l_partkey").agg(F.sum("v").alias("val_fp"))
+    total = f.agg(F.sum("v").alias("tot_fp"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_fp").cast("decimal(38,0)") * 1000 > F.col("tot_fp"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            unscale(F.col("val_fp"), 5).alias("value"),
+        )
+    )
+
+
+Q11_ORACLE = """
+WITH f AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+g AS (SELECT l_partkey AS partkey, sum(v) AS val FROM f GROUP BY 1),
+t AS (SELECT sum(v) AS tot FROM f)
+SELECT partkey, CAST(val AS DOUBLE) AS value FROM g, t WHERE val * 1000 > tot
+"""
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts per (brand, type, size) group
+    for a size IN-list, excluding excluded-brand/type parts and
+    "complaint" suppliers (no s_comment in this schema — negative
+    account balance substitutes; no partsupp — the part↔supplier
+    relation is the distinct lineitem pairing, as in q20).
+
+    Scale shape: the part dim is filtered to 8/50 sizes BEFORE the fact
+    join (AQE sizes the build side), the excluded-supplier anti join is
+    a broadcast of one bigint column, and the single countDistinct
+    rewrites to the two-level (group+suppkey → group) aggregate — one
+    fact shuffle, partial-agg'd map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 5, 9, 14, 19, 23, 36, 45])
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q21_suppliers_who_kept_waiting(spark, sf_dir):
+    """Q21 shape: suppliers whose line was the ONLY late one in a
+    multi-supplier finalized order (no l_commitdate/l_receiptdate in
+    this schema — "late" is l_shipdate > o_orderdate + 60 days). The
+    classic EXISTS / NOT EXISTS pair is re-expressed as a per-order
+    aggregate: n_suppliers ≥ 2 (the EXISTS) and exactly one distinct
+    late supplier (the NOT EXISTS); numwait counts that supplier's late
+    lines, matching the classic per-l1-row count.
+
+    Scale shape: one orderkey shuffle total. The fact⋈orders join
+    partitions on orderkey; both the (orderkey, suppkey) and the
+    per-order aggregates are satisfied by that same partitioning
+    (HashPartitioning(orderkey) clusters every superset key), so the
+    three-level reduction inserts no further exchange. The final
+    per-supplier count runs over qualifying orders only (tiny), and the
+    supplier name join broadcasts under AQE. TakeOrdered(100) replaces
+    a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("is_late"), F.sum("late").alias("late_lines"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("w_supp"),
+        F.max(F.when(F.col("is_late") == 1, F.col("late_lines"))).alias("w_cnt"),
+    )
+    waits = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("w_supp")
+        .agg(F.sum("w_cnt").alias("numwait"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        waits.join(s, waits.w_supp == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(100)
+    )
+
+
+Q21_ORACLE = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1
+                  FROM lineitem l3 JOIN orders o3
+                    ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey LIMIT 100
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q2_cheapest_supplier", q2_cheapest_supplier, Q2_ORACLE),
     QuerySpec("tpch_q20_volume_share", q20_volume_share_suppliers, Q20_ORACLE),
@@ -514,4 +687,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q17_small_quantity", q17_small_quantity, Q17_ORACLE),
     QuerySpec("tpch_q22_sales_opportunity", q22_global_sales_opportunity, Q22_ORACLE),
     QuerySpec("tpch_q13_customer_distribution", q13_customer_distribution, Q13_ORACLE),
+    QuerySpec("tpch_q11_important_stock", q11_important_stock, Q11_ORACLE),
+    QuerySpec("tpch_q16_supplier_part_counts", q16_supplier_part_counts, Q16_ORACLE),
+    QuerySpec("tpch_q21_waiting_suppliers", q21_suppliers_who_kept_waiting, Q21_ORACLE),
 ]
