@@ -767,6 +767,75 @@ GROUP BY 1
 """
 
 
+def d_cdc_changelog(spark, sf_dir):
+    """Row-level CDC changelog across every commit kind (D6-adjacent;
+    Iceberg ``create_changelog_view`` / Delta Change Data Feed analog —
+    the reference's lake layer exposes snapshot history, this exposes
+    the row deltas BETWEEN snapshots):
+
+      v1 create   even-key customers          (outside the read range)
+      v2 append   odd-key customers           → inserts, appended files
+                                                scanned ONLY
+      v3 COW DELETE of negative balances      → deletes, net file-delta
+                                                diff (unchanged files
+                                                never read)
+      v4 MoR equality delete of %7 keys       → deletes via snapshot
+                                                diff (sidecars hold
+                                                keys, not rows)
+      v5 MERGE renaming %5 keys               → delete+insert pair per
+                                                updated row
+      v6 compact                              → row-identical, ZERO
+                                                changelog rows
+
+    ``changes_between(1)`` replays v2..v6; the emitted multiset is the
+    driver-checked oracle, reproduced in SQL from the base table."""
+    c = load_table(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "d_cdc", sf_dir)
+    t.create(c.filter(F.col("c_custkey") % 2 == 0))  # v1
+    t.append(c.filter(F.col("c_custkey") % 2 == 1))  # v2
+    t.delete_where(F.col("c_acctbal") < 0)  # v3
+    t.delete_keys_mor(
+        c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    )  # v4
+    src = (
+        t.read()
+        .filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_name", F.concat(F.lit("CDC_"), F.col("c_name")))
+    )
+    t.merge(src, on=["c_custkey"], assume_unique_source=True)  # v5
+    t.compact()  # v6
+    ch = t.changes_between(1)
+    n_v6 = ch.filter(F.col("_commit_version") == 6).count()
+    if n_v6 != 0:
+        raise AssertionError(
+            f"compact must contribute no changelog rows, got {n_v6}"
+        )
+    return ch.select(
+        "c_custkey", "c_name", "c_acctbal", "_change_type", "_commit_version"
+    )
+
+
+D_CDC_ORACLE = """
+WITH alive3 AS (SELECT * FROM customer WHERE NOT (c_acctbal < 0)),
+     alive4 AS (SELECT * FROM alive3 WHERE c_custkey % 7 <> 0)
+SELECT c_custkey, c_name, c_acctbal,
+       'insert' AS _change_type, 2 AS _commit_version
+FROM customer WHERE c_custkey % 2 = 1
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, 'delete', 3
+FROM customer WHERE c_acctbal < 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, 'delete', 4
+FROM alive3 WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, 'delete', 5
+FROM alive4 WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey, 'CDC_' || c_name, c_acctbal, 'insert', 5
+FROM alive4 WHERE c_custkey % 5 = 0
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE, memo=False),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
@@ -789,4 +858,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_merge_on_read", d_merge_on_read, D_MOR_ORACLE, memo=False),
     QuerySpec("d_upsert_mor", d_upsert_mor, D_UPSERT_MOR_ORACLE, memo=False),
     QuerySpec("d_partition_evolution", d_partition_evolution, D_EVOLVE_ORACLE, memo=False),
+    QuerySpec("d_cdc_changelog", d_cdc_changelog, D_CDC_ORACLE, memo=False),
 ]
