@@ -836,6 +836,69 @@ FROM alive4 WHERE c_custkey % 5 = 0
 """
 
 
+def d_bloom_pointlookup(spark, sf_dir):
+    """Parquet-native bloom filters for scattered-key point lookups
+    (`bloom.columns` table property → split-block blooms in the data
+    files' footers): the complement to manifest min/max skipping —
+    min/max prunes FILES when the key is clustered (rewrite_sorted /
+    rewrite_zorder); blooms let the scan skip row groups on a pushed
+    ``=`` predicate when the key is scattered across every file (the
+    GDPR/CDC single-key probe on an unclustered 100 TB table). Bloom
+    bytes live in parquet footers, so manifests stay O(files).
+
+    Parquet only materializes a bloom when the column chunk FALLS BACK
+    from dictionary encoding (a complete dictionary is already an exact
+    membership filter, so a bloom would be redundant — measured here:
+    2k-NDV l_partkey adds 0 bloom bytes, a ~60k-NDV key adds ~1 MB/file)
+    — which is exactly the high-cardinality regime the bloom exists
+    for, so the query blooms a synthesized unique-ish row key.
+
+    Fail-loud guard: pyarrow in this image doesn't expose bloom footer
+    offsets, so the query writes a bloom-free twin of the same data and
+    asserts the bloomed files are strictly larger — proving the bytes
+    reached the parquet footers. The returned point-lookup rows are the
+    driver-checked oracle (probe keys = the 3 smallest row keys, a
+    bounded 3-row driver collect)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .withColumn(
+            "l_rowkey",
+            F.col("l_orderkey") * F.lit(1000000) + F.col("l_partkey") * F.lit(10),
+        )
+    )
+    t = _fresh_table(spark, "d_bloom", sf_dir)
+    t.create(
+        li.repartition(4),
+        properties={"bloom.columns": "l_rowkey", "bloom.ndv.l_rowkey": "100000"},
+    )
+    twin = _fresh_table(spark, "d_bloom_twin", sf_dir)
+    twin.create(li.repartition(4))
+    size = lambda tb: sum(  # noqa: E731
+        os.path.getsize(os.path.join(tb.root, f)) for f in tb.manifest().files
+    )
+    if size(t) <= size(twin):
+        raise AssertionError(
+            "bloom.columns produced no bloom bytes: "
+            f"{size(t)} <= {size(twin)}"
+        )
+    probes = [
+        r["l_rowkey"]
+        for r in t.read().select("l_rowkey").orderBy("l_rowkey").limit(3).collect()
+    ]
+    return t.read().filter(F.col("l_rowkey").isin(probes))
+
+
+D_BLOOM_ORACLE = """
+WITH r AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+         l_orderkey * 1000000 + l_partkey * 10 AS l_rowkey
+  FROM lineitem)
+SELECT * FROM r
+WHERE l_rowkey IN (SELECT l_rowkey FROM r ORDER BY l_rowkey LIMIT 3)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE, memo=False),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
@@ -859,4 +922,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_upsert_mor", d_upsert_mor, D_UPSERT_MOR_ORACLE, memo=False),
     QuerySpec("d_partition_evolution", d_partition_evolution, D_EVOLVE_ORACLE, memo=False),
     QuerySpec("d_cdc_changelog", d_cdc_changelog, D_CDC_ORACLE, memo=False),
+    QuerySpec("d_bloom_pointlookup", d_bloom_pointlookup, D_BLOOM_ORACLE, memo=False),
 ]

@@ -509,10 +509,50 @@ class LakeTable:
         )
 
     # ---- commit machinery ------------------------------------------------
-    def _write_data_files(self, df: DataFrame, partition_by: list[str]) -> list[str]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        properties: dict[str, str] | None = None,
+    ) -> list[str]:
+        """Write a commit's data files. The ``bloom.columns`` table
+        property (comma-separated) turns on parquet-native split-block
+        bloom filters for those columns — the point-lookup complement to
+        manifest min/max stats: min/max skips whole FILES when the key
+        is clustered (rewrite_sorted/rewrite_zorder layouts), blooms let
+        the scan skip row groups for a pushed ``=`` predicate even when
+        the key is scattered across every file (the GDPR / CDC
+        single-key probe on an unclustered 100 TB table). Sizing comes
+        from ``bloom.ndv.<col>`` (expected distinct keys per file;
+        parquet defaults to 1M / ~1% FPR when absent). Bloom bytes live
+        in the parquet footers, NOT the JSON manifest — manifests stay
+        O(files), and readers that ignore blooms still read the files
+        normally."""
         commit_dir = f"data/{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, commit_dir)
         writer = df.write.mode("overwrite")
+        props = properties or {}
+        bloom_cols = [
+            c.strip()
+            for c in props.get("bloom.columns", "").split(",")
+            if c.strip()
+        ]
+        if bloom_cols:
+            missing = [c for c in bloom_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"bloom.columns {missing} not in table schema "
+                    f"{df.columns}"
+                )
+            for c in bloom_cols:
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{c}", "true"
+                )
+                ndv = props.get(f"bloom.ndv.{c}")
+                if ndv:
+                    writer = writer.option(
+                        f"parquet.bloom.filter.expected.ndv#{c}", ndv
+                    )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
@@ -682,7 +722,7 @@ class LakeTable:
                 return self
             raise RuntimeError(f"table exists: {self.root}")
         partition_by = partition_by or []
-        files = self._write_data_files(df, partition_by)
+        files = self._write_data_files(df, partition_by, properties or {})
         self._commit(
             "create",
             files,
@@ -703,7 +743,7 @@ class LakeTable:
         foreachBatch append idempotent under micro-batch retry."""
         cur = self.manifest()
         new_files = self._write_data_files(
-            _align(df, cur.schema_json), cur.partition_by
+            _align(df, cur.schema_json), cur.partition_by, cur.properties
         )
         props = dict(cur.properties)
         if extra_properties:
@@ -720,7 +760,9 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame) -> "LakeTable":
         cur = self.manifest()
-        files = self._write_data_files(_align(df, cur.schema_json), cur.partition_by)
+        files = self._write_data_files(
+            _align(df, cur.schema_json), cur.partition_by, cur.properties
+        )
         self._commit(
             "overwrite",
             files,
@@ -800,7 +842,7 @@ class LakeTable:
             inserted = source.join(target, keys, "left_anti").select(*cols)
             merged = merged.unionByName(inserted)
 
-        files = self._write_data_files(merged, cur.partition_by)
+        files = self._write_data_files(merged, cur.partition_by, cur.properties)
         self._commit(
             "merge",
             files,
@@ -819,7 +861,7 @@ class LakeTable:
         ``filter(~cond)`` would silently drop them)."""
         cur = self.manifest()
         remaining = self.read().filter(~condition.eqNullSafe(F.lit(True)))
-        files = self._write_data_files(remaining, cur.partition_by)
+        files = self._write_data_files(remaining, cur.partition_by, cur.properties)
         self._commit(
             "delete",
             files,
@@ -932,7 +974,7 @@ class LakeTable:
             os.path.join(self.root, rel)
         )
         new_files = self._write_data_files(
-            _align(df, cur.schema_json), cur.partition_by
+            _align(df, cur.schema_json), cur.partition_by, cur.properties
         )
         new_seq = cur.version + 1  # CAS in _commit guarantees this slot
         self._commit(
@@ -961,7 +1003,7 @@ class LakeTable:
             df = df.repartition(int(n), *cur.partition_by)
         else:
             df = df.repartition(int(n))
-        files = self._write_data_files(df, cur.partition_by)
+        files = self._write_data_files(df, cur.partition_by, cur.properties)
         self._commit(
             "compact",
             files,
@@ -992,7 +1034,7 @@ class LakeTable:
             .repartitionByRange(n, *[F.col(c) for c in by])
             .sortWithinPartitions(*by)
         )
-        files = self._write_data_files(df, cur.partition_by)
+        files = self._write_data_files(df, cur.partition_by, cur.properties)
         props = dict(cur.properties)
         props["sort.order"] = ",".join(by)
         self._commit(
@@ -1065,7 +1107,7 @@ class LakeTable:
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-        files = self._write_data_files(dfz, cur.partition_by)
+        files = self._write_data_files(dfz, cur.partition_by, cur.properties)
         props = dict(cur.properties)
         props["sort.order"] = f"zorder({','.join(by)})"
         self._commit(
@@ -1248,7 +1290,7 @@ class LakeTable:
         stage token; audit via ``read_staged(token)``."""
         cur = self.manifest()
         new_files = self._write_data_files(
-            _align(df, cur.schema_json), cur.partition_by
+            _align(df, cur.schema_json), cur.partition_by, cur.properties
         )
         token = uuid.uuid4().hex[:12]
         staged = Manifest(
@@ -1358,7 +1400,7 @@ class LakeTable:
             ]
         )
         recast = self.read().withColumn(name, F.col(name).cast(new_type))
-        files = self._write_data_files(recast, cur.partition_by)
+        files = self._write_data_files(recast, cur.partition_by, cur.properties)
         self._commit(
             f"alter_column:{name}:{dtype}",
             files,
