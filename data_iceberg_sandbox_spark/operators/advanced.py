@@ -701,8 +701,51 @@ FROM e GROUP BY event_type
 """
 
 
+def window_analytics_suite(spark, sf_dir):
+    """The OVER-clause analytic surface beyond row_number in ONE
+    projection — lag, lead, dense_rank, ntile, and a bounded moving
+    frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — partitioned by
+    customer, totally ordered by (o_orderdate, o_orderkey) so every
+    function is deterministic. One custkey shuffle feeds ALL five
+    functions (same window spec → one Window exec, no extra exchange);
+    the moving sum aggregates exact decimals and emits double."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, 0)
+    price = F.col("o_totalprice").cast(PRICE)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        price.cast("double").alias("total"),
+        F.lag(price).over(w).cast("double").alias("prev_total"),
+        F.lead(price).over(w).cast("double").alias("next_total"),
+        F.dense_rank().over(w).alias("seq"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(price).over(wf).cast("double").alias("moving3_total"),
+    )
+
+
+WINDOW_SUITE_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total,
+       CAST(lag(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER w AS DOUBLE) AS prev_total,
+       CAST(lead(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER w AS DOUBLE) AS next_total,
+       dense_rank() OVER w AS seq,
+       ntile(4) OVER w AS quartile,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving3_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
+    QuerySpec("window_analytics_suite", window_analytics_suite, WINDOW_SUITE_ORACLE),
     QuerySpec("json_extract_props", json_extract_props, JSON_PROPS_ORACLE),
     QuerySpec("sliding_window_agg", sliding_window_agg, SLIDING_ORACLE),
     QuerySpec("multi_distinct_agg", multi_distinct_agg, MULTI_DISTINCT_ORACLE),

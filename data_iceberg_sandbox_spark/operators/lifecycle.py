@@ -836,6 +836,61 @@ FROM alive4 WHERE c_custkey % 5 = 0
 """
 
 
+def d_cdc_replicate(spark, sf_dir):
+    """CDC replication convergence — the CONSUMER half of
+    `changes_between` (the Iceberg-changelog / Delta-CDF downstream
+    shape): an empty replica replays the upstream changelog version by
+    version (inserts unioned in, deletes removed by multiset
+    ``exceptAll``) and must converge EXACTLY to the upstream head —
+    proving the changelog is a complete and minimal description of
+    every commit kind it crossed (append, COW delete, MoR equality
+    delete, merge update, compaction). Divergence raises before any
+    row is returned.
+
+    At 100 TB the replica side is a keyed MERGE per version window
+    instead of a frame fold, but the contract proven here is the one
+    that matters: apply(changelog) ∘ snapshot(v0) == snapshot(head)."""
+    c = load_table(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "d_cdc_rep", sf_dir)
+    t.create(c.filter(F.col("c_custkey") % 2 == 0))  # v1
+    t.append(c.filter(F.col("c_custkey") % 2 == 1))  # v2
+    t.delete_where(F.col("c_acctbal") < 0)  # v3
+    t.delete_keys_mor(
+        c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    )  # v4
+    upd = (
+        t.read()
+        .filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_name", F.concat(F.lit("CDC_"), F.col("c_name")))
+    )
+    t.merge(upd, on=["c_custkey"], assume_unique_source=True)  # v5
+    t.compact()  # v6
+    head_df = t.read()
+    cols = head_df.columns
+    replica = spark.createDataFrame([], head_df.schema)
+    for v in range(1, t.current_version() + 1):
+        ch = t.changes_between(v - 1, v)
+        ins = ch.filter(F.col("_change_type") == "insert").select(cols)
+        dels = ch.filter(F.col("_change_type") == "delete").select(cols)
+        replica = replica.unionByName(ins).exceptAll(dels)
+    if (
+        replica.exceptAll(head_df).count()
+        or head_df.exceptAll(replica).count()
+    ):
+        raise AssertionError("CDC replica diverged from upstream head")
+    return replica
+
+
+D_CDC_REP_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 5 = 0 THEN 'CDC_' || c_name ELSE c_name END
+         AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+WHERE NOT (c_acctbal < 0) AND c_custkey % 7 <> 0
+"""
+
+
 def d_bloom_pointlookup(spark, sf_dir):
     """Parquet-native bloom filters for scattered-key point lookups
     (`bloom.columns` table property → split-block blooms in the data
@@ -923,4 +978,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_partition_evolution", d_partition_evolution, D_EVOLVE_ORACLE, memo=False),
     QuerySpec("d_cdc_changelog", d_cdc_changelog, D_CDC_ORACLE, memo=False),
     QuerySpec("d_bloom_pointlookup", d_bloom_pointlookup, D_BLOOM_ORACLE, memo=False),
+    QuerySpec("d_cdc_replicate", d_cdc_replicate, D_CDC_REP_ORACLE, memo=False),
 ]
