@@ -32,9 +32,22 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+# Queries allowed to return zero rows at sf0.01. Currently none: an empty
+# result makes the hash comparison vacuously green (0-row == 0-row proves
+# nothing — this is how tpch_q9's '%1%' predicate hid for five rounds), so
+# every query must demonstrate ≥1 row or be explicitly listed here with a
+# reason.
+EMPTY_OK: frozenset[str] = frozenset()
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
     actual = _canon(spark_df.toPandas())
     expected = _canon(con.execute(sql).fetchdf())
+    if name not in EMPTY_OK:
+        assert len(expected) > 0, (
+            f"{name}: oracle returned 0 rows — vacuous match; fix the "
+            "predicate or allowlist in EMPTY_OK with a reason"
+        )
     assert len(actual) == len(expected), (
         f"{name}: row count {len(actual)} != oracle {len(expected)}"
     )
