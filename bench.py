@@ -300,52 +300,41 @@ def main() -> None:
     except Exception:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec (sequential; concurrent wall in extras)",
-                "value": sequential_total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "concurrent_wall_sec": concurrent_wall,
-                "concurrency": min(8, len(names) or 1),
-                "n_queries": len(names),
-                "errors": errors or None,
-                "concurrent_errors": concurrent_errors or None,
-                "floor_sec_per_action": floor_sec,
-                "jobs_per_query": jobs_per_query,
-                "total_jobs": total_jobs,
-                "floor_decomposition_sec": floor_total,
-                "streaming_events_per_sec": stream_eps,
-                "batch_load_rows_per_sec": load_rows_per_sec,
-                "duckdb_sequential_sec_same_sql": duckdb_sequential,
-                "duckdb_queries": duckdb_queries or None,
-                "notes": (
-                    "concurrent_wall_sec is the scale-representative "
-                    "headline: sequential latency at 17 MB is dominated by "
-                    "Spark's fixed ~60-130 ms per-action scheduling floor "
-                    "(16 actions ~= 1.5 s irreducible), which a "
-                    "multi-tenant or multi-executor deployment amortizes "
-                    "across in-flight queries — the concurrent wall times "
-                    "exactly that shape on one session with the FAIR "
-                    "scheduler. Timing action is the noop sink "
-                    "(materializes every output row; count() lets "
-                    "Catalyst prune whole aggregate expressions and "
-                    "under-measures, which also inflated r1/r2 numbers "
-                    "for q1/asof). duckdb_sequential_sec_same_sql runs "
-                    "the byte-identical oracle SQL best-of-3 in the same "
-                    "process immediately after the Spark batch phase. "
-                    "floor_decomposition_sec = floor_sec_per_action x "
-                    "total_jobs: the measured lower bound the per-action "
-                    "scheduling floor imposes on the sequential total "
-                    "regardless of plan quality; each query is wrapped in "
-                    "try/except so one failure can no longer zero out the "
-                    "round's bench signal."
-                ),
-            }
+    payload = {
+        "metric": "headline_suite_sec (sequential; concurrent wall in extras)",
+        "value": sequential_total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "concurrent_wall_sec": concurrent_wall,
+        "concurrency": min(8, len(names) or 1),
+        "n_queries": len(names),
+        "errors": errors or None,
+        "concurrent_errors": concurrent_errors or None,
+        "floor_sec_per_action": floor_sec,
+        "jobs_per_query": jobs_per_query,
+        "total_jobs": total_jobs,
+        "floor_decomposition_sec": floor_total,
+        "streaming_events_per_sec": stream_eps,
+        "batch_load_rows_per_sec": load_rows_per_sec,
+        "duckdb_sequential_sec_same_sql": duckdb_sequential,
+        "duckdb_queries": duckdb_queries or None,
+        # Methodology (timing action, concurrent-wall rationale, floor
+        # decomposition, DuckDB comparison protocol): docs/BENCH_NOTES.md.
+        "notes": "methodology: docs/BENCH_NOTES.md",
+    }
+    line = json.dumps(payload)
+    # Durable copy: the driver captures stdout and has truncated this line
+    # before (BENCH_r06.json parsed:null) — the in-repo file is the record.
+    try:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_last.json"
         )
-    )
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

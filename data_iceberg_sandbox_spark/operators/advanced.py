@@ -786,6 +786,8 @@ def sketch_rollup_distinct_users(spark, sf_dir):
             <= F.greatest(F.lit(1.0), F.col("exact_users") * F.lit(0.02))
         ).alias("within_2pct"),
     )
+    # consumed twice (verify probe + returned frame) — materialize once
+    out = out.localCheckpoint(eager=True)
     bad = out.filter(~F.col("within_2pct")).limit(1).collect()
     if bad:
         raise AssertionError(

@@ -804,7 +804,9 @@ def d_cdc_changelog(spark, sf_dir):
     )
     t.merge(src, on=["c_custkey"], assume_unique_source=True)  # v5
     t.compact()  # v6
-    ch = t.changes_between(1)
+    # the changelog frame is consumed twice (the compact-emits-nothing
+    # verify count, then the returned result) — materialize once
+    ch = t.changes_between(1).localCheckpoint(eager=True)
     n_v6 = ch.filter(F.col("_commit_version") == 6).count()
     if n_v6 != 0:
         raise AssertionError(
@@ -873,6 +875,11 @@ def d_cdc_replicate(spark, sf_dir):
         ins = ch.filter(F.col("_change_type") == "insert").select(cols)
         dels = ch.filter(F.col("_change_type") == "delete").select(cols)
         replica = replica.unionByName(ins).exceptAll(dels)
+    # the fold's lineage is 6 stacked union/exceptAll stages; the two
+    # convergence counts and the returned frame would each replay the
+    # whole changelog — materialize once and truncate lineage
+    replica = replica.localCheckpoint(eager=True)
+    head_df = head_df.localCheckpoint(eager=True)
     if (
         replica.exceptAll(head_df).count()
         or head_df.exceptAll(replica).count()

@@ -546,8 +546,12 @@ def q11_important_stock(spark, sf_dir):
     # (partkey, sum) rows — both passes stay on the 2-column projection
     # and the exchanges carry group-level rows only (measured 2.5×
     # faster at sf10: 4.1 s → 1.6 s, DuckDB 0.88 s)
+    # the TABLE-level total re-sums every per-part BIGINT sum, so the
+    # money.py per-group overflow headroom (~9.2e18 ≈ sf750 of
+    # EUROPE-routed revenue) doesn't cover it — sum as decimal(38,0)
+    # (the per-part val_fp stays BIGINT; only the scalar widens)
     stats = per_part.agg(
-        F.sum("val_fp").alias("tot_fp"),
+        F.sum(F.col("val_fp").cast("decimal(38,0)")).alias("tot_fp"),
         F.count(F.lit(1)).alias("np"),
     )
     return (

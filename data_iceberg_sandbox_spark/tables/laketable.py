@@ -79,6 +79,14 @@ class IncrementalReadError(RuntimeError):
     incremental scan has the same appends-only restriction)."""
 
 
+def _hive_layout(f: str) -> tuple:
+    """A file's partition layout = its hive path segment column names.
+    Partition-spec evolution (metadata-only) leaves files of older
+    layouts in place, and Spark needs a consistent directory structure
+    per scan, so mixed-spec file lists scan one group per layout."""
+    return tuple(seg.split("=", 1)[0] for seg in f.split("/") if "=" in seg)
+
+
 @dataclass
 class Manifest:
     version: int
@@ -189,29 +197,10 @@ class LakeTable:
             ]
         if not files:
             return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.schema(schema).option(
-            "basePath", os.path.join(self.root, "data")
-        )
         cols = [f.name for f in schema.fields]
-
-        def _scan(flist: list[str]) -> DataFrame:
-            # one distributed scan over the file list; column order
-            # pinned to the table schema
-            paths = [os.path.join(self.root, f) for f in flist]
-            return reader.parquet(*paths).select(cols)
-
-        def _layout(f: str) -> tuple:
-            # a file's partition layout is its hive path segments —
-            # partition-spec evolution (metadata-only) leaves files of
-            # older layouts in place, and Spark needs a consistent
-            # directory structure per scan
-            return tuple(
-                seg.split("=", 1)[0] for seg in f.split("/") if "=" in seg
-            )
-
-        layouts = {_layout(f) for f in files}
+        layouts = {_hive_layout(f) for f in files}
         if not man.delete_files and len(layouts) == 1:
-            return _scan(files)
+            return self._scan_files(schema, files)
         # Group data files by (partition layout, applicable delete set)
         # and scan each group once.
         # - layout: files written under different partition specs cannot
@@ -226,7 +215,7 @@ class LakeTable:
         for f in files:
             fseq = man.file_seq.get(f, man.version)
             key = (
-                _layout(f),
+                _hive_layout(f),
                 tuple(
                     sorted(d for d, ds in man.delete_files.items() if fseq < ds)
                 ),
@@ -234,7 +223,7 @@ class LakeTable:
             groups.setdefault(key, []).append(f)
         parts = []
         for (_lay, dels), flist in groups.items():
-            df = _scan(flist)
+            df = self._scan_files(schema, flist)
             for d in dels:
                 keys = self.spark.read.parquet(os.path.join(self.root, d))
                 missing = [c for c in keys.columns if c not in cols]
@@ -298,38 +287,29 @@ class LakeTable:
         )
         if not new_files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f) for f in new_files]
+        return self._scan_files(schema, new_files)
+
+    def _scan_files(self, schema: T.StructType, flist: list[str]) -> DataFrame:
+        """One distributed scan over a concrete file list (single hive
+        layout); column order pinned to the table schema."""
         reader = self.spark.read.schema(schema).option(
             "basePath", os.path.join(self.root, "data")
         )
+        paths = [os.path.join(self.root, f) for f in flist]
         return reader.parquet(*paths).select([f.name for f in schema.fields])
 
     def _scan_file_subset(self, man: "Manifest", files: list[str]) -> DataFrame:
         """One distributed scan over a manifest file subset, grouped by
         hive partition layout (mixed-spec tables carry files of older
-        layouts; see read())."""
+        layouts; read() handles the delete-sidecar grouping on top of
+        the same helpers)."""
         schema = T.StructType.fromJson(json.loads(man.schema_json))
-        cols = [f.name for f in schema.fields]
         if not files:
             return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.schema(schema).option(
-            "basePath", os.path.join(self.root, "data")
-        )
-
-        def _layout(f: str) -> tuple:
-            return tuple(
-                seg.split("=", 1)[0] for seg in f.split("/") if "=" in seg
-            )
-
         groups: dict[tuple, list[str]] = {}
         for f in files:
-            groups.setdefault(_layout(f), []).append(f)
-        parts = [
-            reader.parquet(
-                *[os.path.join(self.root, f) for f in flist]
-            ).select(cols)
-            for flist in groups.values()
-        ]
+            groups.setdefault(_hive_layout(f), []).append(f)
+        parts = [self._scan_files(schema, flist) for flist in groups.values()]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -543,6 +523,18 @@ class LakeTable:
                 raise ValueError(
                     f"bloom.columns {missing} not in table schema "
                     f"{df.columns}"
+                )
+            # partitionBy strips partition columns from the data files, so
+            # a bloom on one would validate here but write zero bloom
+            # bytes — the point lookup is already served by partition
+            # pruning anyway, so this is always a config mistake
+            shadowed = [c for c in bloom_cols if c in (partition_by or [])]
+            if shadowed:
+                raise ValueError(
+                    f"bloom.columns {shadowed} are partition columns: "
+                    "partition values never reach the parquet column "
+                    "chunks (partition pruning already serves equality "
+                    "probes on them)"
                 )
             for c in bloom_cols:
                 writer = writer.option(
