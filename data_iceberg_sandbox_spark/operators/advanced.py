@@ -743,6 +743,95 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def histogram_rollup(spark, sf_dir, bins: int = 10, width: float = 10.0):
+    """Mergeable equi-width histogram rollup: per-(day, event_type)
+    value histograms (array<long> of 10 bins over [0, 100), top bin
+    clamps the tail) pre-aggregated ONCE from the fact, then rolled up
+    to per-day histograms by ELEMENT-WISE ARRAY SUM (`zip_with` over
+    the ≤5 per-day type histograms) — no fact rescan. The exact-array
+    companion to `sketch_rollup_distinct_users`: histograms decompose
+    exactly (counts are additive), so unlike HLL the rollup is proven
+    EQUAL in-plan to a direct day-level aggregation, not ±2%.
+
+    Scale shape: the fine histogram is `bins` conditional sums — pure
+    JVM expressions, map-side partial agg, ONE fact shuffle on
+    (day, type); the rollup re-aggregates the tiny grouped frame. This
+    is the data-quality-dashboard shape at 100 TB: distribution drift
+    per day/source from kilobyte pre-aggregates.
+
+    Output: one row per (day, bin) with the rolled-up count (zero bins
+    included — the grid is part of the contract)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / F.lit(width)).cast("int")
+            ),
+        ).alias("bin"),
+    )
+    fine = ev.groupBy("day", "event_type").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("bin") == b, 1).otherwise(0)).cast("long")
+                for b in range(bins)
+            ]
+        ).alias("hist")
+    )
+    rolled = fine.groupBy("day").agg(
+        F.aggregate(
+            F.collect_list("hist"),
+            F.array(*[F.lit(0).cast("long")] * bins),
+            lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+        ).alias("hist")
+    )
+    out = rolled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.posexplode("hist").alias("bin", "n"),
+    ).select("day", F.col("bin").cast("long").alias("bin"), "n")
+    # decomposability is EXACT for histograms: assert the rollup equals
+    # a direct day-level aggregation (this rescans the fact — kept only
+    # to verify; real rollups drop it)
+    direct = ev.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("n_d"))
+    probe = (
+        out.join(
+            direct.select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                F.col("bin").cast("long").alias("bin"),
+                "n_d",
+            ),
+            ["day", "bin"],
+            "left",
+        )
+        .filter(F.col("n") != F.coalesce(F.col("n_d"), F.lit(0)))
+        .limit(1)
+        .collect()
+    )
+    if probe:
+        raise AssertionError(
+            f"histogram rollup diverged from direct agg: {probe[0].asDict()}"
+        )
+    return out
+
+
+HISTOGRAM_ROLLUP_ORACLE = """
+WITH f AS (
+  SELECT CAST(ts AS DATE) AS day,
+         least(9, greatest(0, CAST(floor(value / 10) AS INT))) AS bin
+  FROM events),
+counts AS (SELECT day, bin, count(*) AS n FROM f GROUP BY 1, 2),
+grid AS (
+  SELECT d.day, u.bin
+  FROM (SELECT DISTINCT day FROM f) d,
+       LATERAL (SELECT unnest(range(10)) AS bin) u)
+SELECT strftime(grid.day, '%Y-%m-%d') AS day,
+       grid.bin AS bin,
+       coalesce(counts.n, 0) AS n
+FROM grid LEFT JOIN counts ON grid.day = counts.day AND grid.bin = counts.bin
+"""
+
+
 def sketch_rollup_distinct_users(spark, sf_dir):
     """Mergeable distinct-count rollup via DataSketches HLL (Spark 4
     built-ins `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`
@@ -807,6 +896,12 @@ FROM events GROUP BY 1
 SPECS: list[QuerySpec] = [
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("window_analytics_suite", window_analytics_suite, WINDOW_SUITE_ORACLE),
+    QuerySpec(
+        "histogram_rollup",
+        histogram_rollup,
+        HISTOGRAM_ROLLUP_ORACLE,
+        memo=False,  # runs a driver-side equality assertion per call
+    ),
     QuerySpec(
         "sketch_rollup_distinct_users",
         sketch_rollup_distinct_users,

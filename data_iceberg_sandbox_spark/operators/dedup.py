@@ -408,8 +408,40 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
 """
 
 
+def dedup_keep_best(spark, sf_dir):
+    """Exact dedup keeping the BEST copy per content group, not an
+    arbitrary one: within each md5(text) group the survivor is the doc
+    with the highest quality proxy (here n_chars; a real pipeline plugs
+    its scorer), ties broken by lowest doc_id — the "keep the longest /
+    highest-quality page" policy crawl dedup actually wants (vs
+    `dedup_exact`'s keep-min-id).
+
+    Scale shape: same single digest shuffle as dedup_exact — the argmax
+    is `max_by` over a packed (quality, -doc_id) BIGINT, so it partial-
+    aggregates map-side; no window, no second shuffle. The pack bound
+    (n_chars < 2^20, doc_id < 2^43) is documented where a real corpus
+    would swap in a struct max_by."""
+    docs = load_table(spark, sf_dir, "documents")
+    rank = F.col("n_chars") * F.lit(2**43) - F.col("doc_id")
+    return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.max_by(F.col("doc_id"), rank).alias("keeper_doc_id"),
+        F.max("n_chars").alias("keeper_n_chars"),
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = """
+SELECT md5(text) AS content_hash,
+       count(*) AS n_copies,
+       max_by(doc_id, n_chars * 8796093022208 - doc_id) AS keeper_doc_id,
+       max(n_chars) AS keeper_n_chars
+FROM documents GROUP BY md5(text)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle_sql()),

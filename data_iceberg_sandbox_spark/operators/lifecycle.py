@@ -21,6 +21,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.registry import load_table
 from ..tables.laketable import LakeTable
@@ -961,8 +962,59 @@ WHERE l_rowkey IN (SELECT l_rowkey FROM r ORDER BY l_rowkey LIMIT 3)
 """
 
 
+def s16_jsonl_roundtrip(spark, sf_dir):
+    """JSONL corpus ingestion round-trip — the file format LLM training
+    corpora actually arrive in: a distributed JSON-lines sink
+    (`df.write.json`, one file per partition) followed by a schema-pinned
+    read-back in PERMISSIVE mode with a `_corrupt_record` column. One
+    deliberately malformed line is injected between write and read; the
+    query asserts in-plan that exactly that one line lands in the
+    corrupt column (fail-loud, not silently dropped — DROPMALFORMED at
+    100 TB hides data loss) and returns the clean rows, which must
+    hash-match the source subset exactly — proving the sink/source pair
+    is lossless for the corpus schema.
+
+    Scale shape: both sink and source are distributed file ops; schema
+    is pinned (no inference pass over 100 TB); the corrupt count is a
+    metadata-scale aggregate off one localCheckpoint'd frame."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 3
+    )
+    root = os.path.join(
+        SCRATCH, f"jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    docs.write.mode("overwrite").json(root)
+    with open(os.path.join(root, "extra-corrupt.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "truncated line\n')
+    schema = docs.schema.add("_corrupt_record", T.StringType())
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(root)
+        .localCheckpoint(eager=True)
+    )
+    n_corrupt = back.filter(F.col("_corrupt_record").isNotNull()).count()
+    if n_corrupt != 1:
+        raise AssertionError(
+            f"expected exactly 1 corrupt JSONL record, got {n_corrupt}"
+        )
+    return back.filter(F.col("_corrupt_record").isNull()).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+S16_JSONL_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 10 = 3
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE, memo=False),
+    QuerySpec("s16_jsonl_roundtrip", s16_jsonl_roundtrip, S16_JSONL_ORACLE, memo=False),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
     QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE, memo=False),
     QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE, memo=False),

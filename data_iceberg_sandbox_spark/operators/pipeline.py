@@ -614,8 +614,132 @@ FROM walk GROUP BY node
 DUPLICATE_CLUSTERS_ORACLE = duplicate_clusters_oracle_sql()
 
 
+def sample_stratified_exact(spark, sf_dir, k: int = 20):
+    """Exact-size stratified sampling: EXACTLY min(k, |stratum|) docs per
+    (lang, source) stratum, chosen by deterministic md5 order — the
+    balanced-eval-set constructor (rate-based sampling like
+    `corpus_sample_mix` only hits k in expectation; an eval suite wants
+    exact per-cell counts, stable across runs and engines).
+
+    Scale shape: one shuffle on the stratum key; the rank is a window
+    over each stratum ordered by a pure hash of doc_id, so re-running,
+    re-partitioning, or growing OTHER strata never changes a cell's
+    selection. Hot strata are bounded by the window's per-partition
+    sort; k rows survive per cell."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    okey = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang", "source").orderBy(okey)
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "lang", "source", "sample_rank")
+    )
+
+
+SAMPLE_STRATIFIED_ORACLE = """
+SELECT doc_id, lang, source, sample_rank FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))
+         ) AS sample_rank
+  FROM documents) t
+WHERE sample_rank <= 20
+"""
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase): per user, the
+    first view, the first click within 1 day AFTER that view, and the
+    first purchase within 1 day AFTER that click; emits per-stage
+    conversion counts — the classic product-analytics operator (same
+    semantics as ClickHouse `windowFunnel` in strict-order mode; the
+    1-day cap is the discriminating knob: uncapped, this testdata's
+    per-user event density converts everyone, giving 90/35/25 users at
+    stages 1/2/3 at sf0.01 instead of 150-at-3).
+
+    Scale shape: three per-user min-aggregations, all co-partitioned on
+    user_id — the first groupBy sets the partitioning and AQE reuses it
+    for the subsequent joins; each later stage filters the fact BEFORE
+    its aggregation (type pruning pushes to the scan). No window over
+    the raw event stream, so a hot user costs one combiner, not a
+    sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    day = F.expr("INTERVAL 1 DAY")
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage_reached")
+        )
+    )
+    return stage.groupBy("stage_reached").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+    AND e.ts <= t1.t_view + INTERVAL 1 DAY GROUP BY 1),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+    AND e.ts <= t2.t_click + INTERVAL 1 DAY GROUP BY 1)
+SELECT CASE WHEN t3.user_id IS NOT NULL THEN 3
+            WHEN t2.user_id IS NOT NULL THEN 2
+            ELSE 1 END AS stage_reached,
+       count(*) AS n_users
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
+GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE),
+    QuerySpec(
+        "sample_stratified_exact", sample_stratified_exact, SAMPLE_STRATIFIED_ORACLE
+    ),
+    QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE),
     QuerySpec(
         "embedding_label_centroids", embedding_label_centroids, LABEL_CENTROID_ORACLE
     ),

@@ -55,6 +55,19 @@ def test_bloom_bad_column_fails_loud(spark, scratch):
         t.create(_data(spark), properties={"bloom.columns": "nope"})
 
 
+def test_bloom_on_partition_column_fails_loud(spark, scratch):
+    # partitionBy strips partition columns from the data files, so a
+    # bloom on one would validate but silently write zero bloom bytes
+    t = LakeTable(spark, os.path.join(scratch, "bloom_part"))
+    df = _data(spark).withColumn("cat", F.col("id") % 4)
+    with pytest.raises(ValueError, match="partition columns"):
+        t.create(
+            df,
+            partition_by=["cat"],
+            properties={"bloom.columns": "cat"},
+        )
+
+
 def test_bloom_property_survives_compact(spark, scratch):
     df = _data(spark).coalesce(1)
     t = LakeTable(spark, os.path.join(scratch, "bloom_compact"))

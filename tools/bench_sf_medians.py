@@ -1,0 +1,180 @@
+"""Dispersion-honest scale benchmark (VERDICT r6 item 4).
+
+The r6 sf10 table published best-of-3 single-pass numbers; the judge's
+contended re-run reproduced the crossover class (asof 0.03×) but not
+the tightest ratios (q21 0.90× → 2.24×, q3 4.6× → 10.4×). This tool
+runs each query N times (default 5) after a warm pass and reports
+MEDIAN + MIN for both engines, plus suite medians and per-query-ratio
+geomean/median, so the headline totals cannot be read as per-query and
+box-state sensitivity is visible in the spread.
+
+Usage: python tools/bench_sf_medians.py [sf_dir] [runs] [out.json]
+Defaults: .scratch/sf10, 5 runs, BENCH_SF_MEDIANS.json.
+Same comparison protocol as bench.py (docs/BENCH_NOTES.md): noop-sink
+timing action, base tables cached (resident-engine shape on both
+sides), DuckDB runs the byte-identical oracle SQL in the same process.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+QUERIES = [
+    # bench.py HEADLINE
+    "flagship_fraud_enriched",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q7_volume_shipping",
+    "a4_tumble_agg",
+    "w_rank_topk",
+    "sessionize_events",
+    "asof_latest_order",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "corpus_token_stats",
+    # round-6/7 additions measured at sf10
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q21_waiting_suppliers",
+]
+
+# DuckDB single runs that exceed this many seconds get fewer repeats
+# (the median still comes from >=3 samples unless a single run is huge).
+DUCK_SLOW_CUTOFF = 20.0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf10"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SF_MEDIANS.json"
+
+    from data_iceberg_sandbox_spark.session import get_spark_session
+    from data_iceberg_sandbox_spark.sources.registry import TABLES, load_table
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = [n for n in QUERIES if n in queries]
+
+    spark = get_spark_session(
+        app_name="bench_medians",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        extra_conf={
+            "spark.sql.files.openCostInBytes": "262144",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    pinned = []
+    for t in TABLES:
+        try:
+            df = load_table(spark, sf_dir, t).cache()
+            df.count()
+            pinned.append(df)
+        except Exception:
+            pass
+
+    def run_once(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    spark_times: dict[str, list[float]] = {}
+    for n in names:
+        df = queries[n](spark, sf_dir)
+        run_once(df)  # warm (codegen, cache fill, python workers)
+        spark_times[n] = [round(run_once(df), 3) for _ in range(runs)]
+        print(f"spark {n}: {spark_times[n]}", file=sys.stderr, flush=True)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    duck_times: dict[str, list[float]] = {}
+    for n in names:
+        sql = oracles.get(n)
+        if not sql:
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()  # warm
+        first = time.perf_counter() - t0
+        reps = runs if first < DUCK_SLOW_CUTOFF else max(2, runs - 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(round(time.perf_counter() - t0, 3))
+        duck_times[n] = samples
+        print(f"duckdb {n}: {samples}", file=sys.stderr, flush=True)
+
+    def med(xs):
+        return round(statistics.median(xs), 3)
+
+    per_query = {}
+    ratios = []
+    for n in names:
+        s_med, s_min = med(spark_times[n]), min(spark_times[n])
+        row = {
+            "spark_median": s_med,
+            "spark_min": s_min,
+            "spark_runs": spark_times[n],
+        }
+        if n in duck_times:
+            d_med, d_min = med(duck_times[n]), min(duck_times[n])
+            row.update(
+                duckdb_median=d_med,
+                duckdb_min=d_min,
+                duckdb_runs=duck_times[n],
+                ratio_median=round(s_med / d_med, 2) if d_med else None,
+            )
+            ratios.append(s_med / d_med)
+        per_query[n] = row
+
+    payload = {
+        "sf_dir": sf_dir,
+        "runs": runs,
+        "suite_spark_median_total": round(
+            sum(v["spark_median"] for v in per_query.values()), 2
+        ),
+        "suite_duckdb_median_total": round(
+            sum(v.get("duckdb_median", 0) for v in per_query.values()), 2
+        ),
+        "ratio_of_totals": None,
+        "per_query_ratio_median": round(statistics.median(ratios), 2),
+        "per_query_ratio_geomean": round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 2
+        ),
+        "per_query": per_query,
+    }
+    if payload["suite_duckdb_median_total"]:
+        payload["ratio_of_totals"] = round(
+            payload["suite_spark_median_total"]
+            / payload["suite_duckdb_median_total"],
+            2,
+        )
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({k: v for k, v in payload.items() if k != "per_query"}))
+
+
+if __name__ == "__main__":
+    main()
