@@ -137,9 +137,15 @@ P7_ORACLE = (
 
 def p8_isnull_left_join(spark, sf_dir):
     """P8 IS NULL after left join — the orphan/backfill check
-    (streaming-usecase.md:269-272): customers with no orders."""
+    (streaming-usecase.md:269-272): customers with no high-value
+    (>300k) order. The unfiltered form ("customers with no orders") is
+    EMPTY in this testdata at every SF — a vacuously-green hash match —
+    while the price filter leaves a scale-invariant ~2% of customers
+    orphaned (3/150 at sf0.001, 308/15000 at sf0.1)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .filter(F.col("o_orderkey").isNull())
@@ -149,7 +155,8 @@ def p8_isnull_left_join(spark, sf_dir):
 
 P8_ORACLE = """
 SELECT c_custkey, c_name
-FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+     ON c_custkey = o_custkey
 WHERE o_orderkey IS NULL
 """
 
@@ -272,9 +279,17 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def j_anti(spark, sf_dir):
-    """Left-anti join (NOT EXISTS) — engine surface."""
+    """Left-anti join (NOT EXISTS) — engine surface. Customers with no
+    URGENT-priority order: an unfiltered anti against all orders is
+    EMPTY in this testdata (every customer has orders at every SF), so
+    it would pass the oracle vacuously; the priority filter keeps the
+    result non-empty (~13% of customers) at all SFs. The filter lands
+    on the build/right side BEFORE the anti join, so it also proves
+    predicate pushdown through the anti path."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -282,7 +297,9 @@ def j_anti(spark, sf_dir):
 
 J_ANTI_ORACLE = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -481,20 +498,24 @@ SELECT s_nationkey AS nationkey FROM supplier
 
 
 def set_except(spark, sf_dir):
-    """EXCEPT (distinct semantics) — engine surface."""
+    """EXCEPT (distinct semantics) — engine surface. Customer keys
+    minus urgent-order placers: a nationkey-domain EXCEPT (the previous
+    form) degenerates to EMPTY once both sides cover all 25 fixed
+    nations — vacuous at sf0.1 already — while a key-domain difference
+    stays a scale-invariant ~13% of customers at every SF."""
     c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+        F.col("c_custkey").alias("custkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
 
 
 SET_EXCEPT_ORACLE = """
-SELECT c_nationkey AS nationkey FROM customer
+SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
 

@@ -292,15 +292,24 @@ def q9_product_profit(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    profit = _rev(F.col("l_extendedprice"), F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ).cast(PRICE) * F.lit(0.6).cast(RATE) * F.col("l_quantity").cast(PRICE)
+    # Exact scale-5 BIGINT fixed point (functions/money.py): the decimal
+    # product form (precision >= 11) sums on the BigDecimal slow path for
+    # every surviving lineitem row — measured ~2x q9's whole agg at sf10.
+    # l_quantity is integer-valued and retail/extprice are cents-exact
+    # (asserted by the oracle hash match), so cents x milli-rate BIGINT
+    # is the same exact rational the oracle's decimal sum carries.
+    # Headroom: <=1.1e10/row -> ~8e8 rows per (nation, year) group.
+    profit_fp = fixed("l_extendedprice", 2) * (
+        F.lit(1000) - fixed("l_discount", 3)
+    ) - fixed("p_retailprice", 2) * F.lit(600) * F.col("l_quantity").cast(
+        "bigint"
+    )
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .agg(unscale(F.sum(profit_fp), 5).alias("sum_profit"))
     )
 
 
