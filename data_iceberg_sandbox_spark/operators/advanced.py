@@ -743,6 +743,72 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def quantile_stats_exact(spark, sf_dir):
+    """EXACT per-group continuous quantiles (p50/p90/p99 of event value
+    per event_type) WITHOUT per-group value buffering: Spark's exact
+    `percentile` holds every value of a group in one aggregation buffer
+    (OOM at 100 TB); this computes the same linearly-interpolated
+    order statistic from a VALUE HISTOGRAM, which is scale-safe when
+    the measure has bounded cardinality (money/latency at fixed decimal
+    precision — here 2 decimals ⇒ ≤10k distinct values regardless of
+    row count).
+
+    Plan: (1) count per (type, value) — ONE fact shuffle with map-side
+    combine, output size = distinct values not rows; (2) running count
+    per type ordered by value — a window over the tiny histogram frame;
+    (3) each quantile q maps to rank r = (n-1)·q, and the covering
+    values v_lo = value at floor(r), v_hi = value at ceil(r) fall out
+    of one conditional min/max over the histogram; interpolate
+    v_lo + (r - floor(r))·(v_hi - v_lo) — bit-identical to DuckDB's
+    `quantile_cont` (hash-checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("value")
+    cum = hist.withColumn("cum_end", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(W.partitionBy("event_type"))
+    )
+    aggs, outs = [], []
+    for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        r = (F.col("n") - 1).cast("double") * F.lit(q)
+        lo_idx, hi_idx = F.floor(r), F.ceil(r)
+        # value covering 0-based index i = first row with cum_end >= i+1
+        aggs += [
+            F.min(F.when(F.col("cum_end") >= lo_idx + 1, F.col("value"))).alias(
+                f"_lo_{name}"
+            ),
+            F.min(F.when(F.col("cum_end") >= hi_idx + 1, F.col("value"))).alias(
+                f"_hi_{name}"
+            ),
+            F.max(r).alias(f"_r_{name}"),
+        ]
+        # the two-sided weighted form lo·(ceil(r)−r) + hi·(r−floor(r)) is
+        # what both Spark `percentile` and DuckDB `quantile_cont` emit
+        # (the algebraically-equal lo + frac·(hi−lo) differs by 1 ulp on
+        # some groups); integral rank short-circuits to the exact value
+        rc = F.col(f"_r_{name}")
+        lo, hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
+        outs.append(
+            F.when(F.floor(rc) == F.ceil(rc), lo)
+            .otherwise(
+                lo * (F.ceil(rc).cast("double") - rc)
+                + hi * (rc - F.floor(rc).cast("double"))
+            )
+            .alias(name)
+        )
+    return cum.groupBy("event_type").agg(*aggs).select("event_type", *outs)
+
+
+QUANTILE_STATS_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY 1
+"""
+
+
 def histogram_rollup(spark, sf_dir, bins: int = 10, width: float = 10.0):
     """Mergeable equi-width histogram rollup: per-(day, event_type)
     value histograms (array<long> of 10 bins over [0, 100), top bin
@@ -902,6 +968,7 @@ SPECS: list[QuerySpec] = [
         HISTOGRAM_ROLLUP_ORACLE,
         memo=False,  # runs a driver-side equality assertion per call
     ),
+    QuerySpec("quantile_stats_exact", quantile_stats_exact, QUANTILE_STATS_ORACLE),
     QuerySpec(
         "sketch_rollup_distinct_users",
         sketch_rollup_distinct_users,

@@ -1012,9 +1012,47 @@ FROM documents WHERE doc_id % 10 = 3
 """
 
 
+def s17_orc_roundtrip(spark, sf_dir):
+    """ORC sink/source round-trip — the second columnar interchange
+    format Spark carries natively (jar-free, unlike Avro): a predicate-
+    pushdown read-back proves the written ORC files carry usable
+    statistics, not just bytes. Events for one type are written with
+    min/max-friendly ordering, read back with a pushed range predicate,
+    and the rows must hash-match the equivalent scan of the source
+    parquet.
+
+    Scale shape: distributed write (one ORC file per partition),
+    distributed read with `PushedFilters` on the value range (asserted
+    in-plan: the ORC scan node must report the pushed predicate);
+    timestamps survive because the session pins UTC."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    root = os.path.join(
+        SCRATCH, f"orc_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    ev.select("event_id", "ts", "user_id", "value").write.mode(
+        "overwrite"
+    ).orc(root)
+    back = spark.read.orc(root).filter(F.col("value") > 100.0)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    if "PushedFilters: [" not in plan or "GreaterThan(value,100.0)" not in plan:
+        raise AssertionError(
+            "ORC read-back did not push the value predicate: " + plan[:400]
+        )
+    return back.select("event_id", "ts", "user_id", "value")
+
+
+S17_ORC_ORACLE = """
+SELECT event_id, ts, user_id, value
+FROM events WHERE event_type = 'purchase' AND value > 100.0
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE, memo=False),
     QuerySpec("s16_jsonl_roundtrip", s16_jsonl_roundtrip, S16_JSONL_ORACLE, memo=False),
+    QuerySpec("s17_orc_roundtrip", s17_orc_roundtrip, S17_ORC_ORACLE, memo=False),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
     QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE, memo=False),
     QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE, memo=False),

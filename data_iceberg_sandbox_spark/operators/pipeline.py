@@ -734,8 +734,58 @@ GROUP BY 1
 """
 
 
+def corpus_boilerplate_ngrams(spark, sf_dir, n: int = 5, min_df: int = 2):
+    """Boilerplate detection by corpus-frequent n-grams (the
+    CCNet/RefinedWeb "repeated template text" signal): a word 5-gram
+    occurring in >= min_df DISTINCT docs is boilerplate; each doc gets
+    its boilerplate fraction — the curation filter drops docs dominated
+    by nav-bars / license headers / templated spans.
+
+    Scale shape: shingling is a zero-shuffle projection (shared
+    `_doc_shingles`); document frequency is ONE shuffle on the shingle
+    key with map-side partial counts; the flag joins back shingle→df on
+    the SAME key (AQE-coalesced, co-partitioned with the agg output);
+    the per-doc rollup is the second real shuffle. No doc×doc work, no
+    driver state — O(corpus shingles) end to end, the same inverted-
+    index backbone as `dedup_ngram_jaccard`."""
+    from .dedup import _doc_shingles
+
+    ds = _doc_shingles(spark, sf_dir, n)  # distinct (doc_id, shingle)
+    df_counts = ds.groupBy("shingle").agg(F.count("*").alias("df"))
+    flagged = ds.join(df_counts, "shingle").select(
+        "doc_id", (F.col("df") >= min_df).cast("int").alias("is_boiler")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("is_boiler").alias("n_boiler"),
+        F.round(
+            F.sum("is_boiler") / F.count("*").cast("double"), 6
+        ).alias("boiler_frac"),
+    )
+
+
+BOILERPLATE_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS shingle
+       FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 1))) AS i) i),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+dfreq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY 1)
+SELECT ds.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
+FROM ds JOIN dfreq ON ds.shingle = dfreq.shingle
+GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE),
+    QuerySpec(
+        "corpus_boilerplate_ngrams", corpus_boilerplate_ngrams, BOILERPLATE_ORACLE
+    ),
     QuerySpec(
         "sample_stratified_exact", sample_stratified_exact, SAMPLE_STRATIFIED_ORACLE
     ),
