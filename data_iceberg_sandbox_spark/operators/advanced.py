@@ -809,6 +809,73 @@ FROM events GROUP BY 1
 """
 
 
+def trend_daily_slope(spark, sf_dir):
+    """Per-group least-squares trend (metric-drift detection): the OLS
+    slope of event value over time per event_type, computed from EXACT
+    integer sufficient statistics instead of `regr_slope`. The built-in
+    folds floating-point partial covariances whose value depends on
+    partition merge order — same data, different partitioning, different
+    last bits — unusable where results must be reproducible across
+    cluster sizes. Here x = epoch day (int), y = cents (functions/
+    money.py), and Σx/Σy/Σxy/Σx² are BIGINT-exact with map-side combine
+    (one shuffle, 5 groups); only the final per-group scalar
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) widens to decimal and
+    divides once as double — deterministic on any partitioning, and
+    hash-identical to DuckDB running the same algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    y_fp = F.round(F.col("value") * 100).cast("bigint")
+    s = ev.select(
+        "event_type", x.alias("x"), y_fp.alias("y_fp")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_fp").alias("sy"),
+        F.sum(F.col("x") * F.col("y_fp")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx").cast(dec) * F.col(
+        "sy"
+    )
+    den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx").cast(dec) * F.col(
+        "sx"
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (
+            num.cast("double") / den.cast("double") / F.lit(100.0)
+        ).alias("slope_per_day"),
+        (F.col("sy").cast("double") / F.col("n").cast("double") / F.lit(100.0)).alias(
+            "mean_value"
+        ),
+    )
+
+
+TREND_SLOPE_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y_fp
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y_fp) AS sy,
+         sum(x * y_fp) AS sxy, sum(x * x) AS sxx
+  FROM d GROUP BY 1)
+SELECT event_type, n,
+       CAST(CAST(n AS DECIMAL(38,0)) * sxy
+            - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+       / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+              - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / 100.0
+         AS slope_per_day,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value
+FROM s
+"""
+
+
 def histogram_rollup(spark, sf_dir, bins: int = 10, width: float = 10.0):
     """Mergeable equi-width histogram rollup: per-(day, event_type)
     value histograms (array<long> of 10 bins over [0, 100), top bin
@@ -969,6 +1036,7 @@ SPECS: list[QuerySpec] = [
         memo=False,  # runs a driver-side equality assertion per call
     ),
     QuerySpec("quantile_stats_exact", quantile_stats_exact, QUANTILE_STATS_ORACLE),
+    QuerySpec("trend_daily_slope", trend_daily_slope, TREND_SLOPE_ORACLE),
     QuerySpec(
         "sketch_rollup_distinct_users",
         sketch_rollup_distinct_users,

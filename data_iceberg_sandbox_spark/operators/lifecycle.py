@@ -1012,6 +1012,62 @@ FROM documents WHERE doc_id % 10 = 3
 """
 
 
+def d_mv_incremental_refresh(spark, sf_dir):
+    """Batch incremental MV maintenance — the lake-side analog of the
+    streaming MV suite: a decomposable aggregate MV (count + exact
+    fixed-point sum per order priority) is materialized from the base
+    snapshot, two appends land, and the refresh folds ONLY the
+    incremental scan of those appends into the stored MV state
+    (merge = union + re-aggregate of partial aggregates), never
+    rescanning the base.
+
+    The oracle IS the direct full recompute over all rows, so the hash
+    match proves refresh(MV, delta) == full_agg(base ∪ delta) exactly —
+    the algebraic-MV contract. At 100 TB the refresh cost is
+    O(delta) + O(|MV|) (a few groups), vs O(table) for a naive rebuild;
+    non-append commits in the range fail loud via
+    ``read_incremental``'s IncrementalReadError, exactly when a
+    changelog-based refresh is no longer sound."""
+    from ..functions.money import fixed, unscale
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "dmvr_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+
+    def partial_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(fixed("o_totalprice", 2)).alias("price_fp"),
+        )
+
+    # MV v1: materialized once from the base snapshot (checkpoint stands
+    # in for the MV's storage table; the refresh below must not rescan it)
+    mv_v1 = partial_agg(t.read()).localCheckpoint(eager=True)
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    delta = t.read_incremental(from_version=1)
+    refreshed = (
+        mv_v1.unionByName(partial_agg(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("price_fp").alias("price_fp"),
+        )
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        "n_orders",
+        unscale(F.col("price_fp"), 2).alias("total_price"),
+    )
+
+
+D_MV_REFRESH_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
 def s17_orc_roundtrip(spark, sf_dir):
     """ORC sink/source round-trip — the second columnar interchange
     format Spark carries natively (jar-free, unlike Avro): a predicate-
@@ -1053,6 +1109,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_pruned_scan", d_pruned_scan, D_PRUNED_ORACLE, memo=False),
     QuerySpec("s16_jsonl_roundtrip", s16_jsonl_roundtrip, S16_JSONL_ORACLE, memo=False),
     QuerySpec("s17_orc_roundtrip", s17_orc_roundtrip, S17_ORC_ORACLE, memo=False),
+    QuerySpec(
+        "d_mv_incremental_refresh",
+        d_mv_incremental_refresh,
+        D_MV_REFRESH_ORACLE,
+        memo=False,
+    ),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
     QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE, memo=False),
     QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE, memo=False),
