@@ -809,6 +809,88 @@ FROM events GROUP BY 1
 """
 
 
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+
+
+def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
+    """Count-min-sketch frequency estimation (Cormode & Muthukrishnan
+    2005) with in-query verification: a d×w=4×512 CMS of event user_ids
+    is built as a SPARSE mergeable aggregate (≤2048 counter rows — the
+    third mergeable-summary family next to the HLL and histogram
+    rollups), then the exact top-k users' counts are estimated by the
+    min-over-rows rule. Emits (user_id, exact_n, cms_estimate): the
+    deterministic CMS guarantee estimate ≥ exact is asserted in-plan;
+    the md5-derived bucket hashes replay bit-for-bit in DuckDB, so the
+    oracle reproduces the SKETCH itself, not just the exact counts.
+
+    Scale shape: the sketch build is one explode(d) + groupBy(row,
+    bucket) with map-side combine — the shuffle carries ≤ d·w rows per
+    map partition regardless of input size, and sketches from disjoint
+    data merge by addition (the reason to deploy CMS at 100 TB:
+    per-hour sketches roll up to per-day by summing counters, no
+    rescan). The estimate probe joins the top-k candidates against the
+    broadcast 2048-row sketch."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = ev.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    ).selectExpr(
+        "user_id",
+        "i",
+        "CAST(conv(substring(md5(concat('cms', i, ':', user_id)), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_CMS_W} AS bucket",
+    )
+    sketch = rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(topk)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i"),
+    ).selectExpr(
+        "user_id",
+        "exact_n",
+        "i",
+        "CAST(conv(substring(md5(concat('cms', i, ':', user_id)), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_CMS_W} AS bucket",
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    # CMS deterministic guarantee: the estimate NEVER undercounts
+    bad = est.filter(F.col("cms_estimate") < F.col("exact_n")).limit(1).collect()
+    if bad:
+        raise AssertionError(f"CMS undercounted: {bad[0].asDict()}")
+    return est
+
+
+CMS_ORACLE = f"""
+WITH rows_ AS (
+  SELECT user_id, i.i AS i,
+         CAST('0x' || substring(md5('cms' || i.i || ':' || user_id), 1, 15)
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM events, LATERAL (SELECT unnest(range({_CMS_D})) AS i) i),
+sketch AS (SELECT i, bucket, count(*) AS c FROM rows_ GROUP BY 1, 2),
+top AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+  ORDER BY exact_n DESC, user_id LIMIT 20),
+probes AS (
+  SELECT t.user_id, t.exact_n, i.i AS i,
+         CAST('0x' || substring(md5('cms' || i.i || ':' || t.user_id), 1, 15)
+              AS BIGINT) % {_CMS_W} AS bucket
+  FROM top t, LATERAL (SELECT unnest(range({_CMS_D})) AS i) i)
+SELECT p.user_id, p.exact_n, min(s.c) AS cms_estimate
+FROM probes p JOIN sketch s ON p.i = s.i AND p.bucket = s.bucket
+GROUP BY 1, 2
+"""
+
+
 def trend_daily_slope(spark, sf_dir):
     """Per-group least-squares trend (metric-drift detection): the OLS
     slope of event value over time per event_type, computed from EXACT
@@ -1037,6 +1119,12 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("quantile_stats_exact", quantile_stats_exact, QUANTILE_STATS_ORACLE),
     QuerySpec("trend_daily_slope", trend_daily_slope, TREND_SLOPE_ORACLE),
+    QuerySpec(
+        "cms_heavy_hitters",
+        cms_heavy_hitters,
+        CMS_ORACLE,
+        memo=False,  # runs a driver-side undercount assertion per call
+    ),
     QuerySpec(
         "sketch_rollup_distinct_users",
         sketch_rollup_distinct_users,

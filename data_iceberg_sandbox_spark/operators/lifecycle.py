@@ -1012,6 +1012,51 @@ FROM documents WHERE doc_id % 10 = 3
 """
 
 
+def d_merge_multi_clause(spark, sf_dir):
+    """Full multi-clause conditional MERGE (Iceberg/Delta
+    ``WHEN MATCHED AND cond THEN DELETE / WHEN MATCHED THEN UPDATE /
+    WHEN NOT MATCHED AND cond THEN INSERT``): a change feed doubles the
+    price of every 7th order, cancels (deletes) the matched low-priority
+    ones, and proposes every 13th order as a NEW order (shifted key)
+    that only inserts above a price floor. One key-partitioned join
+    pass; clause conditions are row-local projections (no extra
+    shuffle); the oracle replays the same three clauses in SQL over the
+    source table, so the hash match pins the precedence contract
+    (delete before update, NULL-condition = clause-not-matched)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    t = _fresh_table(spark, "dmmc_orders", sf_dir)
+    t.create(orders)
+    changes = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    proposals = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000)
+    )
+    t.merge_conditional(
+        changes.unionByName(proposals),
+        on=["o_orderkey"],
+        delete_when=F.col("s.o_orderpriority") == "5-LOW",
+        insert_when=F.col("o_totalprice") > 150000,
+    )
+    return t.read()
+
+
+D_MERGE_MULTI_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders)
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM base
+WHERE NOT (o_orderkey % 7 = 0 AND o_orderpriority = '5-LOW')
+UNION ALL
+SELECT o_orderkey + 10000000000, o_custkey, o_orderpriority, o_totalprice
+FROM base WHERE o_orderkey % 13 = 0 AND o_totalprice > 150000
+"""
+
+
 def d_mv_incremental_refresh(spark, sf_dir):
     """Batch incremental MV maintenance — the lake-side analog of the
     streaming MV suite: a decomposable aggregate MV (count + exact
@@ -1113,6 +1158,12 @@ SPECS: list[QuerySpec] = [
         "d_mv_incremental_refresh",
         d_mv_incremental_refresh,
         D_MV_REFRESH_ORACLE,
+        memo=False,
+    ),
+    QuerySpec(
+        "d_merge_multi_clause",
+        d_merge_multi_clause,
+        D_MERGE_MULTI_ORACLE,
         memo=False,
     ),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),

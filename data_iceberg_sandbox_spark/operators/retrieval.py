@@ -253,8 +253,108 @@ FROM c
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+RRF_CAND = 20  # candidates taken from each ranker
+RRF_TOPK = 10
+
+
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009: score = Σ 1/(k + rank_i), k=60) — the
+    standard two-tower serving shape: BM25 candidates fused with
+    cosine-similarity candidates over the embedding table (vec_id is
+    the doc_id of the embedded subset; unembedded docs simply have no
+    dense rank, which RRF handles by construction).
+
+    Scale shape: both rankers end in a bounded candidate list
+    (RRF_CAND rows), so the fusion itself is a join of two tiny frames
+    — at 100 TB the cost IS the two rankers, each already
+    scale-audited (`bm25_rank`: term-pruned inverted index;
+    dense side: one streamed scan against a broadcast query vector,
+    JVM zip_with fold, no Python). RRF works on RANKS, not scores, so
+    float-fusion nondeterminism cannot arise; only the final
+    1/(k+r) sum is floating point, two terms in fixed order."""
+    lex = bm25_rank(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("emb"))
+                / (
+                    F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
+                ),
+                6,
+            ).alias("score"),
+        )
+        .select(
+            F.col("vec_id").alias("id"),
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), "vec_id"))
+            .alias("r_sem"),
+        )
+        .filter(F.col("r_sem") <= RRF_CAND)
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+    return (
+        lex.join(sem, "id", "full_outer")
+        .select("id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(RRF_TOPK)
+    )
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH lexq AS ({_bm25_oracle()}),
+lex AS (SELECT doc_id AS id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM lexq),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+semscored AS (
+  SELECT e.vec_id,
+         round(list_inner_product(qv.q_emb, e.emb) /
+               (sqrt(list_inner_product(qv.q_emb, qv.q_emb)) *
+                sqrt(list_inner_product(e.emb, e.emb))), 6) AS score
+  FROM e, qv WHERE e.vec_id <> 0),
+semr AS (SELECT vec_id AS id,
+                row_number() OVER (ORDER BY score DESC, vec_id) AS r_sem
+         FROM semscored),
+sem AS (SELECT id, r_sem FROM semr WHERE r_sem <= {RRF_CAND}),
+f AS (SELECT coalesce(lex.id, sem.id) AS id,
+             coalesce(1.0 / ({RRF_K} + r_lex), 0.0)
+             + coalesce(1.0 / ({RRF_K} + r_sem), 0.0) AS rrf
+      FROM lex FULL JOIN sem ON lex.id = sem.id)
+SELECT id, round(rrf, 6) AS rrf FROM f ORDER BY rrf DESC, id LIMIT {RRF_TOPK}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("bm25_rank", bm25_rank, _bm25_oracle()),
+    QuerySpec("hybrid_rrf_retrieval", hybrid_rrf_retrieval, _rrf_oracle()),
     QuerySpec("tfidf_top_term", tfidf_top_term, TFIDF_TOP_TERM_ORACLE),
     QuerySpec("doc_chunk_sliding", doc_chunk_sliding, DOC_CHUNK_ORACLE),
 ]

@@ -845,6 +845,95 @@ class LakeTable:
         )
         return self
 
+    def merge_conditional(
+        self,
+        source: DataFrame,
+        on: list[str],
+        delete_when=None,
+        update_when=None,
+        insert_when=None,
+        update_exclude: tuple[str, ...] = (),
+    ) -> "LakeTable":
+        """Multi-clause conditional MERGE (the full Iceberg/Delta
+        ``MERGE ... WHEN MATCHED AND <cond> THEN DELETE / WHEN MATCHED
+        THEN UPDATE / WHEN NOT MATCHED [AND <cond>] THEN INSERT`` form;
+        :meth:`merge` is the unconditional-upsert special case).
+
+        Clause order follows the SQL contract: for a matched pair,
+        ``delete_when`` is evaluated FIRST (TRUE → the target row is
+        dropped); otherwise ``update_when`` (None → always) gates the
+        update, failing clauses keep the target row unchanged.
+        Unmatched source rows insert when ``insert_when`` (None →
+        always) holds. ``delete_when``/``update_when`` are Column
+        expressions over the joined row (target columns as ``t.<col>``,
+        source as ``s.<col>``); ``insert_when`` sees only the source
+        row (plain column names — there is no target side). NULL
+        conditions count as not-matched-by-the-clause (SQL three-valued
+        logic), never as TRUE.
+
+        Plan shape: identical to :meth:`merge` — one key-partitioned
+        join pass (anti for untouched, inner for matched, anti for
+        inserts) unioned into the COW rewrite; the clause conditions are
+        row-local projections on the joined frame, adding no extra
+        shuffle. Duplicate source keys raise MergeCardinalityError."""
+        cur = self.manifest()
+        target = self.read()
+        source = _align(source, cur.schema_json)
+        cols = target.columns
+
+        dup = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in on}
+            raise MergeCardinalityError(
+                f"source has multiple rows for merge key {key_vals}"
+            )
+
+        untouched = target.join(source, on, "left_anti")
+        joined = target.alias("t").join(source.alias("s"), on, "inner")
+        is_del = (
+            delete_when.eqNullSafe(F.lit(True))
+            if delete_when is not None
+            else F.lit(False)
+        )
+        is_upd = (
+            update_when.eqNullSafe(F.lit(True))
+            if update_when is not None
+            else F.lit(True)
+        )
+        matched_kept = joined.filter(~is_del).select(
+            *[
+                F.when(
+                    is_upd & F.lit(c not in on and c not in update_exclude),
+                    F.col(f"s.{c}"),
+                )
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+        merged = untouched.unionByName(matched_kept)
+        inserts = source.join(target, on, "left_anti")
+        if insert_when is not None:
+            inserts = inserts.filter(insert_when.eqNullSafe(F.lit(True)))
+        merged = merged.unionByName(inserts.select(*cols))
+
+        files = self._write_data_files(merged, cur.partition_by, cur.properties)
+        self._commit(
+            "merge",
+            files,
+            cur.schema_json,
+            cur.partition_by,
+            cur.properties,
+            expected_parent=cur.version,
+        )
+        return self
+
     def delete_where(self, condition) -> "LakeTable":
         """DELETE (D5-adjacent DML; OPA op list allow_table.rego:73-80).
 

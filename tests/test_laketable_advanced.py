@@ -216,3 +216,42 @@ def test_remove_orphan_files(spark, scratch):
     )
     assert t.remove_orphan_files() == []  # default cutoff: newest snapshot
     assert os.path.isdir(young)
+
+
+def test_merge_conditional_clauses(spark, scratch):
+    t = LakeTable(spark, os.path.join(scratch, "merge_cond"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "keep", 10.0), (2, "del", 20.0), (3, "upd", 30.0),
+             (4, "nullcond", 40.0)],
+            "k INT, tag STRING, v DOUBLE",
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, "del", 99.0), (3, "upd", 99.0), (4, None, 99.0),
+         (5, "new-hi", 200.0), (6, "new-lo", 1.0)],
+        "k INT, tag STRING, v DOUBLE",
+    )
+    t.merge_conditional(
+        src,
+        on=["k"],
+        delete_when=F.col("s.tag") == "del",     # k=2 deleted; k=4 NULL cond -> kept
+        update_when=F.col("t.v") < 35.0,          # k=3 updated; k=4 not (40 >= 35)
+        insert_when=F.col("v") > 100.0,           # k=5 inserted; k=6 not
+    )
+    rows = {r.k: (r.tag, r.v) for r in t.read().collect()}
+    assert set(rows) == {1, 3, 4, 5}
+    assert rows[1] == ("keep", 10.0)      # untouched
+    assert rows[3] == ("upd", 99.0)       # updated
+    assert rows[4] == ("nullcond", 40.0)  # NULL delete-cond + failed update-cond -> target kept
+    assert rows[5] == ("new-hi", 200.0)   # conditional insert
+
+
+def test_merge_conditional_duplicate_source_fails(spark, scratch):
+    from data_iceberg_sandbox_spark.tables.laketable import MergeCardinalityError
+
+    t = LakeTable(spark, os.path.join(scratch, "merge_cond_dup"))
+    t.create(spark.createDataFrame([(1, 1.0)], "k INT, v DOUBLE"))
+    src = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k INT, v DOUBLE")
+    with pytest.raises(MergeCardinalityError):
+        t.merge_conditional(src, on=["k"])

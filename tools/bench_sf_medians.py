@@ -52,6 +52,15 @@ QUERIES = [
     "tpch_q13_customer_distribution",
     "tpch_q16_supplier_part_counts",
     "tpch_q21_waiting_suppliers",
+    "dedup_keep_best",
+    "corpus_boilerplate_ngrams",
+    "quantile_stats_exact",
+    "trend_daily_slope",
+    "events_funnel",
+    "histogram_rollup",
+    "sample_stratified_exact",
+    "cms_heavy_hitters",
+    "hybrid_rrf_retrieval",
 ]
 
 # DuckDB single runs that exceed this many seconds get fewer repeats
