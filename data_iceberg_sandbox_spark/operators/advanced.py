@@ -891,6 +891,162 @@ GROUP BY 1, 2
 """
 
 
+def diagnose_join_skew(spark, sf_dir, topn: int = 15, target_rows: int = 5000):
+    """Join-key skew diagnostic — the planning query a data engineer
+    runs BEFORE a big shuffle join (the measurement side of
+    `functions.skew.salted_join`): exact per-key frequencies of the
+    hottest lineitem orderkeys, each key's share of the table, and the
+    salt fan-out that would cap a salted partition at ``target_rows``
+    rows. All-integer arithmetic except two single divisions, so the
+    report is deterministic and oracle-checked.
+
+    Scale shape: one map-side-combined count per key, then TakeOrdered
+    top-N — the shuffle carries one row per distinct key, the driver
+    sees N rows. (AQE's skew-join handles moderate skew at runtime;
+    this surfaces the pathological keys that need explicit salting or
+    filtering upstream.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()  # metadata-scale scalar (parquet row counts)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_orderkey")
+        .limit(topn)
+        .select(
+            "l_orderkey",
+            "n",
+            F.round(F.col("n").cast("double") / F.lit(float(total)), 9).alias(
+                "share"
+            ),
+            F.ceil(F.col("n").cast("double") / F.lit(float(target_rows)))
+            .cast("bigint")
+            .alias("suggested_salt"),
+        )
+    )
+
+
+DIAGNOSE_SKEW_ORACLE = """
+WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+t AS (SELECT count(*) AS total FROM lineitem)
+SELECT l_orderkey, n,
+       round(CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE), 9) AS share,
+       CAST(ceil(CAST(n AS DOUBLE) / 5000.0) AS BIGINT) AS suggested_salt
+FROM c, t
+ORDER BY n DESC, l_orderkey LIMIT 15
+"""
+
+
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current type) from per-user time-ordered
+    `lead`, with exact transition counts and a single-division
+    probability (deterministic — no float accumulation).
+
+    Scale shape: ONE shuffle on user_id for the per-user window (a hot
+    user costs one partition-local sort, bounded by per-user history);
+    the pair count re-aggregates the lead output with map-side combine
+    into a ≤|types|² frame; row-conditional probabilities come from a
+    window sum over that tiny frame. The behavioral-analytics
+    complement to `events_funnel` (which pins a fixed path)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(W.partitionBy("event_type"))
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / row_total.cast("double")).alias("p"),
+    )
+
+
+TRANSITION_MATRIX_ORACLE = """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, next_type, n,
+       CAST(n AS DOUBLE)
+       / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+FROM pairs
+"""
+
+
+def mad_robust_stats(spark, sf_dir):
+    """Per-group robust location/scale — median and MAD (median absolute
+    deviation) of event value per type — via ``groupBy().applyInPandas``,
+    the grouped-Pandas escape hatch for semantics with no decomposable
+    aggregate form (MAD needs the median BEFORE the deviations).
+
+    Determinism: the kernel works on scale-2 int64 fixed point; a median
+    is either an integer or the mean of two integers (exact in double),
+    deviations are exact halves, so the result is bit-identical to the
+    DuckDB oracle running the same algebra — no float-summation order
+    anywhere. Arrow-batched, one shuffle on the group key.
+
+    Scale note: each group's values are buffered in one pandas frame —
+    fine for bounded per-group cardinality (5 event types here; salting
+    or `quantile_stats_exact`'s histogram formulation is the answer when
+    a single group outgrows an executor)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_fp"),
+    )
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = np.sort(pdf["v_fp"].to_numpy(np.int64))
+
+        def med(a):
+            n = len(a)
+            m = n // 2
+            return (a[m - 1] + a[m]) / 2.0 if n % 2 == 0 else float(a[m])
+
+        m = med(v)
+        mad = med(np.sort(np.abs(v - m)))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "median_value": [m / 100.0],
+                "mad_value": [mad / 100.0],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        kern,
+        "event_type string, n bigint, median_value double, mad_value double",
+    )
+
+
+MAD_STATS_ORACLE = """
+WITH f AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_fp FROM events),
+med AS (SELECT event_type, count(*) AS n, median(v_fp) AS m
+        FROM f GROUP BY 1),
+mad AS (SELECT f.event_type, median(abs(f.v_fp - med.m)) AS mad_fp
+        FROM f JOIN med USING (event_type) GROUP BY 1)
+SELECT med.event_type, med.n,
+       med.m / 100.0 AS median_value,
+       mad.mad_fp / 100.0 AS mad_value
+FROM med JOIN mad ON med.event_type = mad.event_type
+"""
+
+
 def trend_daily_slope(spark, sf_dir):
     """Per-group least-squares trend (metric-drift detection): the OLS
     slope of event value over time per event_type, computed from EXACT
@@ -1119,6 +1275,18 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("quantile_stats_exact", quantile_stats_exact, QUANTILE_STATS_ORACLE),
     QuerySpec("trend_daily_slope", trend_daily_slope, TREND_SLOPE_ORACLE),
+    QuerySpec("mad_robust_stats", mad_robust_stats, MAD_STATS_ORACLE),
+    QuerySpec(
+        "events_transition_matrix",
+        events_transition_matrix,
+        TRANSITION_MATRIX_ORACLE,
+    ),
+    QuerySpec(
+        "diagnose_join_skew",
+        diagnose_join_skew,
+        DIAGNOSE_SKEW_ORACLE,
+        memo=False,  # runs a count() action at plan-build time
+    ),
     QuerySpec(
         "cms_heavy_hitters",
         cms_heavy_hitters,

@@ -650,6 +650,51 @@ WHERE sample_rank <= 20
 """
 
 
+def sample_priority_weighted(spark, sf_dir, k: int = 50):
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007): each doc gets priority
+    q = w/u with weight w = n_chars (the quality-weighted corpus
+    subsample shape) and u a deterministic uniform; the sample is the
+    top-k priorities. Chosen over Efraimidis–Spirakis u^(1/w) because
+    the entire key path here is BIT-REPRODUCIBLE across engines:
+    u = (h+1)/2^52 from a 52-bit md5 hash is exact (power-of-two
+    divide), w is an exact small integer, and w/u is ONE correctly-
+    rounded IEEE division — whereas pow/ln are transcendental and
+    their last bits vary by libm, which would flip near-boundary
+    selections between Spark and the oracle.
+
+    Scale shape: the priority is a pure projection; top-k is
+    TakeOrdered (per-partition heap + driver merge of k·partitions
+    rows), no global sort, no shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('ps:', doc_id)), 1, 13), 16, 10)"
+            " AS BIGINT)"
+        )
+        + 1
+    ).cast("double") / F.lit(float(1 << 52))
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_chars").cast("double") / u).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+SAMPLE_PRIORITY_ORACLE = """
+SELECT doc_id, n_chars,
+       CAST(n_chars AS DOUBLE)
+       / ((CAST('0x' || substring(md5('ps:' || doc_id), 1, 13) AS BIGINT) + 1)
+          / 4503599627370496.0) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id LIMIT 50
+"""
+
+
 def events_funnel(spark, sf_dir):
     """Ordered-funnel analysis (view → click → purchase): per user, the
     first view, the first click within 1 day AFTER that view, and the
@@ -826,6 +871,9 @@ SPECS: list[QuerySpec] = [
         "sample_stratified_exact", sample_stratified_exact, SAMPLE_STRATIFIED_ORACLE
     ),
     QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_ORACLE),
+    QuerySpec(
+        "sample_priority_weighted", sample_priority_weighted, SAMPLE_PRIORITY_ORACLE
+    ),
     QuerySpec(
         "embedding_label_centroids", embedding_label_centroids, LABEL_CENTROID_ORACLE
     ),
