@@ -811,6 +811,24 @@ FROM events GROUP BY 1
 
 _CMS_D = 4  # hash rows
 _CMS_W = 512  # buckets per row
+# universal-hash params per row: h_i(x) = ((a_i*(x mod P) + b_i) mod P) mod w
+# over the Mersenne prime P = 2^31-1 (a*x stays < 2^62 — ANSI-safe), same
+# construction as the MinHash permutations; pure integer arithmetic replays
+# exactly in DuckDB and costs ~nothing vs per-row md5+conv (measured 3.5 s →
+# sub-second sketch build at sf10's 10M×4 rows).
+_CMS_P = 2147483647
+_CMS_HASH = [(1103515245, 12345), (69069, 362437), (214013, 2531011), (22695477, 1)]
+
+
+def _cms_bucket_sql(expr: str, i: int) -> str:
+    # no Spark `L` literal suffix: this text is shared verbatim with the
+    # DuckDB oracle; int*bigint promotes to bigint in both engines and
+    # a*(x mod P) < 2^62 never overflows
+    a, b = _CMS_HASH[i]
+    return (
+        f"((({a} * CAST(({expr}) % {_CMS_P} AS BIGINT) + {b})"
+        f" % {_CMS_P}) % {_CMS_W})"
+    )
 
 
 def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
@@ -821,8 +839,9 @@ def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
     rollups), then the exact top-k users' counts are estimated by the
     min-over-rows rule. Emits (user_id, exact_n, cms_estimate): the
     deterministic CMS guarantee estimate ≥ exact is asserted in-plan;
-    the md5-derived bucket hashes replay bit-for-bit in DuckDB, so the
-    oracle reproduces the SKETCH itself, not just the exact counts.
+    the universal-hash buckets (integer multiply-mod over a Mersenne
+    prime, the MinHash construction) replay bit-for-bit in DuckDB, so
+    the oracle reproduces the SKETCH itself, not just the exact counts.
 
     Scale shape: the sketch build is one explode(d) + groupBy(row,
     bucket) with map-side combine — the shuffle carries ≤ d·w rows per
@@ -832,14 +851,13 @@ def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
     rescan). The estimate probe joins the top-k candidates against the
     broadcast 2048-row sketch."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
+    bucket_cases = " ".join(
+        f"WHEN i = {i} THEN {_cms_bucket_sql('user_id', i)}"
+        for i in range(_CMS_D)
+    )
     rows = ev.select(
         "user_id", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
-    ).selectExpr(
-        "user_id",
-        "i",
-        "CAST(conv(substring(md5(concat('cms', i, ':', user_id)), 1, 15),"
-        f" 16, 10) AS BIGINT) % {_CMS_W} AS bucket",
-    )
+    ).selectExpr("user_id", "i", f"CASE {bucket_cases} END AS bucket")
     sketch = rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
     top = (
         ev.groupBy("user_id")
@@ -852,11 +870,7 @@ def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
         "exact_n",
         F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i"),
     ).selectExpr(
-        "user_id",
-        "exact_n",
-        "i",
-        "CAST(conv(substring(md5(concat('cms', i, ':', user_id)), 1, 15),"
-        f" 16, 10) AS BIGINT) % {_CMS_W} AS bucket",
+        "user_id", "exact_n", "i", f"CASE {bucket_cases} END AS bucket"
     )
     est = (
         probes.join(F.broadcast(sketch), ["i", "bucket"])
@@ -870,25 +884,33 @@ def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
     return est
 
 
-CMS_ORACLE = f"""
+def _cms_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN i.i = {i} THEN {_cms_bucket_sql('user_id', i)}"
+        for i in range(_CMS_D)
+    )
+    cases_p = " ".join(
+        f"WHEN i.i = {i} THEN {_cms_bucket_sql('t.user_id', i)}"
+        for i in range(_CMS_D)
+    )
+    return f"""
 WITH rows_ AS (
-  SELECT user_id, i.i AS i,
-         CAST('0x' || substring(md5('cms' || i.i || ':' || user_id), 1, 15)
-              AS BIGINT) % {_CMS_W} AS bucket
+  SELECT user_id, i.i AS i, CASE {cases} END AS bucket
   FROM events, LATERAL (SELECT unnest(range({_CMS_D})) AS i) i),
 sketch AS (SELECT i, bucket, count(*) AS c FROM rows_ GROUP BY 1, 2),
 top AS (
   SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
   ORDER BY exact_n DESC, user_id LIMIT 20),
 probes AS (
-  SELECT t.user_id, t.exact_n, i.i AS i,
-         CAST('0x' || substring(md5('cms' || i.i || ':' || t.user_id), 1, 15)
-              AS BIGINT) % {_CMS_W} AS bucket
+  SELECT t.user_id, t.exact_n, i.i AS i, CASE {cases_p} END AS bucket
   FROM top t, LATERAL (SELECT unnest(range({_CMS_D})) AS i) i)
 SELECT p.user_id, p.exact_n, min(s.c) AS cms_estimate
 FROM probes p JOIN sketch s ON p.i = s.i AND p.bucket = s.bucket
 GROUP BY 1, 2
 """
+
+
+CMS_ORACLE = _cms_oracle_sql()
 
 
 def diagnose_join_skew(spark, sf_dir, topn: int = 15, target_rows: int = 5000):

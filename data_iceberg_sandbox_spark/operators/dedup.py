@@ -408,6 +408,76 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
 """
 
 
+def dedup_containment(spark, sf_dir, threshold: float = 0.8, n: int = 5):
+    """Asymmetric shingle CONTAINMENT C(A→B) = |A∩B| / |A| — the
+    quote/subset detector Jaccard misses: a short doc fully embedded in
+    a long one has high containment but low Jaccard (the union is
+    dominated by the long doc), and decontamination/quote-tracing needs
+    exactly this direction-aware signal (Broder 1997 distinguishes
+    resemblance from containment for this reason).
+
+    Emits BOTH directions per pair above threshold. Scale shape:
+    identical inverted-index backbone as `jaccard_pairs` (shared
+    shingle frame, never doc×doc) — only the final scoring differs, and
+    the directional pair is a projection of the same grouped count, not
+    a second join pass."""
+    ds = _doc_shingles(spark, sf_dir, n).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = ds.alias("a"), ds.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.round(F.col("n_common").cast("double") / F.col("na").cast("double"), 6).alias(
+            "containment"
+        ),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("src"),
+        F.col("doc_a").alias("dst"),
+        F.round(F.col("n_common").cast("double") / F.col("nb").cast("double"), 6).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+DEDUP_CONTAINMENT_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS shingle
+       FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 1))) AS i) i),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+n AS (SELECT doc_id, count(*) n_sh FROM ds GROUP BY doc_id),
+common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+           FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+pr AS (SELECT doc_a, doc_b, n_common, na.n_sh AS na, nb.n_sh AS nb
+       FROM common JOIN n na ON doc_a = na.doc_id
+                   JOIN n nb ON doc_b = nb.doc_id),
+u AS (
+  SELECT doc_a AS src, doc_b AS dst,
+         round(CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+  FROM pr
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst,
+         round(CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment
+  FROM pr)
+SELECT src, dst, containment FROM u WHERE containment >= 0.8
+"""
+
+
 def dedup_keep_best(spark, sf_dir):
     """Exact dedup keeping the BEST copy per content group, not an
     arbitrary one: within each md5(text) group the survivor is the doc
@@ -442,6 +512,7 @@ FROM documents GROUP BY md5(text)
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
+    QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle_sql()),

@@ -705,52 +705,46 @@ def events_funnel(spark, sf_dir):
     per-user event density converts everyone, giving 90/35/25 users at
     stages 1/2/3 at sf0.01 instead of 150-at-3).
 
-    Scale shape: three per-user min-aggregations, all co-partitioned on
-    user_id — the first groupBy sets the partitioning and AQE reuses it
-    for the subsequent joins; each later stage filters the fact BEFORE
-    its aggregation (type pruning pushes to the scan). No window over
-    the raw event stream, so a hot user costs one combiner, not a
-    sort."""
+    Scale shape: ONE user_id shuffle total. The earlier three-stage
+    form (per-stage min-agg + join back) was semantically identical but
+    scanned the fact three times and ran three barriered jobs —
+    measured 9.7× DuckDB at sf10; this form collects each user's
+    click/purchase times into per-user arrays during a single grouped
+    aggregation (bounded by per-user history, the same bound any
+    funnel engine needs) and resolves the staged time windows with
+    array expressions — no second scan, no joins. A hot user costs one
+    combiner merge of its arrays, not a sort."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-    t1 = (
-        ev.filter(F.col("event_type") == "view")
+    g = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    day = F.expr("INTERVAL 1 DAY")
-    t2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + day)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    t3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + day)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    stage = (
-        t1.join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
-        .select(
-            F.when(F.col("t_purchase").isNotNull(), 3)
-            .when(F.col("t_click").isNotNull(), 2)
-            .otherwise(1)
-            .alias("stage_reached")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchases"),
         )
     )
-    return stage.groupBy("stage_reached").agg(
+    day = "INTERVAL 1 DAY"
+    staged = g.filter(F.col("t_view").isNotNull()).selectExpr(
+        "t_view",
+        "array_min(filter(clicks, c -> c > t_view AND c <= t_view + "
+        f"{day})) AS t_click",
+        "purchases",
+    ).selectExpr(
+        "CASE WHEN t_click IS NULL THEN 1 "
+        "WHEN array_min(filter(purchases, p -> p > t_click AND "
+        f"p <= t_click + {day})) IS NOT NULL THEN 3 "
+        "ELSE 2 END AS stage_reached"
+    )
+    return staged.groupBy("stage_reached").agg(
         F.count(F.lit(1)).alias("n_users")
     )
 

@@ -284,8 +284,6 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
-
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -293,6 +291,13 @@ def hybrid_rrf_retrieval(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
+    # the query norm is a per-QUERY constant: computed once in the 1-row
+    # broadcast frame, not re-folded per candidate row (sqrt of the same
+    # exact dot → the same double the per-row form produced)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("qn"),
+    )
     sem = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
@@ -300,10 +305,7 @@ def hybrid_rrf_retrieval(spark, sf_dir):
             "vec_id",
             F.round(
                 dot(F.col("q_emb"), F.col("emb"))
-                / (
-                    F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
-                ),
+                / (F.col("qn") * F.sqrt(dot(F.col("emb"), F.col("emb")))),
                 6,
             ).alias("score"),
         )
@@ -333,12 +335,12 @@ lex AS (SELECT doc_id AS id,
                row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
         FROM lexq),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
-qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+qv AS (SELECT emb AS q_emb, sqrt(list_inner_product(emb, emb)) AS qn
+       FROM e WHERE vec_id = 0),
 semscored AS (
   SELECT e.vec_id,
          round(list_inner_product(qv.q_emb, e.emb) /
-               (sqrt(list_inner_product(qv.q_emb, qv.q_emb)) *
-                sqrt(list_inner_product(e.emb, e.emb))), 6) AS score
+               (qv.qn * sqrt(list_inner_product(e.emb, e.emb))), 6) AS score
   FROM e, qv WHERE e.vec_id <> 0),
 semr AS (SELECT vec_id AS id,
                 row_number() OVER (ORDER BY score DESC, vec_id) AS r_sem
