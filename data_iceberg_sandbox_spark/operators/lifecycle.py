@@ -207,6 +207,60 @@ def d_incremental_read(spark, sf_dir):
 D_INC_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 <> 0"
 
 
+def d_snapshot_diff(spark, sf_dir):
+    """Version-to-version table diff (the audit/debug question "what
+    changed between snapshot v1 and HEAD?"): row-level adds/removes
+    between two time-travel reads, summarized per order priority with
+    the per-key net delta. A create + append + keyed DELETE history
+    makes both directions non-empty.
+
+    Scale shape: the diff anti-joins the two version reads on the row
+    key — two scans, one key shuffle; the summary re-aggregates the
+    (small) delta. Where the history is append/delete-only the CDC
+    changelog (`d_cdc_changelog`) answers this from metadata without
+    scanning either version — this operator is the general fallback
+    when history spans rewrites (compaction/merge) that break
+    changelog-based diffing."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "dsdiff_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.delete_where(F.col("o_orderkey") % 9 == 0)
+    v1, head = t.read(version=1), t.read()
+    added = head.join(v1.select("o_orderkey"), "o_orderkey", "left_anti")
+    removed = v1.join(head.select("o_orderkey"), "o_orderkey", "left_anti")
+    return (
+        added.select("o_orderpriority", F.lit(1).alias("d"))
+        .unionByName(removed.select("o_orderpriority", F.lit(-1).alias("d")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.sum("d").alias("net"),
+        )
+    )
+
+
+D_SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+head AS (SELECT * FROM orders
+         WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0),
+added AS (SELECT o_orderpriority FROM head
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)),
+removed AS (SELECT o_orderpriority FROM v1
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM head)),
+u AS (SELECT o_orderpriority, 1 AS d FROM added
+      UNION ALL SELECT o_orderpriority, -1 AS d FROM removed)
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(d) AS BIGINT) AS net
+FROM u GROUP BY 1
+"""
+
+
 def d7_compact(spark, sf_dir):
     """D7 rewrite_data_files: many small appends compacted into few files,
     content preserved (sink compaction, sink_iceberg...sql:23-24)."""
@@ -1165,6 +1219,9 @@ SPECS: list[QuerySpec] = [
         d_merge_multi_clause,
         D_MERGE_MULTI_ORACLE,
         memo=False,
+    ),
+    QuerySpec(
+        "d_snapshot_diff", d_snapshot_diff, D_SNAPSHOT_DIFF_ORACLE, memo=False
     ),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
     QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE, memo=False),
