@@ -255,3 +255,19 @@ def test_merge_conditional_duplicate_source_fails(spark, scratch):
     src = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k INT, v DOUBLE")
     with pytest.raises(MergeCardinalityError):
         t.merge_conditional(src, on=["k"])
+
+
+def test_merge_conditional_update_exclude(spark, scratch):
+    t = LakeTable(spark, os.path.join(scratch, "merge_cond_excl"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "orig", 10.0)], "k INT, created_by STRING, v DOUBLE"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, "writer2", 99.0)], "k INT, created_by STRING, v DOUBLE"
+    )
+    t.merge_conditional(src, on=["k"], update_exclude=("created_by",))
+    row = t.read().collect()[0]
+    assert row.v == 99.0           # updated
+    assert row.created_by == "orig"  # excluded column keeps target value
