@@ -614,6 +614,87 @@ FROM walk GROUP BY node
 DUPLICATE_CLUSTERS_ORACLE = duplicate_clusters_oracle_sql()
 
 
+def canonicalize_corpus(spark, sf_dir):
+    """The dedup pipeline's FINAL verdict, end to end: near-dup pair
+    graph → connected components → per-cluster keeper chosen by
+    QUALITY (highest n_chars, doc_id tie-break — `dedup_keep_best`'s
+    policy applied per similarity cluster instead of per exact-hash
+    group) → every document mapped to its keeper, singletons keeping
+    themselves. This is the row a curation job writes back: (doc_id,
+    keeper_doc_id, is_kept).
+
+    Scale shape: reuses `duplicate_clusters`' hybrid connected
+    components (driver union-find under the documented edge bound,
+    large-star/small-star above it); the keeper argmax is one packed
+    `max_by` over cluster members; singletons arrive via left-anti
+    against the (small) clustered-node set — the corpus is never
+    joined doc×doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = duplicate_clusters(spark, sf_dir).select(
+        "doc_id", F.col("cluster_keeper").alias("cluster")
+    )
+    mem = labels.join(docs, "doc_id")
+    rank = F.col("n_chars") * F.lit(2**43) - F.col("doc_id")
+    best = mem.groupBy("cluster").agg(
+        F.max_by(F.col("doc_id"), rank).alias("keeper")
+    )
+    clustered = mem.join(best, "cluster").select(
+        "doc_id", F.col("keeper").alias("keeper_doc_id")
+    )
+    singles = docs.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("keeper_doc_id")
+    )
+    return (
+        clustered.unionByName(singles)
+        .select(
+            "doc_id",
+            "keeper_doc_id",
+            (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_kept"),
+        )
+    )
+
+
+def _canonicalize_oracle_sql(threshold: float = 0.5, n: int = 5) -> str:
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+{n - 1}], ' ') AS shingle
+       FROM toks,
+            LATERAL (SELECT unnest(generate_series(1,
+                       greatest(len(w)-{n - 1}, 1))) AS i) i),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+nn AS (SELECT doc_id, count(*) n_sh FROM ds GROUP BY doc_id),
+common AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+           FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common JOIN nn na ON doc_a = na.doc_id JOIN nn nb ON doc_b = nb.doc_id
+  WHERE round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) >= {threshold}),
+edges AS (SELECT doc_a u, doc_b v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node),
+mem AS (SELECT cl.doc_id, cl.cluster, d.n_chars
+        FROM cl JOIN documents d USING (doc_id)),
+best AS (SELECT cluster,
+                max_by(doc_id, n_chars * 8796093022208 - doc_id) AS keeper
+         FROM mem GROUP BY 1),
+clustered AS (SELECT mem.doc_id, best.keeper AS keeper_doc_id
+              FROM mem JOIN best USING (cluster)),
+singles AS (SELECT d.doc_id, d.doc_id AS keeper_doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)),
+u AS (SELECT * FROM clustered UNION ALL SELECT * FROM singles)
+SELECT doc_id, keeper_doc_id, doc_id = keeper_doc_id AS is_kept FROM u
+"""
+
+
+CANONICALIZE_ORACLE = _canonicalize_oracle_sql()
+
+
 def sample_stratified_exact(spark, sf_dir, k: int = 20):
     """Exact-size stratified sampling: EXACTLY min(k, |stratum|) docs per
     (lang, source) stratum, chosen by deterministic md5 order — the
@@ -648,6 +729,137 @@ SELECT doc_id, lang, source, sample_rank FROM (
   FROM documents) t
 WHERE sample_rank <= 20
 """
+
+
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality expectation suite (the Great-
+    Expectations/dbt-test shape): each check is a predicate counted
+    over its table in ONE conditional-aggregation pass per table — no
+    per-check scans. Emits (check, n_rows, n_violations, status) so a
+    CI gate can fail on any 'fail' row; checks below include two that
+    FAIL on this data on purpose (documents.text uniqueness — the
+    corpus contains exact dups by construction — and a too-tight value
+    range), because an expectations operator that can only pass proves
+    nothing.
+
+    Scale shape: per table, all checks fold into one aggregate
+    projection (map-side combined, one job); cross-column/uniqueness
+    checks use count vs count-distinct in the same pass. Adding a
+    check is a new expression, not a new scan."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    ords = load_table(spark, sf_dir, "orders")
+
+    def suite(df, table, checks):
+        # a NULL predicate (e.g. a range check on a NULL value) counts
+        # as a violation on both sides: "is not TRUE", never silently ok
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(
+                F.when(ok.eqNullSafe(F.lit(True)), 0).otherwise(1)
+            ).alias(f"v{i}")
+            for i, (_, ok) in enumerate(checks)
+        ]
+        row = df.agg(*aggs)
+        out = None
+        for i, (name, _) in enumerate(checks):
+            one = row.select(
+                F.lit(f"{table}.{name}").alias("check_name"),
+                F.col("n_rows"),
+                F.col(f"v{i}").alias("n_violations"),
+                F.when(F.col(f"v{i}") == 0, "pass")
+                .otherwise("fail")
+                .alias("status"),
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+
+    ev_checks = [
+        ("event_id_not_null", F.col("event_id").isNotNull()),
+        ("value_non_negative", F.col("value") >= 0),
+        ("value_under_200", F.col("value") < 200),  # deliberately fails
+        (
+            "type_in_domain",
+            F.col("event_type").isin(
+                "view", "click", "purchase", "error", "signup"
+            ),
+        ),
+        ("ts_in_2024_2026", F.col("ts").between("2024-01-01", "2026-12-31")),
+    ]
+    doc_checks = [
+        ("n_chars_matches_text", F.length("text") == F.col("n_chars")),
+        ("lang_not_null", F.col("lang").isNotNull()),
+    ]
+    ord_checks = [
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+    ]
+    per_row = (
+        suite(ev, "events", ev_checks)
+        .unionByName(suite(docs, "documents", doc_checks))
+        .unionByName(suite(ords, "orders", ord_checks))
+    )
+    # uniqueness needs a distinct aggregate — still one pass per table
+    uniq = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_violations"),
+    ).select(
+        F.lit("documents.text_unique").alias("check_name"),  # fails: exact dups
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, "pass").otherwise("fail").alias(
+            "status"
+        ),
+    )
+    return per_row.unionByName(uniq)
+
+
+def _dq_oracle_sql() -> str:
+    ev = [
+        ("event_id_not_null", "event_id IS NOT NULL"),
+        ("value_non_negative", "value >= 0"),
+        ("value_under_200", "value < 200"),
+        (
+            "type_in_domain",
+            "event_type IN ('view','click','purchase','error','signup')",
+        ),
+        (
+            "ts_in_2024_2026",
+            "ts BETWEEN '2024-01-01' AND '2026-12-31'",
+        ),
+    ]
+    doc = [
+        ("n_chars_matches_text", "length(text) = n_chars"),
+        ("lang_not_null", "lang IS NOT NULL"),
+    ]
+    orc = [("totalprice_positive", "o_totalprice > 0")]
+
+    def block(table, checks):
+        return " UNION ALL ".join(
+            f"""SELECT '{table}.{name}' AS check_name,
+  (SELECT count(*) FROM {table}) AS n_rows,
+  CAST((SELECT sum(CASE WHEN NOT coalesce(({pred}), FALSE) THEN 1 ELSE 0 END)
+        FROM {table}) AS BIGINT) AS n_violations,
+  CASE WHEN (SELECT sum(CASE WHEN NOT coalesce(({pred}), FALSE) THEN 1
+             ELSE 0 END) FROM {table}) = 0
+       THEN 'pass' ELSE 'fail' END AS status"""
+            for name, pred in checks
+        )
+
+    return (
+        block("events", ev)
+        + " UNION ALL "
+        + block("documents", doc)
+        + " UNION ALL "
+        + block("orders", orc)
+        + """ UNION ALL
+SELECT 'documents.text_unique' AS check_name,
+  (SELECT count(*) FROM documents) AS n_rows,
+  (SELECT count(*) - count(DISTINCT text) FROM documents) AS n_violations,
+  CASE WHEN (SELECT count(*) - count(DISTINCT text) FROM documents) = 0
+       THEN 'pass' ELSE 'fail' END AS status"""
+    )
+
+
+DQ_EXPECTATIONS_ORACLE = _dq_oracle_sql()
 
 
 def sample_priority_weighted(spark, sf_dir, k: int = 50):
@@ -858,6 +1070,8 @@ GROUP BY 1
 
 SPECS: list[QuerySpec] = [
     QuerySpec("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE),
+    QuerySpec("dq_expectations", dq_expectations, DQ_EXPECTATIONS_ORACLE),
+    QuerySpec("canonicalize_corpus", canonicalize_corpus, CANONICALIZE_ORACLE),
     QuerySpec(
         "corpus_boilerplate_ngrams", corpus_boilerplate_ngrams, BOILERPLATE_ORACLE
     ),
