@@ -731,6 +731,64 @@ WHERE sample_rank <= 20
 """
 
 
+def vocab_coverage(spark, sf_dir, topk: int = 30):
+    """Tokenizer-vocabulary planning: the top-k corpus words with
+    cumulative coverage share — "how much of the corpus do the first N
+    vocabulary entries cover", the curve a BPE/vocab-size decision
+    reads. Exact integer counts; the running share is a window sum over
+    the tiny top-k frame divided once per row.
+
+    Scale shape: one explode + word-count shuffle with map-side
+    combine (O(vocabulary) rows), TakeOrdered top-k, then window math
+    on k rows. The corpus total comes from the same counts frame
+    pre-truncation (a second tiny aggregate, not a rescan)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0]
+    w = W.orderBy(F.col("n").desc(), "word").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), "word")
+        .limit(topk)
+        .select(
+            "word",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "word"))
+            .alias("rank"),
+            F.round(
+                F.sum("n").over(w).cast("double") / F.lit(float(total)), 6
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+counts AS (
+  SELECT word, count(*) AS n FROM words WHERE word <> '' GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM counts),
+top AS (
+  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
+  FROM counts ORDER BY n DESC, word LIMIT 30)
+SELECT word, n, rank,
+       round(CAST(sum(n) OVER (ORDER BY n DESC, word
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(t.total AS DOUBLE), 6) AS cum_coverage
+FROM top, t
+"""
+
+
 def dq_expectations(spark, sf_dir):
     """Declarative data-quality expectation suite (the Great-
     Expectations/dbt-test shape): each check is a predicate counted
@@ -1072,6 +1130,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE),
     QuerySpec("dq_expectations", dq_expectations, DQ_EXPECTATIONS_ORACLE),
     QuerySpec("canonicalize_corpus", canonicalize_corpus, CANONICALIZE_ORACLE),
+    QuerySpec("vocab_coverage", vocab_coverage, VOCAB_COVERAGE_ORACLE),
     QuerySpec(
         "corpus_boilerplate_ngrams", corpus_boilerplate_ngrams, BOILERPLATE_ORACLE
     ),
