@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.money import fixed, unscale
 from ..sources.registry import load_table, register_views
 from .spec import QuerySpec
 
@@ -913,6 +914,140 @@ GROUP BY 1, 2
 CMS_ORACLE = _cms_oracle_sql()
 
 
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention (the product-analytics staple): users
+    are cohorted by first-activity week; each cell reports how many —
+    and what fraction — of that cohort were active N weeks later.
+    Exact integer counts, one terminal division per cell.
+
+    Scale shape: distinct (user, week) activity and per-user first
+    week are both user-keyed aggregations — ONE user shuffle feeds
+    both (the first-week frame is a re-aggregation of the distinct
+    frame, already partitioned); the cohort join is user-keyed on the
+    same partitioning, and the final (cohort, offset) rollup is a
+    ≤weeks² frame. No window over raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.weekofyear("ts").alias("wk")
+    )
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cells = (
+        active.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+def customer_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary):
+    per-customer order stats scored into quintiles and mapped to a
+    segment label — the classic CRM operator. The anchor date is the
+    table's max order date (a 1-row broadcast, no driver collect);
+    monetary sums in exact fixed point; every ntile is totally ordered
+    (metric, then custkey) so quintile boundaries are deterministic
+    and engine-identical.
+
+    Scale shape: one custkey aggregation over the fact; the quintile
+    windows sort the CUSTOMER-grain frame (3 single-partition sorts of
+    the dim-sized result — fine while customers ≪ facts; at extreme
+    customer cardinality the scores switch to approx-quantile
+    cutpoints, trading exact ties for partition-parallel scoring)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(fixed("o_totalprice", 2)).alias("m_fp"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("mx", "last_order")
+    )
+    r_w = W.orderBy(F.col("recency_days").desc(), "custkey")
+    f_w = W.orderBy(F.col("n_orders").asc(), "custkey")
+    m_w = W.orderBy(F.col("m_fp").asc(), "custkey")
+    scored = per.select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        unscale(F.col("m_fp"), 2).alias("monetary"),
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when(F.col("r_score") <= 2, "lapsing")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+RFM_ORACLE = """
+WITH per AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)))
+              AS BIGINT) AS m_fp
+  FROM orders GROUP BY 1),
+a AS (SELECT max(o_orderdate) AS mx FROM orders),
+scored AS (
+  SELECT custkey,
+         datediff('day', last_order, a.mx) AS recency_days,
+         n_orders,
+         CAST(m_fp AS DOUBLE) / 100.0 AS monetary,
+         ntile(5) OVER (ORDER BY datediff('day', last_order, a.mx) DESC,
+                        custkey) AS r_score,
+         ntile(5) OVER (ORDER BY n_orders ASC, custkey) AS f_score,
+         ntile(5) OVER (ORDER BY m_fp ASC, custkey) AS m_score
+  FROM per, a)
+SELECT custkey, recency_days, n_orders, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+            WHEN r_score <= 2 THEN 'lapsing'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+RETENTION_COHORTS_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id, weekofyear(ts) AS wk FROM events),
+first_wk AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM active GROUP BY 1),
+cells AS (
+  SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN first_wk f ON a.user_id = f.user_id
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort_wk, count(*) AS cohort_size FROM first_wk GROUP BY 1)
+SELECT c.cohort_wk, c.week_offset, c.n_active, s.cohort_size,
+       round(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+         AS retention
+FROM cells c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+"""
+
+
 def diagnose_join_skew(spark, sf_dir, topn: int = 15, target_rows: int = 5000):
     """Join-key skew diagnostic — the planning query a data engineer
     runs BEFORE a big shuffle join (the measurement side of
@@ -1309,6 +1444,12 @@ SPECS: list[QuerySpec] = [
         DIAGNOSE_SKEW_ORACLE,
         memo=False,  # runs a count() action at plan-build time
     ),
+    QuerySpec(
+        "events_retention_cohorts",
+        events_retention_cohorts,
+        RETENTION_COHORTS_ORACLE,
+    ),
+    QuerySpec("customer_rfm_segments", customer_rfm_segments, RFM_ORACLE),
     QuerySpec(
         "cms_heavy_hitters",
         cms_heavy_hitters,
