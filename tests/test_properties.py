@@ -83,3 +83,37 @@ def test_compact_and_expire_preserve_content(spark, scratch, rows):
     t.compact()
     t.expire_snapshots(retain_last=1)
     assert _state(t) == before
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=ROWS, source=ROWS, dthr=st.integers(-500, 500), uthr=st.integers(-500, 500))
+def test_merge_conditional_matches_reference(spark, scratch, target, source, dthr, uthr):
+    """merge_conditional == the dict reference: for matched keys, delete
+    when source value > dthr (checked FIRST), else update only when the
+    TARGET value < uthr; unmatched source keys insert when value >= 0."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, scratch, target)
+    t.merge_conditional(
+        spark.createDataFrame(list(source.items()), "id: long, v: long"),
+        on=["id"],
+        delete_when=F.col("s.v") > dthr,
+        update_when=F.col("t.v") < uthr,
+        insert_when=F.col("v") >= 0,
+    )
+    expected = {}
+    for k, v in target.items():
+        if k in source:
+            if source[k] > dthr:
+                continue  # deleted
+            expected[k] = source[k] if v < uthr else v
+        else:
+            expected[k] = v
+    for k, v in source.items():
+        if k not in target and v >= 0:
+            expected[k] = v
+    assert _state(t) == expected
