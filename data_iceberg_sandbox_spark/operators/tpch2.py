@@ -648,7 +648,11 @@ def q16_supplier_part_counts(spark, sf_dir):
         gk, "p_brand", "p_type", "p_size"
     )
     return (
-        li.join(p_packed, li.l_partkey == p_packed.p_partkey)
+        # explicit broadcast: the packed dim is a filtered projection with
+        # no stats, so with AQE off the planner would sort-merge-join the
+        # 60M-row fact on partkey (measured 2.7-4.4 s and box-sensitive;
+        # hinted: ~1.6 s stable)
+        li.join(F.broadcast(p_packed), li.l_partkey == p_packed.p_partkey)
         .select("gk", "l_suppkey")
         .join(
             F.broadcast(bad),
