@@ -61,6 +61,14 @@ QUERIES = [
     "sample_stratified_exact",
     "cms_heavy_hitters",
     "hybrid_rrf_retrieval",
+    "dedup_containment",
+    "customer_rfm_segments",
+    "events_retention_cohorts",
+    "vocab_coverage",
+    "dq_expectations",
+    # excluded: canonicalize_corpus (DuckDB's recursive-CTE oracle is
+    # intractable at sf10) and the lifecycle table-history queries
+    # (each run rebuilds its table; not a steady-state measurement)
 ]
 
 # DuckDB single runs that exceed this many seconds get fewer repeats
