@@ -1155,22 +1155,100 @@ FROM pairs
 """
 
 
+def _histogram_median(hist, val_col: str, out_col: str):
+    """Exact per-group median of an int64 column given its VALUE HISTOGRAM
+    (event_type, val, cnt) — the scale-safe formulation shared with
+    `quantile_stats_exact`: no per-group value buffering, memory bounded
+    by distinct values, not rows. 1-based middle ranks lo=floor((n+1)/2),
+    hi=floor(n/2)+1; the value covering rank r is the first histogram row
+    whose running count reaches r; median = (v_lo + v_hi)/2 — an integer
+    or an exact half, bit-identical to DuckDB's `median` on BIGINT."""
+    w = W.partitionBy("event_type").orderBy(val_col)
+    cum = hist.withColumn("cum_end", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(W.partitionBy("event_type"))
+    )
+    lo_r = F.floor((F.col("n") + 1) / 2)
+    hi_r = F.floor(F.col("n") / 2) + 1
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.when(F.col("cum_end") >= lo_r, F.col(val_col))).alias("_lo"),
+            F.min(F.when(F.col("cum_end") >= hi_r, F.col(val_col))).alias("_hi"),
+        )
+        .select(
+            "event_type",
+            "n",
+            ((F.col("_lo") + F.col("_hi")) / 2.0).alias(out_col),
+        )
+    )
+
+
 def mad_robust_stats(spark, sf_dir):
     """Per-group robust location/scale — median and MAD (median absolute
-    deviation) of event value per type — via ``groupBy().applyInPandas``,
-    the grouped-Pandas escape hatch for semantics with no decomposable
-    aggregate form (MAD needs the median BEFORE the deviations).
+    deviation) of event value per type — with NO per-group buffering
+    anywhere: both medians come from VALUE HISTOGRAMS, so executor
+    memory is bounded by distinct values (≤10k for 2-decimal money),
+    not group size. MAD needs the median BEFORE the deviations, so the
+    plan is two histogram-median passes chained by a broadcast:
 
-    Determinism: the kernel works on scale-2 int64 fixed point; a median
-    is either an integer or the mean of two integers (exact in double),
-    deviations are exact halves, so the result is bit-identical to the
-    DuckDB oracle running the same algebra — no float-summation order
-    anywhere. Arrow-batched, one shuffle on the group key.
+      (1) hist(type, v_fp) ← ONE fact shuffle with map-side combine;
+      (2) median per type from cumulative counts over the tiny hist;
+      (3) broadcast the 5-row medians back onto hist, fold each value
+          to its DOUBLED absolute deviation dev2 = |2·v_fp − 2m| (kept
+          integral — m may be an exact half), re-histogram (histogram-
+          sized shuffle, not row-sized), and take the median again;
+      (4) mad = median(dev2)/2.
 
-    Scale note: each group's values are buffered in one pandas frame —
-    fine for bounded per-group cardinality (5 event types here; salting
-    or `quantile_stats_exact`'s histogram formulation is the answer when
-    a single group outgrows an executor)."""
+    Determinism: scale-2 int64 fixed point throughout; every
+    intermediate is a dyadic rational exactly representable in double,
+    and the final divisions are correctly-rounded over identical real
+    quotients — bit-identical to the DuckDB oracle. Catalyst's
+    ReuseExchange dedupes the two consumers of the fact histogram.
+    (The grouped-pandas formulation this replaces survives as
+    `mad_robust_stats_pandas`, a documented alternate whose memory is
+    O(group size) — kept only as the escape-hatch exemplar.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_fp"),
+    )
+    hist = ev.groupBy("event_type", "v_fp").agg(F.count(F.lit(1)).alias("cnt"))
+    med = _histogram_median(hist, "v_fp", "m")
+    dev_hist = (
+        hist.join(
+            F.broadcast(
+                med.select(
+                    "event_type", (F.col("m") * 2).cast("bigint").alias("m2")
+                )
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            F.abs(F.col("v_fp") * 2 - F.col("m2")).alias("dev2"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev2")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _histogram_median(dev_hist, "dev2", "mad2")
+    return med.join(mad.select("event_type", "mad2"), "event_type").select(
+        "event_type",
+        "n",
+        (F.col("m") / 100.0).alias("median_value"),
+        (F.col("mad2") / 200.0).alias("mad_value"),
+    )
+
+
+def mad_robust_stats_pandas(spark, sf_dir):
+    """ALTERNATE formulation of `mad_robust_stats` via
+    ``groupBy().applyInPandas`` — the grouped-Pandas escape hatch,
+    kept (like `asof_merge_pandas`) as the tested exemplar of that
+    API, NOT as the scale path: each group's values land in one pandas
+    frame, so memory is O(group size) and a hot group can OOM an
+    executor at 100 TB. The histogram formulation above is the
+    production path; this one must stay bit-identical to it (same
+    scale-2 int64 fixed-point algebra, same oracle)."""
     import numpy as np
     import pandas as pd
 
@@ -1447,6 +1525,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("quantile_stats_exact", quantile_stats_exact, QUANTILE_STATS_ORACLE),
     QuerySpec("trend_daily_slope", trend_daily_slope, TREND_SLOPE_ORACLE),
     QuerySpec("mad_robust_stats", mad_robust_stats, MAD_STATS_ORACLE),
+    QuerySpec("mad_robust_stats_pandas", mad_robust_stats_pandas, MAD_STATS_ORACLE),
     QuerySpec(
         "events_transition_matrix",
         events_transition_matrix,
