@@ -748,7 +748,169 @@ ORDER BY numwait DESC, s_suppkey LIMIT 100
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """Q4 shape: order counts per priority for a quarter, restricted to
+    orders with at least one late line (EXISTS correlated subquery →
+    semi-join). No l_commitdate/l_receiptdate in this schema — the q12
+    lateness substitute (l_shipdate > o_orderdate + 30 days) carries the
+    correlated-predicate shape.
+
+    Scale shape: the quarter filter cuts orders ~24× BEFORE the fact
+    join, the lateness predicate needs o_orderdate so the semi-join is
+    expressed as join→filter→distinct-on-(key,prio) — one orderkey
+    shuffle plus a 5-row aggregate, no row explosion survives the
+    distinct. EXISTS never duplicates: distinct on the ORDER key, not
+    the line."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+"""
+
+
+def q14_promotion_effect(spark, sf_dir):
+    """Q14 shape: promotion revenue share for one ship-month. p_type is
+    a flat 6-value vocabulary here (no 'PROMO ANODIZED TIN' composites),
+    so the LIKE 'PROMO%' prefix becomes equality on 'PROMO' (~1/6 of
+    parts at every SF — scale-invariant, non-vacuous).
+
+    Scale shape: month filter prunes lineitem first; part joins as a
+    2-column broadcast-eligible dim; both sums come out of ONE partial
+    aggregate (conditional sum, not two passes). Exact decimal sums;
+    the share is two casts + one multiply + one divide, the identical
+    IEEE sequence on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev(F.col("l_extendedprice"), F.col("l_discount"))
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+    )
+    return agg.select(
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        (
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+Q14_ORACLE = """
+SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+       CAST(total AS DOUBLE) AS total_revenue,
+       100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_pct
+FROM (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))
+        END) AS promo,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))))
+      AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """Q18 shape: customers whose order totals more than 230 units
+    across its lines (sum-HAVING subquery → pre-aggregated fact), top
+    100 by order value. 230 ≈ the 97th percentile of per-order quantity
+    at every SF (measured 0.001/0.01/0.1 — scale-invariant ~3%
+    survivor rate, never vacuous).
+
+    Scale shape: lineitem pre-aggregates to (orderkey, sum_qty) with
+    map-side combine BEFORE any join — the HAVING filter then drops
+    ~97% of orders, so the orders join probes with the small side and
+    the customer join receives only survivors. Exact decimal quantity
+    sum (double sum order-dependence would flip borderline orders
+    between engines). TakeOrderedAndProject carries the top-100 with a
+    unique o_orderkey tie-break — no global sort materializes."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(PRICE)).alias("_sum_qty")
+        )
+        .filter(F.col("_sum_qty") > F.lit(230).cast(PRICE))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty_d AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 230
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("tpch_q4_order_priority", q4_order_priority, Q4_ORACLE),
+    QuerySpec("tpch_q14_promotion_effect", q14_promotion_effect, Q14_ORACLE),
+    QuerySpec(
+        "tpch_q18_large_volume_customers",
+        q18_large_volume_customers,
+        Q18_ORACLE,
+    ),
     QuerySpec("tpch_q2_cheapest_supplier", q2_cheapest_supplier, Q2_ORACLE),
     QuerySpec("tpch_q20_volume_share", q20_volume_share_suppliers, Q20_ORACLE),
     QuerySpec("tpch_q9_product_profit", q9_product_profit, Q9_ORACLE),

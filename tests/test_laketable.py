@@ -187,3 +187,124 @@ def test_schema_evolution_roundtrip(spark, scratch, df10):
     assert t.read().filter(F.col("tag") == "x").count() == 2
     t.drop_column("v")
     assert t.read().columns == ["id", "tag"]
+
+
+def test_two_writer_race_one_winner_then_retry(spark, scratch, df10):
+    """Two threads append from the same parent version simultaneously
+    (barrier-released): the O_EXCL manifest CAS must admit exactly one,
+    the loser surfaces CommitConflict, a retry from the fresh parent
+    succeeds, and remove_orphan_files GCs the loser's first-attempt data
+    without touching live files (Iceberg optimistic-concurrency contract,
+    reference etl dbt/Trino commit semantics)."""
+    import threading
+    import time as _time
+
+    root = os.path.join(scratch, "race2")
+    LakeTable(spark, root).create(df10)
+    barrier = threading.Barrier(2)
+    outcome: dict[str, str] = {}
+    errs: list[BaseException] = []
+
+    def writer(tag: str, lo: int) -> None:
+        try:
+            tab = LakeTable(spark, root)
+            df = (
+                spark.range(lo, lo + 5)
+                .withColumn("v", F.lit(ord(tag[-1])).cast("long"))
+            )
+            barrier.wait()
+            # both handles read parent v1 here; the slow part (Spark
+            # parquet write) keeps both in flight until the CAS
+            try:
+                tab.append(df)
+                outcome[tag] = "win"
+            except CommitConflict:
+                outcome[tag] = "conflict"
+                tab.append(df)  # retry re-reads the new parent
+        except BaseException as e:  # noqa: BLE001 - surface to main thread
+            errs.append(e)
+
+    th = [
+        threading.Thread(target=writer, args=("wa", 100)),
+        threading.Thread(target=writer, args=("wb", 200)),
+    ]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert sorted(outcome.values()) == ["conflict", "win"], outcome
+
+    t = LakeTable(spark, root)
+    assert t.read().count() == 20
+    assert t.current_version() == 3  # create + two appends, no gaps
+    ops = [m.operation for m in t.snapshots()]
+    assert ops == ["create", "append", "append"]
+
+    # the loser's first attempt left unreferenced parquet on disk
+    live = {f for m in t.snapshots() for f in m.files}
+    on_disk = {
+        os.path.relpath(os.path.join(dp, fn), root)
+        for dp, _, fns in os.walk(os.path.join(root, "data"))
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    assert on_disk - live, "expected orphaned files from the lost CAS"
+    removed = t.remove_orphan_files(
+        older_than_ms=int(_time.time() * 1000) + 60_000
+    )
+    assert set(removed) == on_disk - live
+    assert t.read().count() == 20  # live data untouched
+
+
+def test_four_writer_retry_loop_converges(spark, scratch, df10):
+    """N concurrent writers each retrying on CommitConflict must all
+    land: versions are gapless, every writer's rows appear exactly once,
+    and at least one CAS conflict actually occurred (the race is real,
+    not serialized)."""
+    import threading
+
+    root = os.path.join(scratch, "race4")
+    LakeTable(spark, root).create(df10)
+    n = 4
+    barrier = threading.Barrier(n)
+    conflicts: list[int] = []
+    errs: list[BaseException] = []
+
+    def writer(i: int) -> None:
+        try:
+            tab = LakeTable(spark, root)
+            df = spark.range(100 * (i + 1), 100 * (i + 1) + 5).withColumn(
+                "v", F.lit(i).cast("long")
+            )
+            barrier.wait()
+            for _ in range(20):
+                try:
+                    tab.append(df)
+                    return
+                except CommitConflict:
+                    conflicts.append(i)
+            raise AssertionError(f"writer {i} starved after 20 retries")
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join(timeout=240)
+    assert not errs, errs
+    assert conflicts, "expected at least one real CAS conflict"
+
+    t = LakeTable(spark, root)
+    assert t.current_version() == 1 + n
+    out = t.read()
+    assert out.count() == 10 + 5 * n
+    per_writer = {
+        r["v"]: r["c"]
+        for r in out.filter(F.col("id") >= 100)
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert per_writer == {i: 5 for i in range(n)}

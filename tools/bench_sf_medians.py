@@ -66,10 +66,17 @@ QUERIES = [
     "events_retention_cohorts",
     "vocab_coverage",
     "dq_expectations",
-    # excluded: canonicalize_corpus (DuckDB's recursive-CTE oracle is
-    # intractable at sf10) and the lifecycle table-history queries
-    # (each run rebuilds its table; not a steady-state measurement)
+    "mad_robust_stats",
+    "canonicalize_corpus",  # Spark side only (DUCK_SKIP below)
+    "d_snapshot_diff",  # table built once at plan time; runs time the diff
+    # other lifecycle table-history queries stay excluded (each rebuilds
+    # its table inside the timed action; not a steady-state measurement)
 ]
+
+# Queries whose DuckDB oracle is intractable at sf10 — run the Spark side
+# only and publish no ratio (the honest record of a class where the
+# single-node recursive formulation collapses).
+DUCK_SKIP = {"canonicalize_corpus"}
 
 # DuckDB single runs that exceed this many seconds get fewer repeats
 # (the median still comes from >=3 samples unless a single run is huge).
@@ -129,7 +136,7 @@ def main() -> None:
     duck_times: dict[str, list[float]] = {}
     for n in names:
         sql = oracles.get(n)
-        if not sql:
+        if not sql or n in DUCK_SKIP:
             continue
         t0 = time.perf_counter()
         con.execute(sql).fetchall()  # warm

@@ -17,9 +17,19 @@ a throwaway warmup run at sf0.001, then time best-of-2 full runs per
 shape at the target SF (the restage inside the timed run is ~2% of the
 wall at sf1 and is reported separately via stage_sec).
 
-Usage: SPARK_GRAFT_SF_DIR=.scratch/sf1 python tools/bench_stream_mv.py
-Prints one JSON line: {"sf_dir": ..., "n_events": N,
-  "shapes": {name: {"best_sec": s, "events_per_sec": e}}}
+Also records the state-store evidence the sf0.1 numbers lacked
+(VERDICT r7 item 5): per-micro-batch rows/bytes in the streaming state
+store for the tumble aggregation run watermarked (state bounded —
+windows older than max_event_time − watermark are evicted) vs
+unwatermarked (state grows with every distinct (window,user) seen).
+At 100 TB the unbounded form is an executor-memory leak; the per-batch
+series makes the difference measurable, not asserted.
+
+Usage: SPARK_GRAFT_SF_DIR=.scratch/sf1 python tools/bench_stream_mv.py [out.json]
+Prints one JSON line and (if out.json given) writes the full payload:
+{"sf_dir": ..., "n_events": N,
+  "shapes": {name: {"best_sec": s, "events_per_sec": e}},
+  "state_store": {"watermarked_1h": {...}, "unbounded": {...}}}
 """
 
 from __future__ import annotations
@@ -35,11 +45,65 @@ from data_iceberg_sandbox_spark.session import get_spark_session
 from data_iceberg_sandbox_spark.sources.registry import load_table
 from data_iceberg_sandbox_spark.streaming.fraud_stream import (
     SCRATCH,
+    events_stream,
     run_fraud_alerts_stream,
     run_session_window_stream,
     run_sliding_window_stream,
     stage_event_files,
+    windowed_alerts,
 )
+
+
+def state_store_probe(
+    spark, staged: str, watermark: str | None, tag: str
+) -> dict:
+    """Run the tumble aggregation over the staged backlog and read the
+    state-store series from StreamingQueryProgress: per micro-batch
+    state rows + bytes, and rows evicted (numRowsRemoved) — nonzero only
+    when a watermark lets Spark age windows out."""
+    import shutil as _sh
+
+    ckpt = os.path.join(SCRATCH, f"state_probe_{tag}_ckpt")
+    if os.path.isdir(ckpt):
+        _sh.rmtree(ckpt)
+    alerts = windowed_alerts(
+        events_stream(spark, staged, files_per_trigger=1),
+        threshold=100.0,
+        watermark=watermark,
+    )
+    q = (
+        alerts.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        batches.append(
+            {
+                "batch": p["batchId"],
+                "input_rows": p.get("numInputRows"),
+                "state_rows": ops[0].get("numRowsTotal"),
+                "state_bytes": ops[0].get("memoryUsedBytes"),
+                "rows_evicted": ops[0].get("numRowsRemoved"),
+                "processed_rows_per_sec": round(
+                    p.get("processedRowsPerSecond") or 0.0, 1
+                ),
+            }
+        )
+    final = batches[-1] if batches else {}
+    return {
+        "watermark": watermark,
+        "final_state_rows": final.get("state_rows"),
+        "final_state_bytes": final.get("state_bytes"),
+        "total_evicted": sum(b["rows_evicted"] or 0 for b in batches),
+        "batches": batches,
+    }
 
 
 def main() -> None:
@@ -100,16 +164,59 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — isolate per shape
             out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "n_events": n_events,
-                "stage_sec": stage_sec,
-                "shapes": out,
-            }
-        )
+    # watermarked vs unbounded state (one staged backlog, 8 batches).
+    # The event ts span covers many 1-min windows; with a 1 h watermark
+    # the store holds only windows near the max event time seen so far,
+    # without it every (window, user) pair ever seen stays resident.
+    # Stage the probe backlog in event-time order (range-partition by ts,
+    # file source lists part files in path order) — the shape of a real
+    # Kafka backlog replayed from earliest. Random staging would let
+    # batch 1 advance the watermark to near-max and drop everything
+    # after as late, which demonstrates lateness, not state eviction.
+    import shutil as _sh
+
+    probe_staged = os.path.join(SCRATCH, "staged_state_probe_ordered")
+    if os.path.isdir(probe_staged):
+        _sh.rmtree(probe_staged)
+    (
+        load_table(spark, sf_dir, "events")
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(probe_staged)
     )
+    state = {
+        "watermarked_1h": state_store_probe(
+            spark, probe_staged, "1 hour", "wm1h"
+        ),
+        "unbounded": state_store_probe(spark, probe_staged, None, "unb"),
+    }
+
+    payload = {
+        "sf_dir": sf_dir,
+        "n_events": n_events,
+        "stage_sec": stage_sec,
+        "shapes": out,
+        "state_store": state,
+    }
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            json.dump(payload, fh, indent=1)
+    summary = {
+        **{k: payload[k] for k in ("sf_dir", "n_events", "stage_sec", "shapes")},
+        "state_store": {
+            k: {
+                kk: v[kk]
+                for kk in (
+                    "watermark",
+                    "final_state_rows",
+                    "final_state_bytes",
+                    "total_evicted",
+                )
+            }
+            for k, v in state.items()
+        },
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
