@@ -1126,7 +1126,163 @@ GROUP BY 1
 """
 
 
+def corpus_split_by_group(spark, sf_dir):
+    """Leak-proof train/val/test split: the assignment hashes the GROUP
+    key (``source`` here — a web corpus would use the URL domain), so
+    every document of a group lands on the same side and near-duplicate
+    documents inside a group can never straddle train/eval — the
+    contamination mode a per-doc hash split (`corpus_train_val_split`)
+    cannot prevent. Zero shuffle — pure projection, engine-portable md5
+    bucket. Group atomicity's accepted cost: realized rates converge to
+    90/5/5 only in expectation over groups, so split-rate monitoring
+    belongs with dq_expectations, not here."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        "pmod(CAST(conv(substring(md5(concat('groupsplit:', source)),"
+        " 1, 15), 16, 10) AS BIGINT), 100)"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        "source",
+        f"""CASE WHEN {h} < 90 THEN 'train'
+                 WHEN {h} < 95 THEN 'val'
+                 ELSE 'test' END AS split""",
+    )
+
+
+SPLIT_BY_GROUP_ORACLE = """
+SELECT doc_id, source,
+       CASE WHEN CAST('0x' || substring(md5('groupsplit:' || source), 1, 15)
+                 AS BIGINT) % 100 < 90 THEN 'train'
+            WHEN CAST('0x' || substring(md5('groupsplit:' || source), 1, 15)
+                 AS BIGINT) % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def embedding_outlier_scores(spark, sf_dir, k: int = 20):
+    """Embedding data-quality scan: per-vector squared distance to its
+    OWN label centroid, z-scored within the label, top-k most anomalous
+    vectors — the mislabeled/garbage-embedding detector that runs before
+    semantic dedup trusts the vectors.
+
+    Scale shape: centroids are a (label, dim) aggregation of the
+    exploded fact (one shuffle, map-side combine) and come back as a
+    BROADCAST (labels × dims is tiny by construction); the per-vector
+    distance re-aggregates the exploded fact keyed vec_id (second
+    shuffle — same cardinality as the input, never pairwise); label
+    stats are a labels-sized third shuffle joined back by broadcast.
+    Top-k rides TakeOrderedAndProject with a vec_id tie-break.
+
+    Determinism: decimal-exact sums at every accumulation (float sums
+    are partition-order-dependent), one rounding at each emission, and
+    the mean/var/z arithmetic is the IDENTICAL IEEE op sequence on both
+    engines (single divisions of exact sums, var clamped ≥0 before
+    sqrt)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    mu = dims.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mu")
+    )
+    dist = (
+        dims.join(F.broadcast(mu), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(
+                    ((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
+                    .cast("decimal(28,18)")
+                )
+                .cast("double"),
+                6,
+            ).alias("d")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d").cast("decimal(28,6)")).cast("double").alias("sd"),
+        F.sum(
+            (F.col("d") * F.col("d")).cast("decimal(38,12)")
+        ).cast("double").alias("sd2"),
+    )
+    scored = dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "d",
+        (F.col("sd") / F.col("n")).alias("_mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("sd2") / F.col("n")
+                - (F.col("sd") / F.col("n")) * (F.col("sd") / F.col("n")),
+                F.lit(0.0),
+            )
+        ).alias("_std"),
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.col("d").alias("dist_sq"),
+            F.round((F.col("d") - F.col("_mean")) / F.col("_std"), 4).alias(
+                "z"
+            ),
+        )
+        .orderBy(F.col("z").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+EMBEDDING_OUTLIER_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label, u.dim - 1 AS dim, u.x AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS dim) u),
+mu AS (
+  SELECT label, dim,
+         round(CAST(sum(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / count(*), 6)
+           AS mu
+  FROM dims GROUP BY label, dim),
+dist AS (
+  SELECT vec_id, d.label,
+         round(CAST(sum(CAST((x - mu) * (x - mu) AS DECIMAL(28,18)))
+               AS DOUBLE), 6) AS d
+  FROM dims d JOIN mu ON d.label = mu.label AND d.dim = mu.dim
+  GROUP BY 1, 2),
+stats AS (
+  SELECT label, count(*) AS n,
+         CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+         CAST(sum(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS sd2
+  FROM dist GROUP BY 1)
+SELECT vec_id, dist.label, d AS dist_sq,
+       round((d - sd / n) / sqrt(greatest(sd2 / n - (sd / n) * (sd / n),
+                                          0.0)), 4) AS z
+FROM dist JOIN stats ON dist.label = stats.label
+ORDER BY z DESC, vec_id
+LIMIT 20
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "corpus_split_by_group", corpus_split_by_group, SPLIT_BY_GROUP_ORACLE
+    ),
+    QuerySpec(
+        "embedding_outlier_scores",
+        embedding_outlier_scores,
+        EMBEDDING_OUTLIER_ORACLE,
+    ),
     QuerySpec("corpus_top_bigrams", corpus_top_bigrams, TOP_BIGRAMS_ORACLE),
     QuerySpec("dq_expectations", dq_expectations, DQ_EXPECTATIONS_ORACLE),
     QuerySpec("canonicalize_corpus", canonicalize_corpus, CANONICALIZE_ORACLE),
