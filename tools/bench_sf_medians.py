@@ -69,6 +69,11 @@ QUERIES = [
     "mad_robust_stats",
     "canonicalize_corpus",  # Spark side only (DUCK_SKIP below)
     "d_snapshot_diff",  # table built once at plan time; runs time the diff
+    # round-8 additions
+    "tpch_q4_order_priority",
+    "tpch_q14_promotion_effect",
+    "tpch_q18_large_volume_customers",
+    "embedding_outlier_scores",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
