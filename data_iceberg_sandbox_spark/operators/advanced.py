@@ -844,28 +844,32 @@ def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
     prime, the MinHash construction) replay bit-for-bit in DuckDB, so
     the oracle reproduces the SKETCH itself, not just the exact counts.
 
-    Scale shape: the sketch build is one explode(d) + groupBy(row,
-    bucket) with map-side combine — the shuffle carries ≤ d·w rows per
-    map partition regardless of input size, and sketches from disjoint
-    data merge by addition (the reason to deploy CMS at 100 TB:
-    per-hour sketches roll up to per-day by summing counters, no
-    rescan). The estimate probe joins the top-k candidates against the
-    broadcast 2048-row sketch."""
+    Scale shape: ONE fact shuffle total. Buckets are a function of the
+    sketched key alone, so the sketch is built from the per-user count
+    frame (sum of per-user counts per bucket ≡ count of events per
+    bucket) — the d bucket hashes evaluate on |users| rows instead of
+    d×|events|, and that user-grain aggregate is the same frame the
+    exact top-k candidate scan needs (computed once, reused). The
+    (i, bucket) rollup still combines map-side to ≤ d·w rows per map
+    partition, and sketches from disjoint data merge by addition (the
+    reason to deploy CMS at 100 TB: per-hour sketches roll up to
+    per-day by summing counters, no rescan). The estimate probe joins
+    the top-k candidates against the broadcast 2048-row sketch."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
     bucket_cases = " ".join(
         f"WHEN i = {i} THEN {_cms_bucket_sql('user_id', i)}"
         for i in range(_CMS_D)
     )
-    rows = ev.select(
-        "user_id", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
-    ).selectExpr("user_id", "i", f"CASE {bucket_cases} END AS bucket")
-    sketch = rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), "user_id")
-        .limit(topk)
+    per_user = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")).cache()
     )
+    rows = per_user.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i"),
+    ).selectExpr("user_id", "exact_n", "i", f"CASE {bucket_cases} END AS bucket")
+    sketch = rows.groupBy("i", "bucket").agg(F.sum("exact_n").alias("c"))
+    top = per_user.orderBy(F.col("exact_n").desc(), "user_id").limit(topk)
     probes = top.select(
         "user_id",
         "exact_n",
@@ -920,24 +924,31 @@ def events_retention_cohorts(spark, sf_dir):
     and what fraction — of that cohort were active N weeks later.
     Exact integer counts, one terminal division per cell.
 
-    Scale shape: distinct (user, week) activity and per-user first
-    week are both user-keyed aggregations — ONE user shuffle feeds
-    both (the first-week frame is a re-aggregation of the distinct
-    frame, already partitioned); the cohort join is user-keyed on the
-    same partitioning, and the final (cohort, offset) rollup is a
-    ≤weeks² frame. No window over raw events."""
+    Scale shape: ONE user shuffle — collect_set(week) per user is a
+    map-side-combining aggregate whose per-user state is bounded by
+    the number of distinct weeks (≤53), the cohort week is array_min
+    of that set (no second shuffle, no self-join), and the exploded
+    (cohort, offset) rollup is a ≤weeks² frame. Each (cohort, offset,
+    user) triple is unique by construction — offset is a bijection of
+    the user's distinct weeks — so cells count with a plain count(),
+    not countDistinct. Cohort sizes need no separate pass either:
+    every user is active in their own first week, so cohort_size IS
+    the offset-0 cell, self-joined on the tiny cells frame."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.weekofyear("ts").alias("wk")
     )
-    active = ev.distinct()
-    first = active.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    per_user = ev.groupBy("user_id").agg(F.collect_set("wk").alias("wks"))
     cells = (
-        active.join(first, "user_id")
-        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        per_user.select(
+            F.array_min("wks").alias("cohort_wk"), F.explode("wks").alias("wk")
+        )
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    sizes = first.groupBy("cohort_wk").agg(
-        F.count(F.lit(1)).alias("cohort_size")
+    sizes = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
     )
     return cells.join(sizes, "cohort_wk").select(
         "cohort_wk",
@@ -1342,6 +1353,70 @@ def trend_daily_slope(spark, sf_dir):
     )
 
 
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per event_type (the TimescaleDB
+    ``time_weight('LOCF', ...)`` hypertable aggregate, public docs):
+    each observation holds its value until the user's next event, so
+    its weight is the interval length — the correct mean for
+    irregularly-sampled series, where a plain avg over-counts bursts.
+
+    Determinism: intervals are exact BIGINT microseconds
+    (``unix_micros`` / DuckDB ``epoch_us`` — the data is µs-grain),
+    values are scale-2 int64 fixed point, and the value·dt products
+    accumulate in decimal(38,0) (a per-user timeline spans ~3e13 µs, so
+    bigint sums overflow near 1e5 users — the float alternative would
+    be partition-order-dependent). One IEEE division sequence at the
+    end, identical in the DuckDB twin.
+
+    Scale shape: one window shuffle on user_id (each user's timeline
+    sorts independently — the hypertable partitioning), then a 5-group
+    rollup with map-side combine. The last event of each user has no
+    successor and is excluded (LOCF with no closing bound), matching
+    time_weight over a right-open observation window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("vfp"),
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    dec = "decimal(38,0)"
+    agg = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("dt_us").cast(dec)).alias("sdt"),
+        F.sum((F.col("vfp") * F.col("dt_us")).cast(dec)).alias("swv"),
+    )
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        (F.col("sdt").cast("double") / F.lit(1000000.0)).alias("total_seconds"),
+        (
+            F.col("swv").cast("double") / F.col("sdt").cast("double") / F.lit(100.0)
+        ).alias("tw_avg"),
+    )
+
+
+TIME_WEIGHTED_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS vfp,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events),
+agg AS (
+  SELECT event_type,
+         count(*) AS n_intervals,
+         sum(dt_us) AS sdt,
+         sum(vfp * dt_us) AS swv
+  FROM seq WHERE dt_us IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_intervals,
+       CAST(sdt AS DOUBLE) / 1000000.0 AS total_seconds,
+       CAST(swv AS DOUBLE) / CAST(sdt AS DOUBLE) / 100.0 AS tw_avg
+FROM agg
+"""
+
+
 TREND_SLOPE_ORACLE = """
 WITH d AS (
   SELECT event_type,
@@ -1524,6 +1599,11 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("quantile_stats_exact", quantile_stats_exact, QUANTILE_STATS_ORACLE),
     QuerySpec("trend_daily_slope", trend_daily_slope, TREND_SLOPE_ORACLE),
+    QuerySpec(
+        "events_time_weighted_avg",
+        events_time_weighted_avg,
+        TIME_WEIGHTED_ORACLE,
+    ),
     QuerySpec("mad_robust_stats", mad_robust_stats, MAD_STATS_ORACLE),
     QuerySpec("mad_robust_stats_pandas", mad_robust_stats_pandas, MAD_STATS_ORACLE),
     QuerySpec(

@@ -30,6 +30,7 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import words
@@ -529,6 +530,149 @@ FROM documents GROUP BY md5(text)
 """
 
 
+_SEG_WORDS = 20  # paragraph surrogate: fixed 20-word segments
+
+
+def dedup_paragraphs(spark, sf_dir):
+    """Cross-corpus paragraph-level dedup with reassembly (the CCNet /
+    Wenzek et al. 2020 pre-filter: drop every repeated paragraph except
+    its FIRST corpus occurrence, keep the rest of the document). The
+    output is a cleaned corpus — (doc_id, n_segs, n_kept, clean_text) —
+    not a score: boilerplate headers/footers vanish while unique prose
+    survives, which document-level dedup cannot do. The testdata has no
+    newlines, so "paragraph" is a fixed 20-word segment (the machinery —
+    segment, first-occurrence vote, order-preserving reassembly — is
+    identical for newline paragraphs).
+
+    Scale shape: segments explode to n_segs rows (bounded fan-out,
+    ~|corpus words| / 20), ONE shuffle on the segment key decides first
+    occurrence (row_number over (seg) ordered by (doc_id, pos) — a
+    deterministic total order), and the doc_id rollup reassembles kept
+    segments via sort_array(collect_list(struct(pos, seg))) — per-doc
+    state bounded by document length, never corpus size. Hot segments
+    (a footer in millions of docs) skew the seg partition; AQE skew
+    handling splits them, and only rank-1 survives so the join-back is
+    a filter, not an expansion. Never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(w)-1) div {_SEG_WORDS}),"
+                f" i -> concat_ws(' ', slice(w, i*{_SEG_WORDS}+1, {_SEG_WORDS})))"
+            )
+        ).alias("pos", "seg"),
+    )
+    rn = F.row_number().over(W.partitionBy("seg").orderBy("doc_id", "pos"))
+    kept = segs.withColumn("rn", rn).filter(F.col("rn") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        "doc_id",
+        (F.expr(f"(size(w)-1) div {_SEG_WORDS}") + F.lit(1)).alias("n_segs"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+DEDUP_PARAGRAPHS_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, i.i AS pos,
+         array_to_string(w[i.i*{_SEG_WORDS}+1 : i.i*{_SEG_WORDS}+{_SEG_WORDS}], ' ') AS seg
+  FROM d, LATERAL (SELECT unnest(range((len(w)-1)//{_SEG_WORDS} + 1)) AS i) i),
+kept AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id,
+       (len(d.w)-1)//{_SEG_WORDS} + 1 AS n_segs,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+def fuzzy_pairs_supplier_names(spark, sf_dir):
+    """Approximate string self-join: all supplier-name pairs within
+    Levenshtein distance 1, found by FastSS deletion-neighborhood
+    blocking (Bocek et al. 2007, public tech report) — each string
+    emits itself plus its |s| one-character-deletion variants; two
+    strings at distance ≤1 ALWAYS share a variant (substitution → same
+    position deleted from both; insert/delete → the shorter string IS a
+    variant of the longer), so the variant equi-join has perfect recall
+    and the exact levenshtein filter on candidates makes the result
+    blocking-independent — equal to the O(n²) answer, never computing
+    it.
+
+    Scale shape: the index is O(n·L) rows (L = name length), one
+    equi-join shuffle on the variant key; candidates only materialize
+    for strings that actually collide. A variant shared by k strings
+    costs k² pair rows — at crawl scale hot variants get the same
+    posting-list cap as the shingle index (dedup_ngram_jaccard); exact
+    distance verification keeps the answer exact either way."""
+    s = load_table(spark, sf_dir, "supplier")
+    variants = s.select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_name").alias("nm"),
+        F.explode(
+            F.expr(
+                "array_union(array(s_name),"
+                " transform(sequence(1, length(s_name)),"
+                "  i -> concat(substring(s_name, 1, i-1),"
+                "              substring(s_name, i+1, length(s_name)-i))))"
+            )
+        ).alias("v"),
+    )
+    va = variants.select(
+        F.col("k").alias("key_a"), F.col("nm").alias("name_a"), "v"
+    )
+    vb = variants.select(
+        F.col("k").alias("key_b"), F.col("nm").alias("name_b"), "v"
+    )
+    cand = (
+        va.join(vb, "v")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "name_a", "key_b", "name_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= 1)
+
+
+FUZZY_PAIRS_ORACLE = """
+WITH v AS (
+  SELECT s_suppkey AS k, s_name AS nm,
+         unnest(list_append(
+           list_transform(generate_series(1, length(s_name)),
+             i -> substr(s_name, 1, i-1) || substr(s_name, i+1)),
+           s_name)) AS v
+  FROM supplier),
+p AS (
+  SELECT DISTINCT a.k AS key_a, a.nm AS name_a, b.k AS key_b, b.nm AS name_b
+  FROM v a JOIN v b USING (v) WHERE a.k < b.k)
+SELECT key_a, name_a, key_b, name_b,
+       levenshtein(name_a, name_b) AS dist
+FROM p WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
@@ -536,4 +680,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle_sql()),
+    QuerySpec("dedup_paragraphs", dedup_paragraphs, DEDUP_PARAGRAPHS_ORACLE),
+    QuerySpec(
+        "fuzzy_pairs_supplier_names",
+        fuzzy_pairs_supplier_names,
+        FUZZY_PAIRS_ORACLE,
+    ),
 ]

@@ -211,3 +211,96 @@ def test_ann_zero_norm_vector_never_corrupts_topk(spark, tmp_path):
     assert (out.groupby("query_id").size() == k).all()
     assert np.isfinite(out["score"]).all()
     assert 15 not in set(out["neighbor_id"])
+
+
+def test_paragraph_dedup_keeps_exactly_distinct_segments(spark):
+    """Corpus-level conservation: every distinct segment survives exactly
+    once (first occurrence), so sum(n_kept) == corpus-distinct segment
+    count, and the earliest doc keeps exactly its within-doc distinct
+    segments (nothing earlier exists to shadow them)."""
+    from data_iceberg_sandbox_spark.operators.dedup import (
+        _SEG_WORDS,
+        dedup_paragraphs,
+    )
+
+    out = dedup_paragraphs(spark, SF_ORACLE).cache()
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    segs = docs.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, (size(split(text,' '))-1) div {_SEG_WORDS}),"
+        f" i -> concat_ws(' ', slice(split(text,' '), i*{_SEG_WORDS}+1, {_SEG_WORDS}))))"
+        " AS seg",
+    ).cache()
+    n_distinct = segs.select("seg").distinct().count()
+    assert out.agg(F.sum("n_kept")).first()[0] == n_distinct
+    first_doc = segs.agg(F.min("doc_id")).first()[0]
+    first_distinct = segs.filter(F.col("doc_id") == first_doc).select("seg").distinct().count()
+    row = out.filter(F.col("doc_id") == first_doc).first()
+    assert row["n_kept"] == first_distinct
+    # reassembly preserves word counts: kept words <= original words,
+    # and a doc with zero kept segments has empty clean_text
+    bad = out.filter((F.col("n_kept") == 0) & (F.col("clean_text") != "")).count()
+    assert bad == 0
+    out.unpersist()
+    segs.unpersist()
+
+
+def test_fuzzy_pairs_equal_bruteforce(spark):
+    """FastSS blocking has perfect recall at distance 1: the operator's
+    pair set must EQUAL the O(n^2) brute-force answer at sf0.01 (100
+    supplier names)."""
+    from data_iceberg_sandbox_spark.operators.dedup import (
+        fuzzy_pairs_supplier_names,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/supplier.parquet").collect()
+    }
+    keys = sorted(names)
+    expected = {
+        (ka, kb)
+        for i, ka in enumerate(keys)
+        for kb in keys[i + 1 :]
+        if lev(names[ka], names[kb]) <= 1
+    }
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_pairs_supplier_names(spark, SF_ORACLE).collect()
+    }
+    assert expected, "calibration: distance-1 name pairs must exist"
+    assert got == expected
+
+
+def test_time_weighted_avg_interval_accounting(spark):
+    """Every event except each user's last opens exactly one interval:
+    sum(n_intervals) == n_events - n_users; the weighted mean sits
+    within the per-type value range."""
+    from data_iceberg_sandbox_spark.operators.advanced import (
+        events_time_weighted_avg,
+    )
+
+    out = events_time_weighted_avg(spark, SF_ORACLE).cache()
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert out.agg(F.sum("n_intervals")).first()[0] == n_events - n_users
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    viol = (
+        out.join(rng, "event_type")
+        .filter((F.col("tw_avg") < F.col("lo")) | (F.col("tw_avg") > F.col("hi")))
+        .count()
+    )
+    assert viol == 0
+    out.unpersist()
