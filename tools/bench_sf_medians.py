@@ -74,6 +74,9 @@ QUERIES = [
     "tpch_q14_promotion_effect",
     "tpch_q18_large_volume_customers",
     "embedding_outlier_scores",
+    "events_time_weighted_avg",
+    "dedup_paragraphs",
+    "fuzzy_pairs_supplier_names",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
