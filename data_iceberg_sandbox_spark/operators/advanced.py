@@ -1417,6 +1417,49 @@ FROM agg
 """
 
 
+def events_top_paths(spark, sf_dir, k: int = 10):
+    """Top-k 3-step user journeys (the path-analysis staple next to
+    funnel / transition matrix): every consecutive (event, next, next²)
+    trigram along each user's time-ordered stream, counted corpus-wide,
+    top k by frequency. Completes the product-analytics trio — funnel
+    fixes the steps and asks who converts; this asks WHICH step
+    sequences dominate.
+
+    Scale shape: one user_id window shuffle (two leads over the same
+    sort — a single Window node), then the trigram rollup map-side
+    combines into a ≤|types|³ frame (125 here) before its exchange;
+    top-k is TakeOrderedAndProject with a full-path tie-break, so the
+    limit is deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "step1", "step2", "step3")
+        .limit(k)
+    )
+
+
+TOP_PATHS_ORACLE = """
+WITH tri AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT step1, step2, step3, count(*) AS n_paths
+FROM tri WHERE step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT 10
+"""
+
+
 TREND_SLOPE_ORACLE = """
 WITH d AS (
   SELECT event_type,
@@ -1604,6 +1647,7 @@ SPECS: list[QuerySpec] = [
         events_time_weighted_avg,
         TIME_WEIGHTED_ORACLE,
     ),
+    QuerySpec("events_top_paths", events_top_paths, TOP_PATHS_ORACLE),
     QuerySpec("mad_robust_stats", mad_robust_stats, MAD_STATS_ORACLE),
     QuerySpec("mad_robust_stats_pandas", mad_robust_stats_pandas, MAD_STATS_ORACLE),
     QuerySpec(

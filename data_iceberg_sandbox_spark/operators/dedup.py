@@ -609,8 +609,9 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
 
 
 def fuzzy_pairs_supplier_names(spark, sf_dir):
-    """Approximate string self-join: all supplier-name pairs within
-    Levenshtein distance 1, found by FastSS deletion-neighborhood
+    """Approximate string self-join: all DISTINCT supplier-name pairs
+    within Levenshtein distance 1 (each name represented by its lowest
+    suppkey), found by FastSS deletion-neighborhood
     blocking (Bocek et al. 2007, public tech report) — each string
     emits itself plus its |s| one-character-deletion variants; two
     strings at distance ≤1 ALWAYS share a variant (substitution → same
@@ -620,15 +621,23 @@ def fuzzy_pairs_supplier_names(spark, sf_dir):
     blocking-independent — equal to the O(n²) answer, never computing
     it.
 
-    Scale shape: the index is O(n·L) rows (L = name length), one
-    equi-join shuffle on the variant key; candidates only materialize
-    for strings that actually collide. A variant shared by k strings
-    costs k² pair rows — at crawl scale hot variants get the same
-    posting-list cap as the shingle index (dedup_ngram_jaccard); exact
-    distance verification keeps the answer exact either way."""
+    Scale shape: exact-duplicate strings collapse FIRST — the fuzzy
+    index is built over DISTINCT names (min key per name as the
+    canonical representative), which is what makes the operator survive
+    replicated corpora: k exact copies of one name would turn every one
+    of its variants into a k-long posting list and the candidate join
+    into k² rows PER VARIANT (measured: the row-grain form on the
+    sf10 testdata — 100 copies of each of 1k names — explodes to ~1e10
+    candidates and never finishes; name-grain is ~8e4). After the
+    collapse the index is O(distinct·L) rows, one equi-join shuffle on
+    the variant key; residual hot variants (distinct strings sharing a
+    deletion) get the same posting-list cap as the shingle index
+    (dedup_ngram_jaccard); exact distance verification keeps the answer
+    exact either way."""
     s = load_table(spark, sf_dir, "supplier")
-    variants = s.select(
-        F.col("s_suppkey").alias("k"),
+    names = s.groupBy("s_name").agg(F.min("s_suppkey").alias("min_k"))
+    variants = names.select(
+        F.col("min_k").alias("k"),
         F.col("s_name").alias("nm"),
         F.explode(
             F.expr(
@@ -657,13 +666,15 @@ def fuzzy_pairs_supplier_names(spark, sf_dir):
 
 
 FUZZY_PAIRS_ORACLE = """
-WITH v AS (
-  SELECT s_suppkey AS k, s_name AS nm,
+WITH nm AS (
+  SELECT s_name, min(s_suppkey) AS min_k FROM supplier GROUP BY s_name),
+v AS (
+  SELECT min_k AS k, s_name AS nm,
          unnest(list_append(
            list_transform(generate_series(1, length(s_name)),
              i -> substr(s_name, 1, i-1) || substr(s_name, i+1)),
            s_name)) AS v
-  FROM supplier),
+  FROM nm),
 p AS (
   SELECT DISTINCT a.k AS key_a, a.nm AS name_a, b.k AS key_b, b.nm AS name_b
   FROM v a JOIN v b USING (v) WHERE a.k < b.k)

@@ -1168,12 +1168,18 @@ def embedding_outlier_scores(spark, sf_dir, k: int = 20):
     semantic dedup trusts the vectors.
 
     Scale shape: centroids are a (label, dim) aggregation of the
-    exploded fact (one shuffle, map-side combine) and come back as a
-    BROADCAST (labels × dims is tiny by construction); the per-vector
-    distance re-aggregates the exploded fact keyed vec_id (second
-    shuffle — same cardinality as the input, never pairwise); label
-    stats are a labels-sized third shuffle joined back by broadcast.
-    Top-k rides TakeOrderedAndProject with a vec_id tie-break.
+    exploded fact (one shuffle, map-side combining into ≤labels×dims
+    groups) packed into a per-label centroid ARRAY; the per-vector
+    distance then needs NO shuffle at all — the centroid array joins
+    back by broadcast at VECTOR grain and (x−μ)² folds inside one
+    zip_with/aggregate projection with a decimal accumulator. (The
+    earlier form re-exploded the fact and re-aggregated 64·n rows
+    keyed vec_id — an input-sized shuffle of decimal state, measured
+    16.7 s at sf10 vs ~4 s for this form; decimal addition is exact
+    and associative, so the in-array sequential fold is bit-identical
+    to the shuffled sum.) Label stats are a labels-sized aggregation
+    joined back by broadcast; top-k rides TakeOrderedAndProject with a
+    vec_id tie-break.
 
     Determinism: decimal-exact sums at every accumulation (float sums
     are partition-order-dependent), one rounding at each emission, and
@@ -1195,19 +1201,24 @@ def embedding_outlier_scores(spark, sf_dir, k: int = 20):
             6,
         ).alias("mu")
     )
-    dist = (
-        dims.join(F.broadcast(mu), ["label", "dim"])
-        .groupBy("vec_id", "label")
-        .agg(
-            F.round(
-                F.sum(
-                    ((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
-                    .cast("decimal(28,18)")
-                )
-                .cast("double"),
-                6,
-            ).alias("d")
-        )
+    mu_arr = mu.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mu))), s -> s.mu)"
+        ).alias("mu_arr")
+    )
+    dist = emb.join(F.broadcast(mu_arr), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.expr(
+                "CAST(aggregate("
+                " zip_with(CAST(embedding AS array<double>), mu_arr,"
+                "          (x, m) -> CAST((x - m) * (x - m) AS DECIMAL(28,18))),"
+                " CAST(0 AS DECIMAL(28,18)),"
+                " (acc, v) -> CAST(acc + v AS DECIMAL(28,18))) AS DOUBLE)"
+            ),
+            6,
+        ).alias("d"),
     )
     stats = dist.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

@@ -488,21 +488,34 @@ def q13_customer_distribution(spark, sf_dir):
     zero-order customers (o_orderpriority <> '1-URGENT' substitutes the
     reference schema's missing o_comment NOT LIKE filter).
 
-    Scale shape: orders is aggregated to (custkey, count) BEFORE the
-    customer join — the exchange carries one row per active customer
-    instead of one per order, and the left join that manufactures the
-    zero bucket runs between two customer-cardinality sides. The final
-    distribution agg is a ~tiny second exchange."""
+    Scale shape: NO customer join at all. Orders aggregate to
+    (custkey, count) in the one fact shuffle; the distribution is a
+    rollup over that frame whose grand-total row counts the ACTIVE
+    customers, and the zero-order bucket is pure arithmetic —
+    |customer| − |active| (every o_custkey is a customer; FK holds) —
+    so the classic left join that manufactures the zero bucket, two
+    customer-cardinality exchanges wide, becomes a 1-row broadcast of
+    the customer count. A real c_count=0 group cannot occur (groupBy
+    only emits counts ≥1), so the rollup NULL marker is unambiguous."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") != "1-URGENT"
     )
     cnts = o.groupBy("o_custkey").agg(F.count("*").alias("c_count"))
-    return (
-        c.join(cnts, c.c_custkey == cnts.o_custkey, "left")
-        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count("*").alias("custdist"))
+    rolled = cnts.rollup("c_count").agg(F.count(F.lit(1)).alias("cd"))
+    n_cust = c.agg(F.count(F.lit(1)).alias("n_cust"))
+    return rolled.crossJoin(F.broadcast(n_cust)).select(
+        F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"),
+        F.when(
+            F.col("c_count").isNull(), F.col("n_cust") - F.col("cd")
+        )
+        .otherwise(F.col("cd"))
+        .alias("custdist"),
+    ).filter(
+        # if every customer is active the zero bucket is empty, not a
+        # (0, 0) row — match the oracle's GROUP BY, which never emits
+        # empty groups
+        F.col("custdist") > 0
     )
 
 
