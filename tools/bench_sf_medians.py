@@ -106,6 +106,11 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     names = [n for n in QUERIES if n in queries]
 
+    # 80g heap: with the default 48g, caching the sf10 tables leaves the
+    # JVM under enough GC pressure that Spark medians spread 3x (q18:
+    # 20.4->6.1s within one 5-run capture) while DuckDB stays flat —
+    # measured round 8. Must be set before the JVM starts.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "80g")
     spark = get_spark_session(
         app_name="bench_medians",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
