@@ -33,6 +33,7 @@ def _all_specs():
         "textstats",
         "multimodal",
         "retrieval",
+        "timeseries",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,285 @@
+"""Hypertable-style time-series operators over the events fact.
+
+The reference's event pipeline (etl models over the transactions
+stream) stops at tumbling aggregates; these are the continuous-series
+operations a timeseries engine layers on top of the same data — each
+re-expressed as a declarative Spark plan with an exact DuckDB twin:
+
+- gap-filled LOCF resampling (``time_bucket_gapfill`` + ``locf`` in
+  TimescaleDB's public API): project every (user, day) cell of a dense
+  calendar grid, carrying the last observation forward;
+- dyadic-decay weighted moving average: an EWMA whose decay is a power
+  of two, so the whole kernel is exact BIGINT arithmetic — order-free,
+  codegen-fast, bit-identical across engines (the float EWMA recurrence
+  is partition-order-dependent and can never hash-match);
+- interval (banded range) join: point-in-interval classification done
+  as an equi-join on quantized buckets + exact residual filter — the
+  plan shape that scales to millions of intervals where a broadcast
+  nested-loop or theta-join cannot.
+
+Determinism conventions as everywhere (operators/spec.py): values ride
+scale-2 BIGINT fixed point, one final IEEE division sequence, unique
+sort tie-breaks, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.money import fixed
+from ..sources.registry import load_table
+from .spec import QuerySpec
+
+
+def events_gap_fill_locf(spark, sf_dir):
+    """Gap-filled daily LOCF rollup: each user's `value` series is
+    resampled onto the dense day grid (global min..max event day),
+    missing days carry the user's last observed value forward, and the
+    grid is aggregated per day into carried-vs-observed counts and the
+    total last-known value — the "sum of last-known readings per day"
+    query TimescaleDB writes as time_bucket_gapfill + locf + sum.
+
+    Scale shape: the day grid is calendar-bounded (30 cells here; 365/
+    year regardless of data volume) and built lazily from a 1-row
+    bounds aggregate — broadcast, never collected. Per-user density is
+    scale-invariant in this dataset (~67 events / 30 days at every SF),
+    so the grid is O(users × days) ≈ O(fact/2). Three narrow fact
+    shuffles: daily-last window on (user, day), grid left-join on the
+    same key, LOCF window on user — each partition holds one user's
+    ≤ |days| cells, bounded by the calendar, not the data.
+
+    Determinism: daily-last picks the (ts, event_id)-max row via
+    row_number (unique tie-break), LOCF rows are exact BIGINT cents,
+    counts are longs, and the one double emitted is a single division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    base = ev.select("user_id", day, "ts", "event_id", fixed("value").alias("vfp"))
+
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    daily = base.select("user_id", "day", "vfp", rn.alias("rn")).filter(
+        F.col("rn") == 1
+    )
+
+    # dense calendar grid: 1-row bounds agg exploded to the day axis,
+    # broadcast-joined onto the per-user first-day frame (no collect —
+    # the grid stays a lazy plan fragment)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    users = base.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    grid = users.join(F.broadcast(days), F.col("day") >= F.col("first_day"))
+
+    locf = F.last("vfp", ignorenulls=True).over(
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = grid.join(daily, ["user_id", "day"], "left").select(
+        "day", F.col("vfp").isNull().alias("is_fill"), locf.alias("locf")
+    )
+    return (
+        filled.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("users_total"),
+            F.count(F.when(F.col("is_fill"), 1)).alias("users_carried"),
+            (F.sum("locf").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "users_total",
+            "users_carried",
+            "total_value",
+        )
+    )
+
+
+GAP_FILL_ORACLE = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vfp
+  FROM events),
+daily AS (
+  SELECT user_id, day, vfp FROM (
+    SELECT user_id, day, vfp,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM base) WHERE rn = 1),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM base),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds),
+users AS (SELECT user_id, min(day) AS first_day FROM base GROUP BY 1),
+grid AS (
+  SELECT u.user_id, d.day FROM users u JOIN days d ON d.day >= u.first_day),
+filled AS (
+  SELECT g.day, dl.vfp IS NULL AS is_fill,
+         last_value(dl.vfp IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS UNBOUNDED PRECEDING) AS locf
+  FROM grid g LEFT JOIN daily dl
+    ON dl.user_id = g.user_id AND dl.day = g.day)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       count(*) AS users_total,
+       count(CASE WHEN is_fill THEN 1 END) AS users_carried,
+       CAST(sum(locf) AS DOUBLE) / 100.0 AS total_value
+FROM filled GROUP BY 1
+"""
+
+
+def events_dyadic_wma(spark, sf_dir, k: int = 8):
+    """Weighted moving average with dyadic (power-of-two) decay at each
+    user's latest event: weights 2^(k-1) … 2^0 over the last k
+    observations, normalized by 2^k − 1. This is the EWMA shape
+    (alpha = 1/2) restated so the entire kernel is exact BIGINT
+    arithmetic: cents × power-of-two weights sum without rounding, and
+    the single final division is the only float op — the recurrence
+    form (`s = a·x + (1−a)·s`) accumulates doubles in partition order
+    and cannot be reproduced bit-exactly by two engines.
+
+    Scale shape: ONE window shuffle on user_id; the k lag() terms share
+    the window frame, and per-user state is k longs. Users with fewer
+    than k events are excluded (the truncated-window mean is a
+    different estimator; emitting it silently would be wrong).
+
+    Overflow headroom: |vfp| ≤ 5e4 cents here, sum ≤ 2^k·5e4 ≈ 1.3e7 —
+    ~7e11 headroom under int64 even at 100 TB row counts (per-row
+    magnitude, not row count, bounds this sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id", "event_type", fixed("value").alias("vfp")
+    )
+    num = sum(
+        (F.lag("vfp", j).over(w) if j else F.col("vfp")) * (2 ** (k - 1 - j))
+        for j in range(k)
+    )
+    seq = base.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_events"),
+        num.alias("num"),
+    )
+    den = float((2**k - 1) * 100)
+    return seq.filter((F.col("rn") == F.col("n_events")) & (F.col("n_events") >= k)).select(
+        "user_id",
+        "n_events",
+        (F.col("num").cast("double") / F.lit(den)).alias("wma"),
+    )
+
+
+DYADIC_WMA_ORACLE = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vfp
+  FROM events),
+seq AS (
+  SELECT user_id,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         vfp * 128 + lag(vfp, 1) OVER w * 64 + lag(vfp, 2) OVER w * 32
+           + lag(vfp, 3) OVER w * 16 + lag(vfp, 4) OVER w * 8
+           + lag(vfp, 5) OVER w * 4 + lag(vfp, 6) OVER w * 2
+           + lag(vfp, 7) OVER w AS num
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, n_events, CAST(num AS DOUBLE) / 25500.0 AS wma
+FROM seq WHERE rn = n_events AND n_events >= 8
+"""
+
+
+# Value tiers for the interval join: arbitrary-width, half-open [lo, hi).
+# Together they cover the events.value domain; non-overlapping, so each
+# event lands in exactly one tier.
+VALUE_TIERS: list[tuple[str, float, float]] = [
+    ("micro", 0.0, 25.0),
+    ("small", 25.0, 75.0),
+    ("mid", 75.0, 150.0),
+    ("large", 150.0, 300.0),
+    ("whale", 300.0, 500.0),
+]
+_BUCKET_W = 25.0
+
+
+def interval_join_value_tiers(spark, sf_dir):
+    """Interval (banded range) join: classify each event's `value` into
+    an arbitrary-width [lo, hi) tier and aggregate per tier. The naive
+    plan is a theta-join (value BETWEEN lo AND hi) — a broadcast
+    nested-loop that degenerates to O(rows × intervals). This plan
+    quantizes instead: every interval explodes to the fixed-width
+    buckets it covers, the fact side computes one bucket key per row,
+    and the join is a plain hash equi-join on the bucket followed by
+    the exact residual range filter. Bucketization keeps the join
+    linear in rows + covered buckets, so it survives millions of
+    intervals (the public range-join optimization in Spark-on-
+    Databricks / Flink interval joins; here built from stock operators).
+
+    The tier table is inline (5 rows) — small enough to broadcast — but
+    the plan is written as the equi-join deliberately: the docetted
+    point is the shape that still works when the interval side is a
+    fact in its own right.
+
+    Determinism: tier boundaries and floor(value / width) are exact
+    doubles both engines; money sums ride scale-2 BIGINT."""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        VALUE_TIERS, schema="tier string, lo double, hi double"
+    )
+    tier_buckets = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BUCKET_W).cast("int"),
+                F.floor(F.col("hi") / _BUCKET_W).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    facts = ev.select(
+        "user_id",
+        "value",
+        fixed("value").alias("vfp"),
+        F.floor(F.col("value") / _BUCKET_W).cast("int").alias("bucket"),
+    )
+    joined = facts.join(F.broadcast(tier_buckets), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return (
+        joined.groupBy("tier", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum("vfp").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("lo")
+    )
+
+
+_TIER_VALUES = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in VALUE_TIERS)
+
+INTERVAL_TIERS_ORACLE = f"""
+WITH tiers(tier, lo, hi) AS (VALUES {_TIER_VALUES})
+SELECT t.tier, t.lo, t.hi,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY 1, 2, 3 ORDER BY t.lo
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("events_gap_fill_locf", events_gap_fill_locf, GAP_FILL_ORACLE),
+    QuerySpec("events_dyadic_wma", events_dyadic_wma, DYADIC_WMA_ORACLE),
+    QuerySpec(
+        "interval_join_value_tiers", interval_join_value_tiers, INTERVAL_TIERS_ORACLE
+    ),
+]
