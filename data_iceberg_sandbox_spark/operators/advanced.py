@@ -1631,7 +1631,76 @@ FROM events GROUP BY 1
 """
 
 
+def skyline_parts(spark, sf_dir):
+    """2-D Pareto frontier (skyline) of parts: minimize p_retailprice,
+    maximize p_size — "no other part is both cheaper and at least as
+    big" (the SKYLINE OF operator of Börzsönyi et al., ICDE 2001). The
+    naive formulation is a dominance self-anti-join — O(n²) and a
+    cartesian in any engine.
+
+    Distributed shape: dominance only depends on the best size at each
+    distinct price, so the fact first collapses to the per-price max
+    (ONE hash agg with map-side combine — the only thing the fact
+    pays). The frontier is then a strictly-increasing running-max scan
+    over the sorted distinct-price frame: keep a price iff its max size
+    strictly exceeds the running max over all cheaper prices (strict:
+    an equal size at a cheaper price dominates). That window's input is
+    O(|distinct prices|) — the bounded price domain, never the rows;
+    were the minimized dimension continuous/unbounded, the same algebra
+    nests once more (bucket → per-bucket max → cummax prefilter → exact
+    pass on survivors). Final step joins the frontier pairs back to
+    recover the actual rows; equal (price, size) ties are all kept —
+    neither dominates the other.
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    cm = F.max("msize").over(
+        W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_price.select("p_retailprice", "msize", cm.alias("cm"))
+        .filter(F.col("cm").isNull() | (F.col("msize") > F.col("cm")))
+        # fresh names: frontier derives from part, and the join back
+        # would otherwise be an ambiguous self-reference
+        .select(
+            F.col("p_retailprice").alias("f_price"), F.col("msize").alias("f_size")
+        )
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (F.col("p_retailprice") == F.col("f_price"))
+            & (F.col("p_size") == F.col("f_size")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").alias("price"),
+            "p_size",
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+SKYLINE_ORACLE = """
+WITH pp AS (
+  SELECT p_retailprice, max(p_size) AS msize FROM part GROUP BY 1),
+fr AS (
+  SELECT p_retailprice, msize,
+         max(msize) OVER (ORDER BY p_retailprice
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS cm
+  FROM pp)
+SELECT p.p_partkey, p.p_name, p.p_retailprice AS price, p.p_size
+FROM part p
+JOIN fr f ON p.p_retailprice = f.p_retailprice AND p.p_size = f.msize
+WHERE f.cm IS NULL OR f.msize > f.cm
+ORDER BY price, p.p_partkey
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("skyline_parts", skyline_parts, SKYLINE_ORACLE),
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("window_analytics_suite", window_analytics_suite, WINDOW_SUITE_ORACLE),
     QuerySpec(

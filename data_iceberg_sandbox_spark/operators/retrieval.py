@@ -354,9 +354,101 @@ SELECT id, round(rrf, 6) AS rrf FROM f ORDER BY rrf DESC, id LIMIT {RRF_TOPK}
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+
+
+def corpus_pmi_collocations(spark, sf_dir):
+    """Top-k collocations by pointwise mutual information —
+    PMI(a,b) = ln(P(ab) / (P(a)·P(b))) over adjacent token pairs, the
+    standard corpus-linguistics collocation score (Church & Hanks 1990)
+    and a staple of LM-corpus profiling (multi-word-expression mining).
+
+    Scale shape: bigrams are built *inside the array expression*
+    (transform over sequence — whole-stage codegen, zero window
+    shuffle; corpus_top_bigrams' lead() formulation pays a doc_id
+    window exchange this avoids), then two vocabulary-bounded count
+    aggregations with map-side combine. The two unigram joins and the
+    1-row totals are vocabulary/broadcast-sized — nothing doc-quadratic
+    anywhere.
+
+    Determinism: all counts are exact longs; the PMI ratio is assembled
+    with the identical operand order on both sides and one round(_, 6)
+    at the emit, per the module convention (``ln`` ulp note above).
+    min-count 5 kills the singleton-pair noise PMI is notorious for."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens_col().alias("w"))
+    uc = (
+        toks.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_term"))
+    )
+    n_uni = uc.agg(F.sum("c_term").alias("n_uni"))
+    # explode drops the NULL produced for <2-token docs (sequence(0,-1)
+    # would count DOWN in Spark — the guard is load-bearing)
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w0, w[i + 1] AS w1))"
+                ),
+            )
+        ).alias("p")
+    ).select("p.w0", "p.w1")
+    bc_all = pairs.groupBy("w0", "w1").agg(F.count(F.lit(1)).alias("c_pair"))
+    n_big = bc_all.agg(F.sum("c_pair").alias("n_big"))
+    bc = bc_all.filter(F.col("c_pair") >= PMI_MIN_COUNT)
+    j = (
+        bc.join(uc.select(F.col("term").alias("w0"), F.col("c_term").alias("c_w0")), "w0")
+        .join(uc.select(F.col("term").alias("w1"), F.col("c_term").alias("c_w1")), "w1")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_pair").cast("double") * F.col("n_uni")) * F.col("n_uni")
+            / ((F.col("c_w0").cast("double") * F.col("c_w1")) * F.col("n_big"))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.concat_ws(" ", "w0", "w1").alias("bigram"),
+            F.col("c_pair").alias("n"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(PMI_TOPK)
+    )
+
+
+PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{_TOK}') AS w FROM documents),
+uc AS (
+  SELECT term, count(*) AS c_term
+  FROM (SELECT unnest(w) AS term FROM toks) GROUP BY 1),
+nu AS (SELECT sum(c_term) AS n_uni FROM uc),
+pairs AS (
+  SELECT w[i.i] AS w0, w[i.i + 1] AS w1
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i),
+bca AS (SELECT w0, w1, count(*) AS c_pair FROM pairs GROUP BY 1, 2),
+nb AS (SELECT sum(c_pair) AS n_big FROM bca),
+bc AS (SELECT * FROM bca WHERE c_pair >= {PMI_MIN_COUNT})
+SELECT concat(bc.w0, ' ', bc.w1) AS bigram, bc.c_pair AS n,
+       round(ln((CAST(bc.c_pair AS DOUBLE) * n_uni) * n_uni
+                / ((CAST(a.c_term AS DOUBLE) * b.c_term) * n_big)), 6) AS pmi
+FROM bc JOIN uc a ON bc.w0 = a.term JOIN uc b ON bc.w1 = b.term, nu, nb
+ORDER BY pmi DESC, bigram LIMIT {PMI_TOPK}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("bm25_rank", bm25_rank, _bm25_oracle()),
     QuerySpec("hybrid_rrf_retrieval", hybrid_rrf_retrieval, _rrf_oracle()),
     QuerySpec("tfidf_top_term", tfidf_top_term, TFIDF_TOP_TERM_ORACLE),
     QuerySpec("doc_chunk_sliding", doc_chunk_sliding, DOC_CHUNK_ORACLE),
+    QuerySpec("corpus_pmi_collocations", corpus_pmi_collocations, PMI_ORACLE),
 ]
