@@ -1699,8 +1699,72 @@ ORDER BY price, p.p_partkey
 """
 
 
+def chisq_event_dow_cells(spark, sf_dir):
+    """Chi-square contingency analysis of event_type × ISO day-of-week:
+    per cell, the observed count, the independence-expected count
+    (row_total · col_total / N) and the cell's chi-square contribution
+    (O − E)² / E — the standardized building blocks of the categorical-
+    association test, emitted per cell rather than folded into one
+    statistic so no float summation order is involved (a float groupBy-
+    sum over cells is partial-aggregation-order-dependent and can never
+    hash-match; the 35-term total is the reader's one fold).
+
+    Scale shape: one (type, dow) count shuffle over the fact with map-
+    side combine; the marginal totals re-aggregate the 35-cell frame,
+    not the fact, and broadcast back. All counts exact longs; the
+    double tail is one multiply, two divides, one squared difference —
+    identical operand order in the DuckDB twin, round-6 emit."""
+    ev = load_table(spark, sf_dir, "events")
+    # ISO dow (Mon=1..Sun=7): Spark weekday() is Mon=0; DuckDB isodow
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    rows = cells.groupBy("event_type").agg(F.sum("observed").alias("rt"))
+    cols = cells.groupBy("dow").agg(F.sum("observed").alias("ct"))
+    n = cells.agg(F.sum("observed").alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    contrib = (
+        (F.col("observed").cast("double") - F.col("expected"))
+        * (F.col("observed").cast("double") - F.col("expected"))
+        / F.col("expected")
+    )
+    return (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn("expected", e)
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            F.round("expected", 6).alias("expected"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+    )
+
+
+CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT event_type, isodow(ts) AS dow, count(*) AS observed
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, sum(observed) AS rt FROM cells GROUP BY 1),
+c AS (SELECT dow, sum(observed) AS ct FROM cells GROUP BY 1),
+n AS (SELECT sum(observed) AS n FROM cells),
+e AS (
+  SELECT cells.event_type, cells.dow, cells.observed,
+         CAST(rt AS DOUBLE) * ct / n.n AS expected
+  FROM cells JOIN r USING (event_type) JOIN c USING (dow), n)
+SELECT event_type, dow, observed, round(expected, 6) AS expected,
+       round((CAST(observed AS DOUBLE) - expected)
+             * (CAST(observed AS DOUBLE) - expected) / expected, 6)
+         AS chi2_contrib
+FROM e
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("skyline_parts", skyline_parts, SKYLINE_ORACLE),
+    QuerySpec("chisq_event_dow_cells", chisq_event_dow_cells, CHISQ_ORACLE),
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("window_analytics_suite", window_analytics_suite, WINDOW_SUITE_ORACLE),
     QuerySpec(

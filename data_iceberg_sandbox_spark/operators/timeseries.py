@@ -276,10 +276,151 @@ GROUP BY 1, 2, 3 ORDER BY t.lo
 """
 
 
+_ZS_WIN = 20  # trailing observations per anomaly decision
+_ZS_THRESH = 2.0
+
+
+def events_rolling_zscore(spark, sf_dir):
+    """Rolling-window anomaly detection: flag events whose value sits
+    more than 2 sample standard deviations from the mean of the user's
+    previous 20 observations (the self-excluding trailing window — the
+    classic online z-score / Bollinger-band rule).
+
+    Exactness: the rolling frame carries only two BIGINT sums (Σv, Σv²
+    in cents; v² ≤ 2.5e9 · 20 ≈ 5e10 per frame — per-frame magnitude,
+    not row count, bounds them), the variance numerator n·Σv² − (Σv)²
+    is exact integer algebra, and the float tail is division → sqrt →
+    one subtraction → one division. IEEE sqrt is correctly rounded, so
+    every step is bit-identical across engines — a naive rolling
+    stddev() would accumulate floats in engine-specific order and never
+    hash-match. Rows with zero trailing variance cannot be scored
+    (z undefined) and are excluded explicitly.
+
+    Scale shape: ONE window shuffle on user_id; per-row state is the
+    frame's two longs. Anomaly fraction is scale-invariant (~2-4% of
+    eligible rows at every SF)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "ts", "event_id", "value", fixed("value").alias("vfp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZS_WIN, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("vfp").over(w)
+    s2 = F.sum(F.col("vfp") * F.col("vfp")).over(w)
+    scored = base.select(
+        "user_id",
+        "event_id",
+        "value",
+        "vfp",
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    ).filter(F.col("n") == _ZS_WIN)
+    var_num = F.lit(_ZS_WIN) * F.col("s2") - F.col("s1") * F.col("s1")
+    std = F.sqrt(var_num.cast("double") / F.lit(float(_ZS_WIN * (_ZS_WIN - 1))))
+    z = (
+        F.col("vfp").cast("double") - F.col("s1").cast("double") / F.lit(float(_ZS_WIN))
+    ) / std
+    return (
+        scored.filter(var_num > 0)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > _ZS_THRESH)
+    )
+
+
+ROLLING_ZSCORE_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(round(value * 100) AS BIGINT) AS vfp
+  FROM events),
+scored AS (
+  SELECT user_id, event_id, value, vfp,
+         count(*) OVER w AS n, sum(vfp) OVER w AS s1,
+         sum(vfp * vfp) OVER w AS s2
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_ZS_WIN} PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, event_id, value,
+         round((CAST(vfp AS DOUBLE) - CAST(s1 AS DOUBLE) / {float(_ZS_WIN)})
+               / sqrt(CAST({_ZS_WIN} * s2 - s1 * s1 AS DOUBLE)
+                      / {float(_ZS_WIN * (_ZS_WIN - 1))}), 6) AS zscore
+  FROM scored
+  WHERE n = {_ZS_WIN} AND {_ZS_WIN} * s2 - s1 * s1 > 0)
+SELECT user_id, event_id, value, zscore FROM z WHERE abs(zscore) > {_ZS_THRESH}
+"""
+
+
+def trend_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend: per event_type, the MEDIAN of all
+    pairwise daily slopes (Sen 1968) — the estimator that shrugs off
+    the outlier days that drag the OLS slope (`trend_daily_slope`)
+    around. Median selection (not summation) keeps floats exact: each
+    slope is one subtraction + two divisions on exact integers, and
+    both engines interpolate the even-count median identically.
+
+    Scale shape: the fact pays ONE daily-rollup shuffle with map-side
+    combine; the pairwise self-join runs on the per-(type, day) frame —
+    calendar-bounded (30 days → ≤435 pairs per type regardless of row
+    count), equi-keyed on event_type with the x1 < x2 residual, so it
+    never touches raw rows and never goes cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x")
+    ).agg(F.sum(fixed("value")).alias("yfp"))
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("x").alias("x1"), F.col("yfp").alias("y1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"), F.col("x").alias("x2"), F.col("yfp").alias("y2")
+    )
+    pairs = a.join(b, "et").filter(F.col("x1") < F.col("x2"))
+    slope = (
+        (F.col("y2") - F.col("y1")).cast("double")
+        / (F.col("x2") - F.col("x1")).cast("double")
+        / F.lit(100.0)
+    )
+    return (
+        pairs.select("et", slope.alias("slope"))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias("sen_slope"),
+        )
+    )
+
+
+THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         sum(CAST(round(value * 100) AS BIGINT)) AS yfp
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.yfp - a.yfp AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) / 100.0
+           AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x)
+SELECT event_type, count(*) AS n_pairs,
+       round(quantile_cont(slope, 0.5), 6) AS sen_slope
+FROM pairs GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("events_gap_fill_locf", events_gap_fill_locf, GAP_FILL_ORACLE),
     QuerySpec("events_dyadic_wma", events_dyadic_wma, DYADIC_WMA_ORACLE),
     QuerySpec(
         "interval_join_value_tiers", interval_join_value_tiers, INTERVAL_TIERS_ORACLE
     ),
+    QuerySpec("events_rolling_zscore", events_rolling_zscore, ROLLING_ZSCORE_ORACLE),
+    QuerySpec("trend_theil_sen", trend_theil_sen, THEIL_SEN_ORACLE),
 ]
