@@ -78,6 +78,15 @@ QUERIES = [
     "dedup_paragraphs",
     "fuzzy_pairs_supplier_names",
     "events_top_paths",
+    # round-8 third-session additions
+    "events_gap_fill_locf",
+    "events_dyadic_wma",
+    "interval_join_value_tiers",
+    "events_rolling_zscore",
+    "trend_theil_sen",
+    "corpus_pmi_collocations",
+    "skyline_parts",
+    "chisq_event_dow_cells",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
