@@ -1762,9 +1762,196 @@ FROM e
 """
 
 
+def corr_lineitem_measures(spark, sf_dir):
+    """Exact distributed Pearson correlation between the lineitem
+    measures (quantity, extendedprice, discount), every pair from ONE
+    scan: the five sufficient statistics per pair (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate as integers — plain sums in BIGINT, product sums in
+    decimal(38,0) (Σ(price·price) reaches ~1e20 past sf10; bigint would
+    overflow, float partial sums are partition-order-dependent, and
+    Spark's own ``corr`` is a streaming float fold that can never
+    hash-match another engine). The closed form
+    r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) then runs in
+    exact decimal algebra down to one double division over two
+    correctly-rounded sqrts — bit-identical in the DuckDB twin (whose
+    int128 does the same arithmetic natively).
+
+    Scale shape: a single 1-group aggregate with map-side partial
+    combine — no shuffle wider than one row. Headroom: decimal(38,0)
+    carries nΣxy − ΣxΣy ≈ 1e31 at 6e9 rows with 7 digits to spare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    m = li.select(
+        fixed("l_quantity").alias("q"),
+        fixed("l_extendedprice").alias("p"),
+        fixed("l_discount", 3).alias("d"),
+    )
+    pairs = [("quantity_price", "q", "p"), ("quantity_discount", "q", "d"),
+             ("price_discount", "p", "d")]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(v).alias(f"s_{v}") for v in ("q", "p", "d")]
+    aggs += [
+        F.sum((F.col(x) * F.col(y)).cast(dec)).alias(f"s_{x}{y}")
+        for x, y in (("q", "p"), ("q", "d"), ("p", "d"),
+                     ("q", "q"), ("p", "p"), ("d", "d"))
+    ]
+    st = m.agg(*aggs)
+    rows = []
+    for name, x, y in pairs:
+        n = F.col("n").cast(dec)
+        num = n * F.col(f"s_{x}{y}") - F.col(f"s_{x}").cast(dec) * F.col(f"s_{y}").cast(dec)
+        vx = n * F.col(f"s_{x}{x}") - F.col(f"s_{x}").cast(dec) * F.col(f"s_{x}").cast(dec)
+        vy = n * F.col(f"s_{y}{y}") - F.col(f"s_{y}").cast(dec) * F.col(f"s_{y}").cast(dec)
+        r = F.round(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        )
+        rows.append(
+            st.select(F.lit(name).alias("pair"), F.col("n").alias("n_rows"), r.alias("r"))
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("pair")
+
+
+CORR_ORACLE = """
+WITH m AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(round(l_discount * 1000) AS BIGINT) AS d
+  FROM lineitem),
+st AS (
+  SELECT count(*) AS n,
+         sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+         sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd,
+         sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd
+  FROM m)
+SELECT pair, n_rows, r FROM (
+  SELECT 'quantity_price' AS pair, n AS n_rows,
+         round(CAST(n * sqp - sq * sp AS DOUBLE)
+               / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                  * sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6) AS r
+  FROM st
+  UNION ALL
+  SELECT 'quantity_discount', n,
+         round(CAST(n * sqd - sq * sd AS DOUBLE)
+               / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                  * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6)
+  FROM st
+  UNION ALL
+  SELECT 'price_discount', n,
+         round(CAST(n * spd - sp * sd AS DOUBLE)
+               / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                  * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6)
+  FROM st)
+ORDER BY pair
+"""
+
+
+AB_GROUP_A = "purchase"
+AB_GROUP_B = "view"
+
+
+def ab_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test comparing `value` between two
+    event cohorts (the A/B-test primitive): t and the Welch–
+    Satterthwaite degrees of freedom from exact per-group sufficient
+    statistics — n, Σv, Σv² in BIGINT cents, sample variance from the
+    integer identity n·Σv²−(Σv)², then ONE fixed double expression
+    (identical operand order in the twin; sqrt is correctly rounded).
+    Engines' built-in t-test helpers fold floats in scan order and are
+    not reproducible across engines; this is, bit-exactly.
+
+    Scale shape: one 2-group aggregate with map-side combine; the test
+    itself is arithmetic on a 2-row frame pivoted to one row."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fixed("value")).alias("s1"),
+            F.sum(
+                (fixed("value") * fixed("value")).cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+    )
+    p = g.groupBy().pivot("event_type", [AB_GROUP_A, AB_GROUP_B]).agg(
+        F.first("n").alias("n"), F.first("s1").alias("s1"), F.first("s2").alias("s2")
+    )
+
+    def stats(tag):
+        n = F.col(f"{tag}_n").cast("double")
+        mean = F.col(f"{tag}_s1").cast("double") / n / F.lit(100.0)
+        # sample variance in dollars^2: (n*s2 - s1^2) / (n*(n-1)) / 1e4
+        varnum = (
+            F.col(f"{tag}_n").cast("decimal(38,0)") * F.col(f"{tag}_s2")
+            - F.col(f"{tag}_s1").cast("decimal(38,0)")
+            * F.col(f"{tag}_s1").cast("decimal(38,0)")
+        )
+        var = varnum.cast("double") / (n * (n - F.lit(1.0))) / F.lit(10000.0)
+        return n, mean, var
+
+    n1, m1, v1 = stats(AB_GROUP_A)
+    n2, m2, v2 = stats(AB_GROUP_B)
+    a = v1 / n1
+    b = v2 / n2
+    t = (m1 - m2) / F.sqrt(a + b)
+    df = (a + b) * (a + b) / (a * a / (n1 - F.lit(1.0)) + b * b / (n2 - F.lit(1.0)))
+    return p.select(
+        F.col(f"{AB_GROUP_A}_n").alias("n_a"),
+        F.col(f"{AB_GROUP_B}_n").alias("n_b"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+AB_TTEST_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+  GROUP BY 1),
+p AS (
+  SELECT
+    max(CASE WHEN event_type = '{AB_GROUP_A}' THEN n END) AS na,
+    max(CASE WHEN event_type = '{AB_GROUP_A}' THEN s1 END) AS sa1,
+    max(CASE WHEN event_type = '{AB_GROUP_A}' THEN s2 END) AS sa2,
+    max(CASE WHEN event_type = '{AB_GROUP_B}' THEN n END) AS nb,
+    max(CASE WHEN event_type = '{AB_GROUP_B}' THEN s1 END) AS sb1,
+    max(CASE WHEN event_type = '{AB_GROUP_B}' THEN s2 END) AS sb2
+  FROM g),
+s AS (
+  SELECT na, nb,
+    CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS m1,
+    CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS m2,
+    CAST(na * sa2 - sa1 * sa1 AS DOUBLE)
+      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / 10000.0
+      / CAST(na AS DOUBLE) AS a,
+    CAST(nb * sb2 - sb1 * sb1 AS DOUBLE)
+      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / 10000.0
+      / CAST(nb AS DOUBLE) AS b
+  FROM p)
+SELECT na AS n_a, nb AS n_b,
+       round(m1 - m2, 6) AS mean_diff,
+       round((m1 - m2) / sqrt(a + b), 6) AS t_stat,
+       round((a + b) * (a + b)
+             / (a * a / (CAST(na AS DOUBLE) - 1.0)
+                + b * b / (CAST(nb AS DOUBLE) - 1.0)), 6) AS welch_df
+FROM s
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("skyline_parts", skyline_parts, SKYLINE_ORACLE),
     QuerySpec("chisq_event_dow_cells", chisq_event_dow_cells, CHISQ_ORACLE),
+    QuerySpec("corr_lineitem_measures", corr_lineitem_measures, CORR_ORACLE),
+    QuerySpec("ab_welch_ttest", ab_welch_ttest, AB_TTEST_ORACLE),
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("window_analytics_suite", window_analytics_suite, WINDOW_SUITE_ORACLE),
     QuerySpec(
