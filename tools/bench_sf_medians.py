@@ -87,6 +87,8 @@ QUERIES = [
     "corpus_pmi_collocations",
     "skyline_parts",
     "chisq_event_dow_cells",
+    "corr_lineitem_measures",
+    "ab_welch_ttest",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
