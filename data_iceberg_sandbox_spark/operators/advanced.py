@@ -1631,6 +1631,185 @@ FROM events GROUP BY 1
 """
 
 
+def weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median of l_extendedprice per returnflag — the
+    order statistic where each row counts `l_quantity` times (the
+    shipment-volume-weighted "typical price"). Uses the lower weighted
+    median (smallest value whose cumulative weight reaches half the
+    total, the Edgeworth definition): integer comparisons only, no
+    interpolation, bit-identical across engines.
+
+    Scale shape: the `quantile_stats_exact` / `mad_robust_stats` value-
+    histogram formulation — the fact collapses to a (flag, price) →
+    Σweight histogram in one map-side-combined shuffle; the cumulative
+    scan runs over distinct prices per flag (bounded by the price
+    domain, never rows), so no per-group buffering anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            "l_returnflag",
+            fixed("l_extendedprice").alias("pfp"),
+            fixed("l_quantity", 0).alias("qty"),
+        )
+        .groupBy("l_returnflag", "pfp")
+        .agg(F.sum("qty").alias("w"))
+    )
+    # totals via a 3-row broadcast join, not a second (frame-less)
+    # window pass — one window sort on the histogram instead of two
+    tot = hist.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
+    win = W.partitionBy("l_returnflag").orderBy("pfp")
+    cum = hist.withColumn("cum", F.sum("w").over(win)).join(
+        F.broadcast(tot), "l_returnflag"
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").alias("total_weight"),
+            (
+                F.min(
+                    F.when(F.col("cum") * 2 >= F.col("tot"), F.col("pfp"))
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("wmedian_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH hist AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pfp,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, pfp, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY pfp
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM hist)
+SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN cum * 2 >= tot THEN pfp END) AS DOUBLE) / 100.0
+         AS wmedian_price
+FROM cum GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+def benford_price_digits(spark, sf_dir):
+    """Benford's-law conformance scan of the order amounts: observed
+    first-significant-digit counts of o_totalprice vs the Benford
+    expectation N·log10(1 + 1/d) with per-digit chi-square
+    contributions — the forensic-accounting anomaly screen. The leading
+    digit comes from the DECIMAL STRING of exact cents (a log10-based
+    extraction rounds wrong exactly at the powers of ten), and the
+    per-cell emit avoids any float summation order, as in
+    `chisq_event_dow_cells`. One 9-group aggregate with map-side
+    combine."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(fixed("o_totalprice").cast("string"), 1, 1).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    n = obs.agg(F.sum("observed").alias("n"))
+    expected = F.col("n").cast("double") * F.log10(1 + 1 / F.col("digit").cast("double"))
+    contrib = (
+        (F.col("observed").cast("double") - F.col("expected"))
+        * (F.col("observed").cast("double") - F.col("expected"))
+        / F.col("expected")
+    )
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .withColumn("expected", expected)
+        .select(
+            "digit",
+            "observed",
+            F.round("expected", 6).alias("expected"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_ORACLE = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS observed
+  FROM orders GROUP BY 1),
+n AS (SELECT sum(observed) AS n FROM obs),
+e AS (
+  SELECT digit, observed,
+         CAST(n AS DOUBLE) * log10(1 + 1 / CAST(digit AS DOUBLE)) AS expected
+  FROM obs, n)
+SELECT digit, observed, round(expected, 6) AS expected,
+       round((CAST(observed AS DOUBLE) - expected)
+             * (CAST(observed AS DOUBLE) - expected) / expected, 6)
+         AS chi2_contrib
+FROM e ORDER BY digit
+"""
+
+
+def pareto_revenue_deciles(spark, sf_dir):
+    """Revenue-concentration (80/20) analysis: customers ranked by
+    lifetime order revenue, split into 10 equal-count deciles, each
+    decile's share of total revenue — the cumulative-concentration
+    curve behind "top 10% of customers drive X% of revenue".
+
+    Determinism: revenue is an exact BIGINT cents sum; ntile ties
+    break on the unique custkey; each share is ONE double division of
+    two exact integers. Scale: one custkey shuffle collapses orders to
+    customer grain; the ntile window then sorts the CUSTOMER frame —
+    the same single-sort trade `customer_rfm_segments` makes (narrow
+    projection, ~1.5M rows at sf10); past ~1e9 customers the decile
+    boundaries would come from the histogram-rank pattern instead
+    (`_histogram_median`), same algebra, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(fixed("o_totalprice")).alias("rev")
+    )
+    tiled = rev.select(
+        "rev",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("rev"), F.desc("o_custkey")))
+        .alias("decile"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("drev")
+    )
+    tot = per.agg(F.sum("drev").alias("trev"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("drev").cast("double") / F.lit(100.0)).alias("revenue"),
+            F.round(
+                F.col("drev").cast("double") / F.col("trev").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+tiled AS (
+  SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey DESC) AS decile
+  FROM rev),
+per AS (
+  SELECT decile, count(*) AS n_customers, sum(rev) AS drev
+  FROM tiled GROUP BY 1),
+tot AS (SELECT sum(drev) AS trev FROM per)
+SELECT decile, n_customers,
+       CAST(drev AS DOUBLE) / 100.0 AS revenue,
+       round(CAST(drev AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS revenue_share
+FROM per, tot ORDER BY decile
+"""
+
+
 def skyline_parts(spark, sf_dir):
     """2-D Pareto frontier (skyline) of parts: minimize p_retailprice,
     maximize p_size — "no other part is both cheaper and at least as
@@ -1970,6 +2149,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("chisq_event_dow_cells", chisq_event_dow_cells, CHISQ_ORACLE),
     QuerySpec("corr_lineitem_measures", corr_lineitem_measures, CORR_ORACLE),
     QuerySpec("ab_welch_ttest", ab_welch_ttest, AB_TTEST_ORACLE),
+    QuerySpec("weighted_median_price", weighted_median_price, WEIGHTED_MEDIAN_ORACLE),
+    QuerySpec("benford_price_digits", benford_price_digits, BENFORD_ORACLE),
+    QuerySpec("pareto_revenue_deciles", pareto_revenue_deciles, PARETO_ORACLE),
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("window_analytics_suite", window_analytics_suite, WINDOW_SUITE_ORACLE),
     QuerySpec(

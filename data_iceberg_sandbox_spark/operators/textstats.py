@@ -275,7 +275,67 @@ FROM s
 """
 
 
+def text_word_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the word distribution (nats) —
+    the vocabulary-diversity quality signal (low entropy = repetitive /
+    boilerplate text; used alongside the Gopher-style repetition
+    rules in `text_repetition_score`). H = ln n − (Σ c·ln c)/n over the
+    per-doc term histogram.
+
+    Determinism by QUANTIZATION: a float Σ c·ln c depends on summation
+    order and can never hash-match across engines, so each term's ln c
+    is quantized to 1e-6 nats FIRST (round(1e6·ln c) as BIGINT) and the
+    weighted sum runs in exact integer arithmetic — order-free, with a
+    stated error bound ≤ 1e-6 nats, absorbed by the round-6 emit.
+
+    Scale shape: two doc-keyed aggregations with map-side combine
+    (token histogram, then per-doc fold); memory bounded by per-doc
+    distinct terms. Docs with zero tokens drop out in both engines
+    (explode/unnest of an empty match list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.col("c")
+            * F.round(F.lit(1000000.0) * F.log("c")).cast("bigint")
+        ).alias("s"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("s").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(1000000.0)
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct", F.round(h, 6).alias("word_entropy")
+    )
+
+
+WORD_ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         sum(c * CAST(round(1000000.0 * ln(c)) AS BIGINT)) AS s
+  FROM tc GROUP BY 1)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_distinct,
+       round(ln(CAST(n_tokens AS DOUBLE))
+             - CAST(s AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6) AS word_entropy
+FROM per_doc
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("text_word_entropy", text_word_entropy, WORD_ENTROPY_ORACLE),
     QuerySpec("text_pii_redact", text_pii_redact, PII_ORACLE),
     QuerySpec("text_quality_score", text_quality_score, TEXT_QUALITY_ORACLE),
     QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ORACLE),

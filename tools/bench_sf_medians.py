@@ -89,6 +89,10 @@ QUERIES = [
     "chisq_event_dow_cells",
     "corr_lineitem_measures",
     "ab_welch_ttest",
+    "weighted_median_price",
+    "benford_price_digits",
+    "pareto_revenue_deciles",
+    "text_word_entropy",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
