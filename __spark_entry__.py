@@ -34,6 +34,7 @@ def _all_specs():
         "multimodal",
         "retrieval",
         "timeseries",
+        "stats_tests",
     ):
         try:
             mod = __import__(
