@@ -35,6 +35,7 @@ def _all_specs():
         "retrieval",
         "timeseries",
         "stats_tests",
+        "insights",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,281 @@
+"""Product-analytics operators over the events/orders facts.
+
+Companions to the funnel / retention / RFM suite (operators/advanced.py):
+the three remaining questions a product team asks of an event stream —
+"which channel gets credit for a conversion" (attribution), "how much do
+two features' audiences overlap" (audience matrix), and "what do people
+buy together" (market-basket lift). Each is one or two fact-wide
+shuffles reducing to a bounded frame; nothing downstream of the first
+aggregation scales with the data.
+
+Determinism conventions as everywhere (operators/spec.py): scale-2
+BIGINT fixed point for money, exact integer counting, one final IEEE
+division sequence, unique sort tie-breaks, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.money import fixed
+from ..sources.registry import load_table
+from .spec import QuerySpec
+
+
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: every `purchase` event is
+    credited to the user's most recent PRECEDING non-purchase event
+    type (the standard last-click model; purchases with no prior
+    touchpoint credit the 'direct' channel). Emits per-channel
+    conversions and exact attributed revenue.
+
+    Scale shape: one user-keyed shuffle; the per-user window sort is
+    bounded by a single user's history (the sessionize bound), and the
+    channel rollup is a ≤6-row aggregate with map-side combine. Revenue
+    accumulates in scale-2 BIGINT (functions/money.py) and emits one
+    IEEE division — hash-exact vs the decimal oracle.
+
+    Tie-break: (ts, event_id) totally orders each user's history on
+    both engines — same-timestamp events attribute identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        fixed("value").alias("v_fp"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("prev_touch"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("prev_touch"), F.lit("direct")).alias("channel"),
+            "v_fp",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            (F.sum("v_fp").cast("double") / F.lit(100.0)).alias(
+                "attributed_revenue"
+            ),
+        )
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_fp,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_touch
+  FROM events)
+SELECT coalesce(prev_touch, 'direct') AS channel,
+       count(*) AS conversions,
+       CAST(sum(v_fp) AS DOUBLE) / 100.0 AS attributed_revenue
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def audience_overlap_matrix(spark, sf_dir):
+    """Pairwise audience overlap between event types: for every type
+    pair, the number of users doing each, both, and the exact Jaccard
+    |A∩B| / |A∪B| — the feature-overlap matrix behind "should these two
+    surfaces share a team" dashboards. Exact distinct users, NOT a
+    sketch (the HLL variant of this question is
+    `sketch_rollup_distinct_users`).
+
+    Scale shape: the fact reduces in ONE user-keyed shuffle to a 5-bit
+    membership mask per user (bit_or of per-type bits), and the masks
+    reduce to ≤31 (mask, count) rows — the pair expansion then runs on
+    that constant-size frame via a 10-row literal pair table, so no
+    per-pair pass over the data and no user×user or semi-join per pair.
+    int64 mask counts carry any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    bit = F.when(F.col("event_type") == types[0], 1)
+    for i, t in enumerate(types[1:], start=1):
+        bit = bit.when(F.col("event_type") == t, 2**i)
+    masks = (
+        ev.select("user_id", bit.alias("b"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(b)").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    pairs = spark.createDataFrame(
+        [
+            (types[i], types[j], 2**i, 2**j)
+            for i in range(len(types))
+            for j in range(i + 1, len(types))
+        ],
+        "type_a string, type_b string, bit_a int, bit_b int",
+    )
+    j = masks.crossJoin(F.broadcast(pairs))
+    in_a = (F.col("mask").bitwiseAND(F.col("bit_a")) > 0).cast("bigint")
+    in_b = (F.col("mask").bitwiseAND(F.col("bit_b")) > 0).cast("bigint")
+    agg = j.groupBy("type_a", "type_b").agg(
+        F.sum(in_a * F.col("n_users")).alias("n_a"),
+        F.sum(in_b * F.col("n_users")).alias("n_b"),
+        F.sum(in_a * in_b * F.col("n_users")).alias("n_both"),
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+            9,
+        ).alias("jaccard"),
+    )
+
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH bits AS (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+              WHEN 'view' THEN 16 END AS b
+  FROM events),
+masks AS (
+  SELECT mask, count(*) AS n_users
+  FROM (SELECT user_id, bit_or(b) AS mask FROM bits GROUP BY 1)
+  GROUP BY 1),
+pairs(type_a, type_b, bit_a, bit_b) AS (VALUES
+  ('click','error',1,2), ('click','purchase',1,4), ('click','signup',1,8),
+  ('click','view',1,16), ('error','purchase',2,4), ('error','signup',2,8),
+  ('error','view',2,16), ('purchase','signup',4,8),
+  ('purchase','view',4,16), ('signup','view',8,16)),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(sum(CASE WHEN mask & bit_a > 0 THEN n_users ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN mask & bit_b > 0 THEN n_users ELSE 0 END)
+              AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN mask & bit_a > 0 AND mask & bit_b > 0
+                       THEN n_users ELSE 0 END) AS BIGINT) AS n_both
+  FROM pairs, masks GROUP BY 1, 2)
+SELECT type_a, type_b, n_a, n_b, n_both,
+       round(CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE), 9)
+         AS jaccard
+FROM agg
+"""
+
+
+def basket_brand_lift(spark, sf_dir):
+    """Market-basket association between part brands: for every brand
+    pair co-occurring in an order, support, confidence and lift
+    P(ab)/(P(a)·P(b)) — the Agrawal–Srikant association-rule statistics
+    at brand grain (part grain would emit millions of pairs; brand
+    grain keeps the answer human-sized at ≤300 rows while exercising
+    the identical plan shape).
+
+    Scale shape: lineitem joins the part dim for brands (25 distinct),
+    collapses to DISTINCT (order, brand) — the dedup that caps the
+    self-join fan-out at C(25,2) per order — then pairs form by an
+    orderkey-equi self-join (co-partitioned; both sides are the same
+    exchange output, never a cartesian) and reduce to ≤300 (a,b)
+    counts. Basket totals ride the same distinct frame. All counting
+    exact BIGINT; lift/confidence finish in one IEEE sequence."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("brand").alias("brand_b"))
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    brand_counts = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    n_orders = ob.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    na = brand_counts.select(
+        F.col("brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    nb = brand_counts.select(
+        F.col("brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    out = (
+        pair_counts.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_orders").cast("double"), 9
+        ).alias("support"),
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 9
+        ).alias("confidence"),
+        F.round(
+            (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            9,
+        ).alias("lift"),
+    )
+
+
+BASKET_LIFT_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+pair_counts AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+  WHERE a.brand < b.brand GROUP BY 1, 2),
+brand_counts AS (SELECT brand, count(*) AS n FROM ob GROUP BY 1),
+t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob)
+SELECT brand_a, brand_b, n_ab, na.n AS n_a, nb.n AS n_b,
+       round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 9) AS support,
+       round(CAST(n_ab AS DOUBLE) / CAST(na.n AS DOUBLE), 9) AS confidence,
+       round((CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+             / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 9) AS lift
+FROM pair_counts
+JOIN brand_counts na ON brand_a = na.brand
+JOIN brand_counts nb ON brand_b = nb.brand
+CROSS JOIN t
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "attribution_last_touch", attribution_last_touch, ATTRIBUTION_ORACLE
+    ),
+    QuerySpec(
+        "audience_overlap_matrix",
+        audience_overlap_matrix,
+        AUDIENCE_OVERLAP_ORACLE,
+    ),
+    QuerySpec("basket_brand_lift", basket_brand_lift, BASKET_LIFT_ORACLE),
+]

@@ -207,6 +207,52 @@ def d_incremental_read(spark, sf_dir):
 D_INC_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 <> 0"
 
 
+def d_wap_audit_publish(spark, sf_dir):
+    """Write-audit-publish: the Iceberg branch-based ingestion gate
+    (public `spark.wap.branch` / stage-commit workflow) as a staged-
+    snapshot protocol. A batch is written to a STAGED snapshot that
+    readers cannot see, audited there, and only promoted to the table
+    head if the audit passes:
+
+    - batch 1 (clean) stages, audits green (no NULL keys, no
+      non-positive totals), publishes — a CAS against the parent it
+      was staged from, so a concurrent writer cannot be overwritten;
+    - batch 2 arrives corrupted (negated totals); the audit counts
+      violations on `read_staged` — executor-side scan, one count row
+      to the driver — and the token is abandoned: nothing it wrote is
+      visible, and `remove_orphan_files` would GC its data files.
+
+    Final state (create + published batch, none of the poisoned one)
+    is what the oracle checks. Lifecycle scale notes as everywhere:
+    data files write through normal distributed jobs; only manifest
+    pointers and the single audit count touch the driver."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "dwap_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+
+    def audit_violations(df) -> int:
+        return df.filter(
+            F.col("o_orderkey").isNull() | (F.col("o_totalprice") <= 0)
+        ).count()
+
+    good = t.stage_append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    assert audit_violations(t.read_staged(good)) == 0
+    t.publish(good)
+
+    poisoned = orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    bad = t.stage_append(poisoned)
+    n_bad = audit_violations(t.read_staged(bad))
+    if n_bad == 0:  # poisoned batch must trip the audit — else fail loud
+        raise AssertionError("WAP audit failed to catch poisoned batch")
+    # abandoned: token never published; staged files are orphans
+    return t.read()
+
+
+D_WAP_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 < 2"
+
+
 def d_snapshot_diff(spark, sf_dir):
     """Version-to-version table diff (the audit/debug question "what
     changed between snapshot v1 and HEAD?"): row-level adds/removes
@@ -1253,4 +1299,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_cdc_changelog", d_cdc_changelog, D_CDC_ORACLE, memo=False),
     QuerySpec("d_bloom_pointlookup", d_bloom_pointlookup, D_BLOOM_ORACLE, memo=False),
     QuerySpec("d_cdc_replicate", d_cdc_replicate, D_CDC_REP_ORACLE, memo=False),
+    QuerySpec("d_wap_audit_publish", d_wap_audit_publish, D_WAP_ORACLE, memo=False),
 ]

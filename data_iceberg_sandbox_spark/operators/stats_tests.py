@@ -428,9 +428,90 @@ FROM per_doc
 """
 
 
+def events_percentile_rank(spark, sf_dir):
+    """Percentile feature transform: every event annotated with its
+    exact within-type cumulative distribution position (cume_dist) and
+    percent_rank — the rank-based feature encoding ML pipelines apply
+    to heavy-tailed value columns before training.
+
+    The naive formulation is a window sort over the whole fact
+    (`percent_rank() OVER (PARTITION BY type ORDER BY value)` — a
+    per-type global sort that does not scale). Here ranks come from the
+    value HISTOGRAM instead: one map-side-combined shuffle reduces the
+    fact to ≤~250k (type, v_fp) cells (2-decimal money domain × 5
+    types), the cumulative scan runs per type over that bounded grain,
+    and the fact picks up its ranks by a BROADCAST join on
+    (type, v_fp) — the fact itself is never sorted and never shuffled
+    wider than the histogram reduction. Identical integer ratios both
+    engines: cume_dist = c/N_t, percent_rank = (c−n)/(N_t−1).
+
+    100 TB posture: broadcast is bounded by the value DOMAIN, not the
+    row count; a wider domain (e.g. float values) would first quantize
+    to the feature resolution — the transform is defined on quantized
+    values either way."""
+    ev = load_table(spark, sf_dir, "events")
+    vfp = F.round(F.col("value") * 100).cast("bigint")
+    vg = (
+        ev.select("event_type", vfp.alias("v_fp"))
+        .groupBy("event_type", "v_fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cum = (
+        W.partitionBy("event_type")
+        .orderBy("v_fp")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    whole = W.partitionBy("event_type")
+    h = vg.select(
+        "event_type",
+        "v_fp",
+        F.round(
+            F.sum("n").over(cum).cast("double")
+            / F.sum("n").over(whole).cast("double"),
+            9,
+        ).alias("cume_dist"),
+        F.round(
+            (F.sum("n").over(cum) - F.col("n")).cast("double")
+            / (F.sum("n").over(whole) - F.lit(1)).cast("double"),
+            9,
+        ).alias("pct_rank"),
+    )
+    return ev.select("event_id", "event_type", vfp.alias("v_fp")).join(
+        F.broadcast(h), ["event_type", "v_fp"]
+    ).select("event_id", "event_type", "cume_dist", "pct_rank")
+
+
+PERCENTILE_RANK_ORACLE = """
+WITH vg AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_fp,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+h AS (
+  SELECT event_type, v_fp,
+         round(CAST(sum(n) OVER w AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 9)
+           AS cume_dist,
+         round(CAST(sum(n) OVER w - n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY event_type) - 1 AS DOUBLE),
+               9) AS pct_rank
+  FROM vg
+  WINDOW w AS (PARTITION BY event_type ORDER BY v_fp
+               ROWS UNBOUNDED PRECEDING))
+SELECT e.event_id, e.event_type, h.cume_dist, h.pct_rank
+FROM events e
+JOIN h ON e.event_type = h.event_type
+      AND CAST(round(e.value * 100) AS BIGINT) = h.v_fp
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("ks_test_value_dist", ks_test_value_dist, KS_TEST_ORACLE),
     QuerySpec("mwu_auc_value_dist", mwu_auc_value_dist, MWU_AUC_ORACLE),
     QuerySpec("kl_hourly_drift", kl_hourly_drift, KL_DRIFT_ORACLE),
     QuerySpec("lm_perplexity_score", lm_perplexity_score, LM_PERPLEXITY_ORACLE),
+    QuerySpec(
+        "events_percentile_rank",
+        events_percentile_rank,
+        PERCENTILE_RANK_ORACLE,
+    ),
 ]

@@ -93,6 +93,14 @@ QUERIES = [
     "benford_price_digits",
     "pareto_revenue_deciles",
     "text_word_entropy",
+    # round-8 fourth-session additions
+    "ks_test_value_dist",
+    "mwu_auc_value_dist",
+    "kl_hourly_drift",
+    "lm_perplexity_score",
+    "attribution_last_touch",
+    "audience_overlap_matrix",
+    "basket_brand_lift",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
