@@ -468,6 +468,64 @@ FROM source s
 """
 
 
+def d_scd2_asof_lookup(spark, sf_dir):
+    """Point-in-time dimension lookup against the SCD2 history: each
+    order is enriched with the client attributes VALID AT its as-of
+    instant — the temporal-join every SCD2 dimension exists to serve
+    (Kimball type-2 lookup; Iceberg/warehouse "AS OF" semantics at row
+    grain rather than snapshot grain).
+
+    As-of instants are assigned per order (odd orderkeys resolve inside
+    the v1 window, even ones after the v2 change) so BOTH versions are
+    exercised — a single fixed instant would vacuously hit one side
+    (the q9 lesson, applied to temporal predicates).
+
+    Scale shape: the validity predicate is a RESIDUAL on a key-equi
+    join — Spark keeps the hash join on (id = custkey) and applies
+    valid_from ≤ t < valid_to as a filter, so the temporal condition
+    never degrades the join to a range/theta join; the SCD2 history is
+    dimension-sized and broadcasts. Exactly one version matches per
+    (order, client) by the SCD2 invariant (half-open windows)."""
+    hist = d_scd2_history(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 1,
+            F.lit(TS1).cast("timestamp") + F.expr("INTERVAL 1 HOUR"),
+        )
+        .otherwise(
+            F.lit(TS2).cast("timestamp") + F.expr("INTERVAL 1 HOUR")
+        )
+        .alias("as_of"),
+    )
+    j = o.join(
+        F.broadcast(hist),
+        (o.o_custkey == hist.id)
+        & (F.col("as_of") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to"))),
+    )
+    return j.select(
+        "o_orderkey", "o_custkey", "as_of", "age", "category", "is_current"
+    )
+
+
+D_SCD2_ASOF_ORACLE = f"""
+WITH hist AS ({D_SCD2_ORACLE}),
+o AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 1
+              THEN TIMESTAMP '{TS1}' + INTERVAL 1 HOUR
+              ELSE TIMESTAMP '{TS2}' + INTERVAL 1 HOUR END AS as_of
+  FROM orders)
+SELECT o_orderkey, o_custkey, as_of, h.age, h.category, h.is_current
+FROM o JOIN hist h
+  ON o.o_custkey = h.id
+ AND o.as_of >= h.valid_from
+ AND (h.valid_to IS NULL OR o.as_of < h.valid_to)
+"""
+
+
 def d_pruned_scan(spark, sf_dir):
     """Manifest-stats file skipping: range-partitioned table, scan pruned
     to the files whose min/max can satisfy the predicate (then the real
@@ -1277,6 +1335,10 @@ SPECS: list[QuerySpec] = [
         "d_snapshot_diff", d_snapshot_diff, D_SNAPSHOT_DIFF_ORACLE, memo=False
     ),
     QuerySpec("d_scd2_history", d_scd2_history, D_SCD2_ORACLE, memo=False),
+    QuerySpec(
+        "d_scd2_asof_lookup", d_scd2_asof_lookup, D_SCD2_ASOF_ORACLE,
+        memo=False,
+    ),
     QuerySpec("d_delete_where", d_delete_where, D_DELETE_ORACLE, memo=False),
     QuerySpec("d_overwrite", d_overwrite, D_OVERWRITE_ORACLE, memo=False),
     QuerySpec("s2_create_partitioned", s2_create_partitioned, S2_ORACLE, memo=False),

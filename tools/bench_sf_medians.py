@@ -101,6 +101,8 @@ QUERIES = [
     "attribution_last_touch",
     "audience_overlap_matrix",
     "basket_brand_lift",
+    "events_percentile_rank",
+    "events_daily_new_users_cum",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
