@@ -337,6 +337,76 @@ FROM daily
 """
 
 
+def orders_interarrival_stats(spark, sf_dir):
+    """Per-customer order-interarrival statistics: order count, mean gap
+    and maximum gap in exact whole days — the reorder-cadence feature
+    behind churn/replenishment models (customers with ≥2 orders; a
+    single order has no gap).
+
+    Exactness: gaps are integer day differences; the mean emits as one
+    IEEE division of exact integers (span/(n−1) — algebraically the
+    mean of consecutive gaps, no per-gap float sum), max via the same
+    per-customer window. Tie-break (o_orderdate, o_orderkey) totally
+    orders each history, so equal-date gaps of 0 days are identical on
+    both engines.
+
+    Scale shape: one custkey shuffle; the per-customer window sort is
+    bounded by one customer's order history (TPC-H ~10; any real
+    retailer similar). Output is customer-grain."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "d",
+        F.datediff(
+            F.col("d"), F.lag("d").over(w)
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.datediff(F.max("d"), F.min("d")).alias("span_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(
+                F.col("span_days").cast("double")
+                / (F.col("n_orders") - 1).cast("double"),
+                6,
+            ).alias("mean_gap_days"),
+            "max_gap_days",
+        )
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders),
+gaps AS (
+  SELECT o_custkey, d,
+         date_diff('day', lag(d) OVER (PARTITION BY o_custkey
+                                       ORDER BY d, o_orderkey), d) AS gap
+  FROM o),
+agg AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         date_diff('day', min(d), max(d)) AS span_days,
+         CAST(max(gap) AS INT) AS max_gap_days
+  FROM gaps GROUP BY 1)
+SELECT o_custkey, n_orders,
+       round(CAST(span_days AS DOUBLE) / CAST(n_orders - 1 AS DOUBLE), 6)
+         AS mean_gap_days,
+       max_gap_days
+FROM agg WHERE n_orders >= 2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "attribution_last_touch", attribution_last_touch, ATTRIBUTION_ORACLE
@@ -351,5 +421,10 @@ SPECS: list[QuerySpec] = [
         "events_daily_new_users_cum",
         events_daily_new_users_cum,
         DAILY_NEW_USERS_ORACLE,
+    ),
+    QuerySpec(
+        "orders_interarrival_stats",
+        orders_interarrival_stats,
+        INTERARRIVAL_ORACLE,
     ),
 ]

@@ -504,6 +504,103 @@ JOIN h ON e.event_type = h.event_type
 """
 
 
+def lm_bigram_perplexity(spark, sf_dir):
+    """Bigram conditional-LM perplexity per document — the second-order
+    companion to `lm_perplexity_score`: H_d = −(1/m_d)·Σ c_d(w1,w2)·
+    ln(c(w1,w2)/c(w1·)) with m_d the document's bigram count and c(w1·)
+    the corpus count of w1 as a left context (MLE conditional — the
+    corpus is its own model, so the oracle is exact; documents with
+    fewer than two tokens drop out on both engines).
+
+    Bigrams form as a pure projection — arrays_zip of two slices of the
+    token array, no positional self-join (joining tokens on (doc,
+    pos+1) would shuffle the corpus at token grain twice). ln quantized
+    to 1e-6 nats before the weighted sum (the word-entropy convention);
+    the context totals derive from the BIGRAM vocabulary frame, never a
+    second corpus pass.
+
+    Scale shape: one (doc, bigram) histogram shuffle with map-side
+    combine, vocabulary-grain reductions, one bigram-keyed join back
+    (no broadcast assumption on the bigram vocab), one doc fold —
+    the lm_perplexity_score shape one order higher."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    tc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("w1"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("w2"),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "z.w1", "z.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cb = tc.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    lp = cb.join(cw, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(F.col("cb").cast("double") / F.col("cw").cast("double"))
+        )
+        .cast("bigint")
+        .alias("lp"),
+    )
+    per_doc = (
+        tc.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lp")).alias("s"),
+        )
+    )
+    xent = -F.col("s").cast("double") / (
+        F.col("n_bigrams").cast("double") * F.lit(1000000.0)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(xent, 6).alias("xent_nats"),
+        F.round(F.exp(xent), 2).alias("ppl"),
+    )
+
+
+LM_BIGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(arr[1:len(arr)-1]) AS w1,
+         unnest(arr[2:len(arr)]) AS w2
+  FROM t WHERE len(arr) >= 2),
+tc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, sum(c) AS cb FROM tc GROUP BY 1, 2),
+cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY 1),
+lp AS (
+  SELECT cb.w1, cb.w2,
+         CAST(round(1000000.0 * ln(CAST(cb AS DOUBLE)
+                                   / CAST(cw AS DOUBLE))) AS BIGINT) AS lp
+  FROM cb JOIN cw ON cb.w1 = cw.w1),
+per_doc AS (
+  SELECT tc.doc_id, CAST(sum(tc.c) AS BIGINT) AS n_bigrams,
+         sum(tc.c * lp.lp) AS s
+  FROM tc JOIN lp ON tc.w1 = lp.w1 AND tc.w2 = lp.w2
+  GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       round(-CAST(s AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 6)
+         AS xent_nats,
+       round(exp(-CAST(s AS DOUBLE)
+                 / (CAST(n_bigrams AS DOUBLE) * 1000000.0)), 2) AS ppl
+FROM per_doc
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("ks_test_value_dist", ks_test_value_dist, KS_TEST_ORACLE),
     QuerySpec("mwu_auc_value_dist", mwu_auc_value_dist, MWU_AUC_ORACLE),
@@ -513,5 +610,8 @@ SPECS: list[QuerySpec] = [
         "events_percentile_rank",
         events_percentile_rank,
         PERCENTILE_RANK_ORACLE,
+    ),
+    QuerySpec(
+        "lm_bigram_perplexity", lm_bigram_perplexity, LM_BIGRAM_ORACLE
     ),
 ]

@@ -103,6 +103,8 @@ QUERIES = [
     "basket_brand_lift",
     "events_percentile_rank",
     "events_daily_new_users_cum",
+    "orders_interarrival_stats",
+    "lm_bigram_perplexity",
     # other lifecycle table-history queries stay excluded (each rebuilds
     # its table inside the timed action; not a steady-state measurement)
 ]
