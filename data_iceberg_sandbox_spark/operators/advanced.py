@@ -2218,7 +2218,11 @@ SPECS: list[QuerySpec] = [
         sql_surface_fraud,
         None,  # set below to reuse the flagship oracle
     ),
-    QuerySpec("tpch_q4_order_priority", q4_order_priority, Q4_ORACLE),
+    # Renamed from tpch_q4_order_priority (round 9): tpch2.py registers the
+    # canonical Q4 under that name, and the plain-dict merge in as_query_dicts
+    # silently shadowed this left-semi variant — it had never been
+    # driver-checked. Both forms are now first-class and separately oracled.
+    QuerySpec("tpch_q4_semijoin_late_orders", q4_order_priority, Q4_ORACLE),
     QuerySpec("tpch_q14_promo_revenue", q14_promo_revenue, Q14_ORACLE),
     QuerySpec("tpch_q18_large_volume", q18_large_volume, Q18_ORACLE),
     QuerySpec("set_intersect", set_intersect, SET_INTERSECT_ORACLE),

@@ -194,9 +194,10 @@ def basket_brand_lift(spark, sf_dir):
     sort-merge-joined the fact — the q16 lesson, fixed with an explicit
     broadcast); (b) per-order collect_set is an ObjectHashAggregate
     whose array state falls back to sort-based aggregation at this
-    group count (28–107 s). The shipped plan: the 25-value brand domain
-    (Brand#1..25, code parsed from the name — any other shape would
-    surface as an oracle mismatch) maps each part to a BIT, every order
+    group count (28–107 s). The shipped plan: the small brand domain
+    (collected once from the dimension — robust to Brand#11..55 on
+    genuine TPC-H data, guarded at 63 bits) maps each part to a BIT by
+    its rank in the sorted distinct list, every order
     reduces to one BIGINT basket mask via bit_or — two pure-long
     codegen hash aggs, one fact shuffle — and masks reduce to a
     combinatorially-bounded (mask, count) frame that the 300-pair
@@ -208,13 +209,27 @@ def basket_brand_lift(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), "
-            "CAST(substring(p_brand, 7, 2) AS INT) - 1)"
-        ).alias("bit"),
+    part = load_table(spark, sf_dir, "part")
+    # Bit assignment comes from the ACTUAL brand domain (one bounded collect
+    # over the dimension, the same class as the ANN query-vector collects) —
+    # not from parsing digits out of the name. Genuine TPC-H uses
+    # Brand#11..55; a hard-coded 1..25 substring parse would silently emit
+    # an empty result there. Sorted order = the oracle's lexical `<`.
+    names = sorted(
+        r[0] for r in part.select("p_brand").distinct().collect()
     )
+    if len(names) > 63:
+        raise ValueError(
+            f"basket_brand_lift: {len(names)} brands exceed the 63-bit "
+            "BIGINT mask — widen to an array-of-longs mask first"
+        )
+    bit_of = {b: 1 << i for i, b in enumerate(names)}
+    brand_bits = spark.createDataFrame(
+        [(b, v) for b, v in bit_of.items()], "p_brand string, bit long"
+    )
+    p = part.select("p_partkey", "p_brand").join(
+        F.broadcast(brand_bits), "p_brand"
+    ).select("p_partkey", "bit")
     masks = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_orderkey")
@@ -222,10 +237,9 @@ def basket_brand_lift(spark, sf_dir):
         .groupBy("mask")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    names = sorted(f"Brand#{i}" for i in range(1, 26))  # oracle's lexical <
     pairs = spark.createDataFrame(
         [
-            (a, b, 1 << (int(a[6:]) - 1), 1 << (int(b[6:]) - 1))
+            (a, b, bit_of[a], bit_of[b])
             for i, a in enumerate(names)
             for b in names[i + 1 :]
         ],

@@ -70,6 +70,13 @@ def _memoized(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
 def as_query_dicts(
     specs: list[QuerySpec],
 ) -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    names = [s.name for s in specs]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # A plain-dict merge would silently drop all but the last spec for a
+        # name (this bit round 8: two tpch_q4_order_priority variants, one
+        # dead and never checked). Fail loudly instead.
+        raise ValueError(f"duplicate query names in spec registry: {sorted(dupes)}")
     queries = {s.name: (_memoized(s) if s.memo else s.fn) for s in specs}
     oracles = {s.name: s.oracle for s in specs if s.oracle is not None}
     return queries, oracles

@@ -471,8 +471,12 @@ def events_percentile_rank(spark, sf_dir):
             9,
         ).alias("cume_dist"),
         F.round(
-            (F.sum("n").over(cum) - F.col("n")).cast("double")
-            / (F.sum("n").over(whole) - F.lit(1)).cast("double"),
+            F.when(
+                F.sum("n").over(whole) > 1,
+                (F.sum("n").over(cum) - F.col("n")).cast("double")
+                / (F.sum("n").over(whole) - F.lit(1)).cast("double"),
+            ).otherwise(F.lit(0.0)),  # singleton type: Spark NULL vs DuckDB
+            # IEEE NaN on 0/0 would diverge — both engines pin to 0.0
             9,
         ).alias("pct_rank"),
     )
@@ -491,8 +495,11 @@ h AS (
          round(CAST(sum(n) OVER w AS DOUBLE)
                / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 9)
            AS cume_dist,
-         round(CAST(sum(n) OVER w - n AS DOUBLE)
-               / CAST(sum(n) OVER (PARTITION BY event_type) - 1 AS DOUBLE),
+         round(CASE WHEN sum(n) OVER (PARTITION BY event_type) > 1
+                    THEN CAST(sum(n) OVER w - n AS DOUBLE)
+                         / CAST(sum(n) OVER (PARTITION BY event_type) - 1
+                                AS DOUBLE)
+                    ELSE 0.0 END,
                9) AS pct_rank
   FROM vg
   WINDOW w AS (PARTITION BY event_type ORDER BY v_fp
@@ -524,14 +531,18 @@ def lm_bigram_perplexity(spark, sf_dir):
     (no broadcast assumption on the bigram vocab), one doc fold —
     the lm_perplexity_score shape one order higher."""
     docs = load_table(spark, sf_dir, "documents")
-    arr = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    # Materialize arr and guard size >= 2 BEFORE the slices: F.slice with a
+    # negative length (empty/NULL text → size 0 or −1) throws at runtime, and
+    # the oracle's `WHERE len(arr) >= 2` would otherwise be asymmetric.
     tc = (
-        docs.select(
+        docs.select("doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("arr"))
+        .filter(F.size("arr") >= 2)
+        .select(
             "doc_id",
             F.explode(
                 F.arrays_zip(
-                    F.slice(arr, 1, F.size(arr) - 1).alias("w1"),
-                    F.slice(arr, 2, F.size(arr) - 1).alias("w2"),
+                    F.slice("arr", 1, F.size("arr") - 1).alias("w1"),
+                    F.slice("arr", 2, F.size("arr") - 1).alias("w2"),
                 )
             ).alias("z"),
         )

@@ -47,7 +47,7 @@ import shutil
 import time
 import uuid
 from contextlib import contextmanager
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -189,6 +189,15 @@ class LakeTable:
         if as_of_timestamp_ms is not None:
             version = self.version_as_of_timestamp(as_of_timestamp_ms)
         man = self.manifest(version)
+        return self._scan_manifest(man, prune)
+
+    def _scan_manifest(
+        self,
+        man: "Manifest",
+        prune: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Shared scan body for read() and read_staged(): file pruning,
+        layout grouping, and merge-on-read delete application."""
         schema = T.StructType.fromJson(json.loads(man.schema_json))
         files = man.files
         if prune:
@@ -1396,16 +1405,30 @@ class LakeTable:
             return Manifest.from_json(f.read())
 
     def read_staged(self, token: str) -> DataFrame:
-        """Audit view of a staged (unpublished) snapshot."""
-        man = self._staged_manifest(token)
-        schema = T.StructType.fromJson(json.loads(man.schema_json))
-        paths = [os.path.join(self.root, f) for f in man.files]
-        return (
-            self.spark.read.schema(schema)
-            .option("basePath", os.path.join(self.root, "data"))
-            .parquet(*paths)
-            .select([f.name for f in schema.fields])
+        """Audit view of a staged (unpublished) snapshot.
+
+        Applies the parent snapshot's merge-on-read delete sidecars the
+        same way read() does (Iceberg wap.branch reads see deletes):
+        retained files keep the parent's sequence so older sidecars
+        still suppress their rows; the staged new files get a sequence
+        above every sidecar, so the fresh append is never filtered."""
+        staged = self._staged_manifest(token)
+        parent = self.manifest(staged.parent)
+        staged_seq = parent.version + 1
+        file_seq = {
+            f: parent.file_seq.get(f, parent.version)
+            if f in set(parent.files)
+            else staged_seq
+            for f in staged.files
+        }
+        view = _dc_replace(
+            staged,
+            version=staged_seq,
+            delete_files=dict(parent.delete_files),
+            file_seq=file_seq,
+            file_stats=dict(parent.file_stats),
         )
+        return self._scan_manifest(view)
 
     def publish(self, token: str) -> "LakeTable":
         """Write-audit-publish step 2: promote the staged snapshot to the

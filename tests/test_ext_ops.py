@@ -304,3 +304,26 @@ def test_time_weighted_avg_interval_accounting(spark):
     )
     assert viol == 0
     out.unpersist()
+
+
+def test_lm_bigram_perplexity_tokenless_docs(spark, tmp_path):
+    """Docs whose text yields <2 tokens (empty, numeric-only, NULL) must
+    drop out cleanly, not crash F.slice with a negative length — the
+    oracle's `WHERE len(arr) >= 2` guard, mirrored Spark-side (r9)."""
+    from data_iceberg_sandbox_spark.operators.stats_tests import (
+        lm_bigram_perplexity,
+    )
+
+    rows = [
+        (1, "alpha beta alpha beta", "en", "web", 21),
+        (2, "", "en", "web", 0),
+        (3, "12345 67890", "en", "web", 11),
+        (4, None, "en", "web", None),
+        (5, "solo", "en", "web", 4),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = lm_bigram_perplexity(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_bigrams"] == 3

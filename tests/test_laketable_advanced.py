@@ -271,3 +271,23 @@ def test_merge_conditional_update_exclude(spark, scratch):
     row = t.read().collect()[0]
     assert row.v == 99.0           # updated
     assert row.created_by == "orig"  # excluded column keeps target value
+
+
+def test_read_staged_applies_mor_deletes(spark, t):
+    """A WAP audit on a table with merge-on-read deletes must see the
+    parent's delete sidecars applied (Iceberg wap.branch semantics):
+    old-file rows stay suppressed, while the staged batch — including a
+    re-insert of a deleted key — is visible (its sequence postdates the
+    sidecar)."""
+    t.delete_keys_mor(spark.createDataFrame([(3,), (7,)], "id long"))
+    assert t.read().count() == 8
+    token = t.stage_append(
+        spark.createDataFrame([(7, -7), (100, 200)], "id long, v long")
+    )
+    audit = t.read_staged(token)
+    ids = sorted(r["id"] for r in audit.collect())
+    # 10 originals − {3,7} deleted + staged {7, 100}
+    assert ids == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]
+    assert audit.filter(F.col("id") == 7).collect()[0]["v"] == -7
+    t.publish(token)
+    assert sorted(r["id"] for r in t.read().collect()) == ids
