@@ -1,0 +1,88 @@
+"""Distributed exact rank assignment: ntile without the global sort.
+
+`ntile(n) OVER (ORDER BY key)` with no PARTITION BY funnels the whole
+frame through ONE task — the classic scale killer the round-8 verdict
+flagged in `pareto_revenue_deciles` / `customer_rfm_segments`. The fix
+is the histogram-rank pattern proven by `events_percentile_rank`
+(operators/stats_tests.py): a row's global rank decomposes as
+
+    rank(row) = #rows in strictly-smaller CELLS        (broadcast offset)
+              + row_number within its own cell          (partition-parallel)
+
+where a cell is a coarse quantization bucket of the sort key. The only
+sequential scan left runs over the CELL HISTOGRAM (bounded ≤ ~65k rows
+by construction), never the data; every row-grain step — the histogram
+reduction (map-side combined), the offset pickup (broadcast join), the
+within-cell row_number — is partition-parallel. The bucket number then
+follows from the rank by ntile's closed form (first N mod n buckets get
+one extra row).
+
+Exactness: ties are broken by caller-supplied tie columns forming a
+total order, and cell = floor(key/width) is monotone in key, so
+(offset + intra-rank) reproduces the global ORDER BY rank bit-for-bit —
+verified against `F.ntile().over()` in tests/test_ext_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def histogram_ntile(
+    df: DataFrame,
+    key: Column,
+    n: int,
+    ties: list[Column],
+    out: str = "bucket",
+    target_cells: int = 65536,
+) -> DataFrame:
+    """df + an `out` int column == ntile(n) OVER (ORDER BY key ASC,
+    *ties) — computed without a single-partition sort.
+
+    `key` must be castable to long and non-null (negate it for DESC);
+    `ties` must complete a total order (e.g. a unique id), ascending or
+    descending Column expressions. One bounded 1-row collect fetches
+    (min, max, count) to size the cell width — the same metadata-collect
+    class as the ANN query-vector lookups."""
+    d = df.withColumn("__key", key.cast("long"))
+    mn, mx, total = d.agg(
+        F.min("__key"), F.max("__key"), F.count(F.lit(1))
+    ).collect()[0]
+    if total == 0:
+        return df.withColumn(out, F.lit(None).cast("int"))
+    width = (mx - mn) // target_cells + 1  # ≥ 1; ≤ target_cells+1 cells
+    # integer div, not float floor: keys near 2^63 would lose exactness
+    # through a double and could land a boundary row in the wrong cell
+    d = d.withColumn("__cell", F.expr(f"(__key - {mn}L) div {width}L"))
+    hist = d.groupBy("__cell").agg(F.count(F.lit(1)).alias("__cn"))
+    offs = hist.select(
+        "__cell",
+        F.coalesce(
+            F.sum("__cn").over(
+                W.orderBy("__cell").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    intra = F.row_number().over(
+        W.partitionBy("__cell").orderBy(F.col("__key").asc(), *ties)
+    )
+    ranked = d.join(F.broadcast(offs), "__cell").withColumn(
+        "__r", F.col("__off") + intra
+    )
+    base, rem = divmod(int(total), n)
+    if base == 0:
+        # fewer rows than buckets: bucket i holds row i
+        bucket = F.col("__r")
+    else:
+        bucket = F.when(
+            F.col("__r") <= rem * (base + 1),
+            F.expr(f"(__r + {base}) div {base + 1}"),
+        ).otherwise(
+            F.lit(rem) + F.expr(f"(__r - {rem * (base + 1)} + {base - 1}) div {base}")
+        )
+    return ranked.withColumn(out, bucket.cast("int")).drop(
+        "__key", "__cell", "__off", "__r"
+    )

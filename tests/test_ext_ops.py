@@ -327,3 +327,33 @@ def test_lm_bigram_perplexity_tokenless_docs(spark, tmp_path):
     out = lm_bigram_perplexity(spark, str(tmp_path)).collect()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["n_bigrams"] == 3
+
+
+def test_histogram_ntile_matches_global_ntile(spark):
+    """histogram_ntile must reproduce ntile() OVER (ORDER BY ...) exactly,
+    including the uneven-bucket boundaries (first N%n buckets one larger),
+    duplicate keys broken by the tie column, and N < n."""
+    from pyspark.sql.window import Window as W2
+
+    from data_iceberg_sandbox_spark.functions.ranks import histogram_ntile
+
+    df = (
+        spark.range(997)
+        .withColumn("k", (F.col("id") * 2654435761) % 101)  # heavy ties
+        .withColumn("tid", F.col("id"))
+    )
+    for n, desc in [(5, False), (10, True), (3, False)]:
+        key = (-F.col("k")).cast("long") if desc else F.col("k")
+        order = [F.col("k").desc() if desc else F.col("k").asc(), F.col("tid").asc()]
+        want = df.select(
+            "tid", F.ntile(n).over(W2.orderBy(*order)).alias("b")
+        )
+        got = histogram_ntile(
+            df, key, n, [F.col("tid").asc()], out="b", target_cells=16
+        ).select("tid", "b")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    # tiny frame: fewer rows than buckets
+    tiny = spark.range(3).withColumn("k", F.col("id")).withColumn("tid", F.col("id"))
+    got = histogram_ntile(tiny, F.col("k"), 7, [F.col("tid").asc()], out="b")
+    assert sorted(r["b"] for r in got.collect()) == [1, 2, 3]
