@@ -30,16 +30,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
-def histogram_ntile(
+def histogram_rank(
     df: DataFrame,
     key: Column,
-    n: int,
     ties: list[Column],
-    out: str = "bucket",
+    out: str = "rank",
     target_cells: int = 65536,
-) -> DataFrame:
-    """df + an `out` int column == ntile(n) OVER (ORDER BY key ASC,
-    *ties) — computed without a single-partition sort.
+) -> tuple[DataFrame, int]:
+    """(df + an `out` long column == row_number() OVER (ORDER BY key
+    ASC, *ties), total row count) — the global rank, computed without a
+    single-partition sort.
 
     `key` must be castable to long and non-null (negate it for DESC);
     `ties` must complete a total order (e.g. a unique id), ascending or
@@ -51,7 +51,7 @@ def histogram_ntile(
         F.min("__key"), F.max("__key"), F.count(F.lit(1))
     ).collect()[0]
     if total == 0:
-        return df.withColumn(out, F.lit(None).cast("int"))
+        return df.withColumn(out, F.lit(None).cast("long")), 0
     width = (mx - mn) // target_cells + 1  # ≥ 1; ≤ target_cells+1 cells
     # integer div, not float floor: keys near 2^63 would lose exactness
     # through a double and could land a boundary row in the wrong cell
@@ -69,9 +69,30 @@ def histogram_ntile(
     intra = F.row_number().over(
         W.partitionBy("__cell").orderBy(F.col("__key").asc(), *ties)
     )
-    ranked = d.join(F.broadcast(offs), "__cell").withColumn(
-        "__r", F.col("__off") + intra
+    ranked = (
+        d.join(F.broadcast(offs), "__cell")
+        .withColumn(out, (F.col("__off") + intra).cast("long"))
+        .drop("__key", "__cell", "__off")
     )
+    return ranked, int(total)
+
+
+def histogram_ntile(
+    df: DataFrame,
+    key: Column,
+    n: int,
+    ties: list[Column],
+    out: str = "bucket",
+    target_cells: int = 65536,
+) -> DataFrame:
+    """df + an `out` int column == ntile(n) OVER (ORDER BY key ASC,
+    *ties) — the rank from histogram_rank mapped through ntile's closed
+    form (first N mod n buckets get one extra row)."""
+    ranked, total = histogram_rank(df, key, ties, out="__r", target_cells=target_cells)
+    if total == 0:
+        return ranked.withColumnRenamed("__r", out).withColumn(
+            out, F.lit(None).cast("int")
+        )
     base, rem = divmod(int(total), n)
     if base == 0:
         # fewer rows than buckets: bucket i holds row i
@@ -83,6 +104,4 @@ def histogram_ntile(
         ).otherwise(
             F.lit(rem) + F.expr(f"(__r - {rem * (base + 1)} + {base - 1}) div {base}")
         )
-    return ranked.withColumn(out, bucket.cast("int")).drop(
-        "__key", "__cell", "__off", "__r"
-    )
+    return ranked.withColumn(out, bucket.cast("int")).drop("__r")

@@ -13,7 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.money import fixed, unscale
-from ..functions.ranks import histogram_ntile
+from ..functions.ranks import histogram_ntile, histogram_rank
 from ..sources.registry import load_table, register_views
 from .spec import QuerySpec
 
@@ -1793,6 +1793,60 @@ def pareto_revenue_deciles(spark, sf_dir):
     )
 
 
+def revenue_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration — the scalar
+    the pareto decile curve integrates to: G = 2·Σ(rank·rev) / (n·Σrev)
+    − (n+1)/n over customers ranked ascending by lifetime revenue
+    (ties by custkey).
+
+    The rank is the textbook scale problem (row_number() OVER a global
+    ORDER BY = one task sorting every customer); here it comes from
+    `histogram_rank` (functions/ranks.py): broadcast cell-histogram
+    offset + within-cell row_number, nothing row-grain ever funnels
+    through one partition. Σ(rank·rev) accumulates in DECIMAL(38,0)
+    (rank ≤ n, rev ≤ ~1e10 cents ⇒ the product overflows int64 past
+    ~1e9·1e10; the decimal agg runs over the customer-grain frame, not
+    the fact). Σrev and n stay int64; the Gini itself is one shared
+    IEEE expression over three exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(fixed("o_totalprice")).alias("rev")
+    ).cache()
+    ranked, _n = histogram_rank(
+        rev, F.col("rev"), [F.col("o_custkey").asc()], out="rn"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("t"),
+        F.sum((F.col("rn") * F.col("rev")).cast("decimal(38,0)")).alias("s"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        (F.col("t").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("s").cast("double") / (n_d * F.col("t").cast("double"))
+            - (n_d + F.lit(1.0)) / n_d,
+            6,
+        ).alias("gini"),
+    )
+
+
+REVENUE_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rn FROM rev),
+a AS (SELECT count(*) AS n, sum(rev) AS t, sum(rn * rev) AS s FROM r)
+SELECT n AS n_customers,
+       CAST(t AS DOUBLE) / 100.0 AS total_revenue,
+       round(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM a
+"""
+
+
 PARETO_ORACLE = """
 WITH rev AS (
   SELECT o_custkey,
@@ -2154,6 +2208,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("weighted_median_price", weighted_median_price, WEIGHTED_MEDIAN_ORACLE),
     QuerySpec("benford_price_digits", benford_price_digits, BENFORD_ORACLE),
     QuerySpec("pareto_revenue_deciles", pareto_revenue_deciles, PARETO_ORACLE),
+    QuerySpec("revenue_gini", revenue_gini, REVENUE_GINI_ORACLE),
     QuerySpec("unpivot_lineitem_measures", unpivot_lineitem_measures, UNPIVOT_ORACLE),
     QuerySpec("window_analytics_suite", window_analytics_suite, WINDOW_SUITE_ORACLE),
     QuerySpec(

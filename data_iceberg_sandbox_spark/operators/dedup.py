@@ -684,8 +684,66 @@ FROM p WHERE levenshtein(name_a, name_b) <= 1
 """
 
 
+def doc_ngram_novelty(spark, sf_dir):
+    """Span-grain cross-document duplication (the memorization-risk
+    signal a training pipeline checks BEFORE whole-doc dedup decides
+    anything): for every document, the fraction of its distinct 8-gram
+    word shingles that appear in at least one OTHER document. Documents
+    whose spans are widely shared (novelty → 0) are near-template text
+    even when no single pair crosses a whole-doc Jaccard threshold —
+    the signal doc-level `dedup_ngram_jaccard` cannot see.
+
+    Scale shape: shingling is the zero-shuffle projection shared with
+    minhash (_shingle_arr_sql); then ONE shingle-keyed shuffle builds
+    the document-frequency counts (map-side combined, output = distinct
+    shingles not rows) and one join back at the same key re-uses that
+    partitioning (no second exchange of the shingle frame). Grouping is
+    on the shingle STRING to stay bit-identical to the oracle; a 100 TB
+    run would key on xxhash64(shingle) instead — same plan, 8-byte
+    shuffle keys, collision odds ~n²/2⁶⁵."""
+    ds = _doc_shingles(spark, sf_dir, n=8, distinct=True)
+    dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        ds.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_shared").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
+DOC_NGRAM_NOVELTY_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+7], ' ') AS shingle
+       FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-7, 1))) AS i) i),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+dfreq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle),
+per AS (SELECT ds.doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared
+        FROM ds JOIN dfreq USING (shingle) GROUP BY 1)
+SELECT doc_id, n_shingles, n_shared,
+       round(1.0 - CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         AS novelty
+FROM per
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    QuerySpec("doc_ngram_novelty", doc_ngram_novelty, DOC_NGRAM_NOVELTY_ORACLE),
     QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
     QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),

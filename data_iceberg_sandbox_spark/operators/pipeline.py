@@ -553,6 +553,71 @@ def embedding_label_centroids(spark, sf_dir):
     )
 
 
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension distribution profile of the embedding space: n,
+    mean, std, min, max for each of the 64 coordinates — the first
+    check before whitening/quantizing a vector column (a dead or
+    unscaled dimension shows up here, not in per-label centroids).
+
+    Determinism/exactness (the embedding_outlier_scores lesson): floats
+    quantize to scale-6 BIGINT once, then every accumulator is exact
+    integer — Σv in int64 (|v|≤~4 ⇒ 4e6/row; 2e12 rows of headroom),
+    Σv² in DECIMAL(38,0) because int64 would overflow past ~5e5 rows
+    per dim (v² ≤ 1.6e13); the decimal agg is the documented exception
+    to the fixed-point-stays-long rule — 64 dims × |vectors| rows is
+    the op's whole input and there is no narrower exact carrier. Both
+    engines then run the identical IEEE tail (cast → multiply/subtract
+    → divide → sqrt) on the same exact integers. One (dim)-keyed
+    shuffle with map-side combine; output is always 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).select(
+        "dim", F.round(F.col("x") * 1e6).cast("bigint").alias("v")
+    )
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("sq"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    sq_d = F.col("sq").cast("double")
+    var = (n_d * sq_d - s_d * s_d) / (n_d * n_d) / F.lit(1e12)
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s_d / n_d / F.lit(1e6), 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+        (F.col("mn").cast("double") / F.lit(1e6)).alias("vmin"),
+        (F.col("mx").cast("double") / F.lit(1e6)).alias("vmax"),
+    )
+
+
+DIM_STATS_ORACLE = """
+WITH dims AS (
+  SELECT u.dim - 1 AS dim, CAST(round(u.x * 1e6) AS BIGINT) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS dim) u),
+agg AS (
+  SELECT dim, count(*) AS n, sum(v) AS s, sum(v * v) AS sq,
+         min(v) AS mn, max(v) AS mx
+  FROM dims GROUP BY dim)
+SELECT dim, n,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12), 6)
+         AS std,
+       CAST(mn AS DOUBLE) / 1e6 AS vmin,
+       CAST(mx AS DOUBLE) / 1e6 AS vmax
+FROM agg
+"""
+
+
 LABEL_CENTROID_ORACLE = """
 WITH dims AS (
   SELECT label, u.x AS x, u.dim - 1 AS dim
@@ -1313,6 +1378,9 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec(
         "embedding_label_centroids", embedding_label_centroids, LABEL_CENTROID_ORACLE
+    ),
+    QuerySpec(
+        "embedding_dim_stats", embedding_dim_stats, DIM_STATS_ORACLE
     ),
     QuerySpec("curate_corpus", curate_corpus, CURATE_ORACLE),
     QuerySpec("corpus_token_stats", corpus_token_stats, CORPUS_STATS_ORACLE),

@@ -422,8 +422,119 @@ FROM pairs GROUP BY 1
 """
 
 
+def events_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly detection on event volume: every
+    (type, date, hour) cell's count is z-scored against the mean/std of
+    the SAME weekday-hour slot across the table's date span — "is this
+    Tuesday 14:00 unusually busy for a Tuesday 14:00" (the seasonal
+    companion to `events_rolling_zscore`'s trailing-window rule; a
+    trailing window flags Monday mornings as anomalies forever, a
+    weekday-hour baseline does not).
+
+    The grid is DENSE: hours with zero events are real observations of
+    0, not missing rows, so the baseline is unbiased (the gapfill-LOCF
+    calendar-grid shape — types × sequence(min_date, max_date) × 24,
+    bounded by the calendar, never by the fact). Exactness: counts are
+    integers; the variance numerator n·Σc² − (Σc)² is exact BIGINT
+    algebra; the float tail is division → sqrt → subtraction → division
+    (IEEE-identical both engines; population variance, n = #dates per
+    slot). Scale shape: one fact shuffle to (type, date, hour) counts
+    (map-side combined), then everything is calendar-grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.expr("sequence(mn, mx)")).alias("day"))
+        .select("event_type", "day", F.explode(F.expr("sequence(0, 23)")).alias("hour"))
+    )
+    counts = ev.groupBy(
+        F.col("event_type"),
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        grid.join(counts, ["event_type", "day", "hour"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    stats = cells.groupBy("event_type", "dow", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    j = cells.join(stats, ["event_type", "dow", "hour"])
+    mean = F.col("sc").cast("double") / F.col("n").cast("double")
+    var = (
+        (F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("c").cast("double") - mean) / std).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        "event_type",
+        # string day: pandas/duckdb DATE round-trips disagree (date vs
+        # datetime64) — the gap_fill_locf convention
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "hour",
+        "c",
+        F.round(mean, 6).alias("slot_mean"),
+        F.round(z, 6).alias("z"),
+        # population z over n same-slot dates is capped at sqrt(n-1) — with
+        # a ~30-day span n is 4-5, so a textbook |z|>2 can NEVER fire; 1.8
+        # flags the attainable extreme (one date owning the slot's volume)
+        (F.abs(z) > 1.8).alias("is_anomaly"),
+    )
+
+
+SEASONAL_ANOMALY_ORACLE = """
+WITH span AS (SELECT min(CAST(ts AS DATE)) mn, max(CAST(ts AS DATE)) mx
+              FROM events),
+grid AS (
+  SELECT t.event_type, d.day, h.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE
+                AS day FROM span) d
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS hour) h),
+counts AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hour,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3),
+cells AS (
+  SELECT g.event_type, g.day, g.hour,
+         COALESCE(c.c, 0) AS c, dayofweek(g.day) AS dow
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.day = c.day AND g.hour = c.hour),
+stats AS (
+  SELECT event_type, dow, hour, count(*) AS n,
+         sum(c) AS sc, sum(c * c) AS sc2
+  FROM cells GROUP BY 1, 2, 3),
+j AS (
+  SELECT cells.*, n, sc, sc2,
+         CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(n * sc2 - sc * sc AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) AS std
+  FROM cells JOIN stats USING (event_type, dow, hour))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, hour, c,
+       round(mean, 6) AS slot_mean,
+       round(CASE WHEN std > 0 THEN (CAST(c AS DOUBLE) - mean) / std
+                  ELSE 0.0 END, 6) AS z,
+       abs(CASE WHEN std > 0 THEN (CAST(c AS DOUBLE) - mean) / std
+                ELSE 0.0 END) > 1.8 AS is_anomaly
+FROM j
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("events_gap_fill_locf", events_gap_fill_locf, GAP_FILL_ORACLE),
+    QuerySpec(
+        "events_seasonal_anomaly", events_seasonal_anomaly, SEASONAL_ANOMALY_ORACLE
+    ),
     QuerySpec("events_dyadic_wma", events_dyadic_wma, DYADIC_WMA_ORACLE),
     QuerySpec(
         "interval_join_value_tiers", interval_join_value_tiers, INTERVAL_TIERS_ORACLE
