@@ -659,8 +659,207 @@ FROM a1 LEFT JOIN d USING (vec_id)
 SEMDEDUP_ORACLE = embedding_semdedup_oracle_sql()
 
 
+def _round_half_away(y: float) -> int:
+    """Half-away-from-zero (both engines' round(); Python's built-in
+    round is banker's and would diverge on exact halves)."""
+    return int(math.copysign(math.floor(abs(y) + 0.5), y))
+
+
+def embedding_pca_power_iteration(spark, sf_dir, iters: int = 3):
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by power iteration — v ← AᵀA·v, max-|component| normalized,
+    3 fixed iterations from the all-ones start (deterministic sign and
+    trajectory, so the DuckDB twin unrolls the same three steps and
+    hash-matches exactly — an ITERATIVE algorithm under the exactness
+    contract).
+
+    Per iteration, nothing leaves exact arithmetic until one shared
+    IEEE normalization:
+      1. dot_i = Σ_j e_fp[i][j]·v_fp[j] as a 64-term literal sum —
+         whole-stage-codegen'd projection (the HOF-fold form is
+         interpreted per element; the outlier-scores dead end), ≤6.4e13
+         under int64, rescaled to 1e6 by round-through-double (exact:
+         <2^53; `div` is avoided because trunc-vs-floor on negative
+         dots differs across engines).
+      2. w_j = Σ_i e_fp[i][j]·dot_i: posexplode carrying dot_i, ONE
+         64-group shuffle with map-side combine, DECIMAL(38,0) sum
+         (products ≤6.4e13 but the sum crosses int64 past ~1.4e5
+         rows).
+      3. v ← round(w/max|w|·1e6): a 64-row bounded collect per
+         iteration (metadata-class, like the ANN query vectors); the
+         driver mirrors round-half-away and float(int) round-to-nearest
+         — bit-identical to the oracle's CAST/round.
+    Scale shape: iters × (one cached-scan projection + one 64-cell
+    shuffle); the quantized base frame is cached across iterations
+    (n×64 longs). Reference analog: none — this is the [EXT]
+    training-pipeline surface (whitening/quantization pre-checks).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).alias("ef"),
+    ).cache()
+    v = [1000000] * DIM
+    for _ in range(iters):
+        dot_sum = " + ".join(f"ef[{j}] * {v[j]}L" for j in range(DIM))
+        ds = base.select(
+            "ef",
+            F.expr(
+                f"CAST(round(CAST({dot_sum} AS DOUBLE) / 1000000.0) AS BIGINT)"
+            ).alias("ds"),
+        )
+        w_rows = (
+            ds.select(F.posexplode("ef").alias("dim", "e"), "ds")
+            .groupBy("dim")
+            .agg(F.sum((F.col("e") * F.col("ds")).cast("decimal(38,0)")).alias("w"))
+            .collect()
+        )
+        w = {r["dim"]: int(r["w"]) for r in w_rows}
+        mx = float(max(abs(x) for x in w.values()))
+        v = [_round_half_away(float(w[j]) / mx * 1e6) for j in range(DIM)]
+    return spark.createDataFrame(
+        [(j, v[j] / 1e6) for j in range(DIM)], "dim long, loading double"
+    )
+
+
+def _pca_oracle_sql(iters: int = 3) -> str:
+    """The same three unrolled power-iteration steps in DuckDB SQL
+    (hugeint sums where Spark uses DECIMAL(38,0) — both exact)."""
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, u.dim - 1 AS dim,
+         CAST(round(u.x * 1000000.0) AS BIGINT) AS ef
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS dim) u),
+v0 AS (SELECT unnest(range(0, 64)) AS dim, CAST(1000000 AS BIGINT) AS vf)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+d{t + 1} AS (
+  SELECT vec_id,
+         CAST(round(CAST(sum(ef * vf) AS DOUBLE) / 1000000.0) AS BIGINT) AS ds
+  FROM e JOIN v{t} USING (dim) GROUP BY vec_id),
+w{t + 1} AS (
+  SELECT dim, sum(ef * ds) AS w
+  FROM e JOIN d{t + 1} USING (vec_id) GROUP BY dim),
+v{t + 1} AS (
+  SELECT dim,
+         CAST(round(CAST(w AS DOUBLE)
+                    / CAST((SELECT max(abs(w)) FROM w{t + 1}) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS vf
+  FROM w{t + 1})"""
+        )
+    parts.append(
+        f"""
+SELECT dim, CAST(vf AS DOUBLE) / 1000000.0 AS loading FROM v{iters}"""
+    )
+    return "".join(parts)
+
+
+def embedding_kmeans_step(spark, sf_dir, k: int = 8):
+    """One exact Lloyd iteration of k-means over the embedding table:
+    assign every vector to its nearest of k deterministic seed
+    centroids (the vectors with vec_id < k), then recompute each
+    cluster's per-dimension mean — the assign+update step every
+    clustering pipeline loops (the loop itself is driver-side trivial;
+    the step is the distributed workload, same framing as the PCA
+    power iteration).
+
+    Exactness: coordinates quantize to scale-6 BIGINT once; squared
+    L2 distances are exact integer sums (≤64·(2e6)² ≈ 2.6e14), so the
+    argmin — THE correctness hazard of float k-means across engines —
+    is decided on exact integers with ties to the lower cluster id.
+    Centroid means are exact-int ratios rounded once.
+
+    Scale shape: the k seed centroids are a bounded collect (k×64
+    longs) unrolled into k LITERAL 64-term distance projections —
+    whole-stage codegen, zero joins on the fact (broadcast-as-literal,
+    the minhash trick); then one (cluster, dim)-keyed shuffle with
+    map-side combine for the update. Assignment output is k·64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).alias("ef"),
+    )
+    seeds = {
+        r["vec_id"]: r["ef"]
+        for r in base.filter(F.col("vec_id") < k).collect()
+    }
+    if len(seeds) != k:
+        raise ValueError(f"expected seed vec_ids 0..{k - 1}, got {sorted(seeds)}")
+    dists = [
+        F.expr(
+            " + ".join(
+                f"(ef[{j}] - {seeds[c][j]}L) * (ef[{j}] - {seeds[c][j]}L)"
+                for j in range(DIM)
+            )
+        ).alias(f"d{c}")
+        for c in range(k)
+    ]
+    scored = base.select("vec_id", "ef", *dists)
+    least_d = F.least(*[F.col(f"d{c}") for c in range(k)])
+    cluster = F.lit(None).cast("long")
+    for c in range(k - 1, -1, -1):  # build when-chain so LOWEST id wins ties
+        cluster = F.when(F.col(f"d{c}") == least_d, F.lit(c)).otherwise(cluster)
+    assigned = scored.select("vec_id", "ef", cluster.alias("cluster"))
+    return (
+        assigned.select("cluster", F.posexplode("ef").alias("dim", "e"))
+        .groupBy("cluster", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("e").alias("s"))
+        .select(
+            "cluster",
+            "dim",
+            "n",
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e6),
+                6,
+            ).alias("mu"),
+        )
+    )
+
+
+KMEANS_STEP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, u.dim - 1 AS dim,
+         CAST(round(u.x * 1000000.0) AS BIGINT) AS ef
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS dim) u),
+c AS (SELECT vec_id AS cl, dim, ef AS cf FROM e WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cl, sum((e.ef - c.cf) * (e.ef - c.cf)) AS dist
+  FROM e JOIN c USING (dim) GROUP BY 1, 2),
+a AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+    FROM d) WHERE rk = 1),
+m AS (
+  SELECT a.cl AS cluster, e.dim, count(*) AS n, sum(e.ef) AS s
+  FROM e JOIN a USING (vec_id) GROUP BY 1, 2)
+SELECT cluster, dim, CAST(n AS BIGINT) AS n,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mu
+FROM m
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("embedding_quantize_int8", embedding_quantize_int8_check, QUANTIZE_ORACLE),
+    QuerySpec("embedding_kmeans_step", embedding_kmeans_step, KMEANS_STEP_ORACLE),
+    QuerySpec(
+        "embedding_pca_power_iteration",
+        embedding_pca_power_iteration,
+        _pca_oracle_sql(),
+    ),
     QuerySpec("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE),
     QuerySpec("embedding_neardup_pairs", embedding_neardup_pairs, NEARDUP_PAIRS_ORACLE),
     QuerySpec("ann_lsh_bucketed", ann_lsh_bucketed, ANN_LSH_ORACLE),

@@ -530,8 +530,190 @@ FROM j
 """
 
 
+def orders_open_backlog_daily(spark, sf_dir):
+    """Daily open-order backlog: how many orders are in flight (placed
+    but not yet fully shipped) on every calendar day — the concurrent-
+    intervals query. The naive form joins every order's [start, end]
+    interval against every day (O(orders × days)); this is the
+    difference-array restatement: each order contributes +1 on its
+    start day and −1 the day after its last shipment, one day-keyed
+    aggregation nets them, and a cumulative sum over the DENSE calendar
+    grid recovers the backlog.
+
+    Scale shape: one l_orderkey shuffle (max shipdate per order,
+    map-side combined), one day-keyed delta aggregation (output ≤ the
+    ~2500-day calendar), and the only ordered scan runs over that
+    bounded day grid — never the fact. Orders always have ≥1 lineitem
+    in this schema (TPC-H invariant), so the inner join drops nothing.
+    Exactness: counts only; the backlog is an integer cumsum."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d0")
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+    )
+    iv = o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+    deltas = (
+        iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(
+            iv.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("delta").alias("net"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("opened"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("closed"),
+        )
+    )
+    span = iv.agg(F.min("d0").alias("mn"), F.max("d1").alias("mx"))
+    grid = span.select(F.explode(F.expr("sequence(mn, mx)")).alias("day"))
+    cells = grid.join(deltas, "day", "left").select(
+        "day",
+        F.coalesce("net", F.lit(0)).alias("net"),
+        F.coalesce("opened", F.lit(0)).alias("opened"),
+        F.coalesce("closed", F.lit(0)).alias("closed"),
+    )
+    backlog = F.sum("net").over(
+        W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "opened",
+        "closed",
+        backlog.alias("open_backlog"),
+    )
+
+
+OPEN_BACKLOG_ORACLE = """
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0 FROM orders),
+ls AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS d1
+       FROM lineitem GROUP BY 1),
+iv AS (SELECT d0, d1 FROM o JOIN ls ON o_orderkey = l_orderkey),
+deltas AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net,
+         CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS opened,
+         CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS closed
+  FROM (SELECT d0 AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT d1 + INTERVAL 1 DAY, -1 FROM iv)
+  GROUP BY day),
+span AS (SELECT min(d0) AS mn, max(d1) AS mx FROM iv),
+grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+         FROM span),
+cells AS (
+  SELECT g.day, COALESCE(net, 0) AS net, COALESCE(opened, 0) AS opened,
+         COALESCE(closed, 0) AS closed
+  FROM grid g LEFT JOIN deltas d ON g.day = d.day)
+SELECT strftime(day, '%Y-%m-%d') AS day, opened, closed,
+       CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_backlog
+FROM cells
+"""
+
+
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on daily event volume per type: the
+    day t maximizing |Σ_{i≤t}(c_i − mean)| over the dense calendar is
+    the level-shift estimate (Page's cumulative-sum statistic with the
+    global mean as reference — the batch form of the classic monitoring
+    rule).
+
+    Exactness: the statistic is kept as the INTEGER n·Σ_{i≤t}c_i − t·S
+    (n days, S total events; dividing by n only at the end), so the
+    argmax is decided on exact integers — a float cusum would make
+    near-ties engine-dependent. Ties break on the earlier day. Scale
+    shape: one fact shuffle to (type, day) counts; the cumulative scan
+    and argmax run per type over the bounded calendar grid."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("day")
+    )
+    counts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = grid.join(counts, ["event_type", "day"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    wt = W.partitionBy("event_type")
+    cum = wt.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    scored = cells.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(wt) * F.sum("c").over(cum)
+            - F.row_number().over(wt.orderBy("day")) * F.sum("c").over(wt)
+        ).alias("ncusum"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("c").over(wt).alias("s"),
+    )
+    pick = F.row_number().over(
+        wt.orderBy(F.abs(F.col("ncusum")).desc(), F.col("day").asc())
+    )
+    return (
+        scored.withColumn("rk", pick)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.round(
+                F.col("ncusum").cast("double") / F.col("n").cast("double"), 6
+            ).alias("cusum_peak"),
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"), 6
+            ).alias("daily_mean"),
+        )
+    )
+
+
+CUSUM_ORACLE = """
+WITH span AS (SELECT min(CAST(ts AS DATE)) mn, max(CAST(ts AS DATE)) mx
+              FROM events),
+grid AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE
+                AS day FROM span) d),
+counts AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+           FROM events GROUP BY 1, 2),
+cells AS (
+  SELECT g.event_type, g.day, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.day = c.day),
+scored AS (
+  SELECT event_type, day,
+         count(*) OVER w_t
+           * sum(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)
+           - row_number() OVER (PARTITION BY event_type ORDER BY day)
+             * sum(c) OVER w_t AS ncusum,
+         count(*) OVER w_t AS n, sum(c) OVER w_t AS s
+  FROM cells
+  WINDOW w_t AS (PARTITION BY event_type)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(ncusum) DESC, day ASC) AS rk
+  FROM scored)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+       round(CAST(ncusum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_peak,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS daily_mean
+FROM ranked WHERE rk = 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("events_gap_fill_locf", events_gap_fill_locf, GAP_FILL_ORACLE),
+    QuerySpec(
+        "orders_open_backlog_daily", orders_open_backlog_daily, OPEN_BACKLOG_ORACLE
+    ),
+    QuerySpec(
+        "events_cusum_changepoint", events_cusum_changepoint, CUSUM_ORACLE
+    ),
     QuerySpec(
         "events_seasonal_anomaly", events_seasonal_anomaly, SEASONAL_ANOMALY_ORACLE
     ),
