@@ -693,18 +693,29 @@ def doc_ngram_novelty(spark, sf_dir):
     even when no single pair crosses a whole-doc Jaccard threshold —
     the signal doc-level `dedup_ngram_jaccard` cannot see.
 
-    Scale shape: shingling is the zero-shuffle projection shared with
-    minhash (_shingle_arr_sql); then ONE shingle-keyed shuffle builds
-    the document-frequency counts (map-side combined, output = distinct
-    shingles not rows) and one join back at the same key re-uses that
-    partitioning (no second exchange of the shingle frame). Grouping is
-    on the shingle STRING to stay bit-identical to the oracle; a 100 TB
-    run would key on xxhash64(shingle) instead — same plan, 8-byte
-    shuffle keys, collision odds ~n²/2⁶⁵."""
-    ds = _doc_shingles(spark, sf_dir, n=8, distinct=True)
-    dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    Scale shape (reworked same-session after the first sf10 run showed
+    202 s): per-doc dedup happens IN-ARRAY (array_distinct before the
+    explode — the containment trick, replacing a (doc, string)-keyed
+    distinct SHUFFLE with a per-row projection), and shingles ride as
+    md5-derived 60-bit BIGINTs (8-byte shuffle keys instead of ~50-byte
+    strings; the oracle hashes identically, so a collision merges the
+    same counts on both sides — the dedup-family convention). What
+    remains: ONE hash-keyed shuffle for document frequencies (map-side
+    combined), one join back on the same key, one doc_id fold.
+    Measured sf10: 202 s (string keys, contended box) → 31–53 s
+    (median 44 s, idle) vs DuckDB 13.7 s."""
+    docs = load_table(spark, sf_dir, "documents")
+    warr = docs.select("doc_id", words(F.col("text")).alias("w"))
+    ds = warr.selectExpr(
+        "doc_id",
+        f"explode(array_distinct({_shingle_arr_sql(8)})) AS sh_str",
+    ).selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(sh_str), 1, 15), 16, 10) AS BIGINT) AS sh",
+    )
+    dfreq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per = (
-        ds.join(dfreq, "shingle")
+        ds.join(dfreq, "sh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -725,15 +736,18 @@ def doc_ngram_novelty(spark, sf_dir):
 
 DOC_NGRAM_NOVELTY_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+7], ' ') AS shingle
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+7], ' ') AS sh_str
        FROM toks,
             LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-7, 1))) AS i) i),
-ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
-dfreq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle),
+dsx AS (SELECT DISTINCT doc_id, sh_str FROM sh),
+ds AS (SELECT doc_id,
+              CAST('0x' || substring(md5(sh_str), 1, 15) AS BIGINT) AS sh
+       FROM dsx),
+dfreq AS (SELECT sh, count(*) AS df FROM ds GROUP BY sh),
 per AS (SELECT ds.doc_id, count(*) AS n_shingles,
                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_shared
-        FROM ds JOIN dfreq USING (shingle) GROUP BY 1)
+        FROM ds JOIN dfreq USING (sh) GROUP BY 1)
 SELECT doc_id, n_shingles, n_shared,
        round(1.0 - CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
          AS novelty

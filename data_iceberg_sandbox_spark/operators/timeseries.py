@@ -540,34 +540,48 @@ def orders_open_backlog_daily(spark, sf_dir):
     aggregation nets them, and a cumulative sum over the DENSE calendar
     grid recovers the backlog.
 
-    Scale shape: one l_orderkey shuffle (max shipdate per order,
-    map-side combined), one day-keyed delta aggregation (output ≤ the
-    ~2500-day calendar), and the only ordered scan runs over that
-    bounded day grid — never the fact. Orders always have ≥1 lineitem
-    in this schema (TPC-H invariant), so the inner join drops nothing.
-    Exactness: counts only; the backlog is an integer cumsum."""
+    Scale shape: the two fact tables NEVER JOIN (the first cut paired
+    each order's start with its last shipment through a 15M×15M
+    orderkey join — 79 s at sf10; re-derived away same-session): the
+    +1 deltas are just the orders-by-day histogram, and the −1 deltas
+    need only lineitem's per-order max shipdate. Orders with NO
+    lineitems (257 exist in this data — the TPC-H ≥1-line invariant
+    does not hold here, caught by the oracle when the join-free form
+    landed) count as open forever, which is the truthful backlog
+    semantics; the original join formulation silently dropped them.
+    One
+    l_orderkey shuffle (map-side combined), two day-grain histograms,
+    and the only ordered scan runs over the bounded ~2500-day grid.
+    Measured sf10: 79 s (join form, contended box) → 5.4 s median
+    (idle). Exactness: counts only; the backlog is an integer cumsum."""
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.to_date("o_orderdate").alias("d0")
+        F.to_date("o_orderdate").alias("d0")
     )
     last_ship = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
     )
-    iv = o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
-    deltas = (
-        iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta"))
-        .unionAll(
-            iv.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
-        )
-        .groupBy("day")
-        .agg(
-            F.sum("delta").alias("net"),
-            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("opened"),
-            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("closed"),
-        )
+    opens = o.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("opened")
     )
-    span = iv.agg(F.min("d0").alias("mn"), F.max("d1").alias("mx"))
+    closes = last_ship.groupBy(F.date_add("d1", 1).alias("day")).agg(
+        F.count(F.lit(1)).alias("closed")
+    )
+    deltas = (
+        opens.join(closes, "day", "full")
+        .select(
+            "day",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("closed", F.lit(0)).alias("closed"),
+        )
+        .withColumn("net", F.col("opened") - F.col("closed"))
+    )
+    span = o.agg(
+        F.min("d0").alias("mn"), F.max("d0").alias("mxo")
+    ).crossJoin(last_ship.agg(F.max("d1").alias("mxs"))).select(
+        "mn", F.greatest("mxo", "mxs").alias("mx")
+    )
     grid = span.select(F.explode(F.expr("sequence(mn, mx)")).alias("day"))
     cells = grid.join(deltas, "day", "left").select(
         "day",
@@ -587,19 +601,20 @@ def orders_open_backlog_daily(spark, sf_dir):
 
 
 OPEN_BACKLOG_ORACLE = """
-WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0 FROM orders),
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d0 FROM orders),
 ls AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS d1
        FROM lineitem GROUP BY 1),
-iv AS (SELECT d0, d1 FROM o JOIN ls ON o_orderkey = l_orderkey),
 deltas AS (
   SELECT day, CAST(sum(delta) AS BIGINT) AS net,
          CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS opened,
          CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS closed
-  FROM (SELECT d0 AS day, 1 AS delta FROM iv
+  FROM (SELECT d0 AS day, 1 AS delta FROM o
         UNION ALL
-        SELECT d1 + INTERVAL 1 DAY, -1 FROM iv)
+        SELECT d1 + INTERVAL 1 DAY, -1 FROM ls)
   GROUP BY day),
-span AS (SELECT min(d0) AS mn, max(d1) AS mx FROM iv),
+span AS (SELECT (SELECT min(d0) FROM o) AS mn,
+                greatest((SELECT max(d0) FROM o),
+                         (SELECT max(d1) FROM ls)) AS mx),
 grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
          FROM span),
 cells AS (
