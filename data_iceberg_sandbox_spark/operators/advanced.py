@@ -192,6 +192,73 @@ def asof_latest_order(spark, sf_dir):
     )
 
 
+def asof_nearest_order(spark, sf_dir):
+    """Nearest-in-time as-of join (the symmetric companion to
+    `asof_latest_order`'s backward rule): for each event, the
+    customer's temporally CLOSEST order — before or after — with ties
+    broken before-over-after, then lower orderkey. The pandas
+    `merge_asof(direction='nearest')` semantics, expressed as a plan.
+
+    Same packed-BIGINT argmin as the backward as-of, with the distance
+    in the high bits: |Δ|·2³³ + after_bit·2³² + orderkey. Distance is
+    defined on FLOOR-truncated epoch seconds (micros div 1e6 — both
+    engines floor on positive epochs), which keeps the pack ≤ 7.7e18
+    under int64 (micros-grain distance would need 83 bits); second
+    granularity is the operator's documented contract, not a rounding
+    accident. The before bit sits BELOW the distance so equal-distance
+    prefers before; ANSI multiply-overflow fails loud past year-2262
+    distances. Left-join misses propagate NULL through the packing —
+    one all-null row per unmatched event."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e_sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+    o_sec = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000")
+    joined = ev.join(orders, ev.user_id == orders.o_custkey, "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "o_orderkey",
+        (o_sec - e_sec).alias("delta"),
+    )
+    packed = (
+        F.abs(F.col("delta")) * F.lit(8_589_934_592)  # 2^33
+        + (F.col("delta") > 0).cast("bigint") * F.lit(4_294_967_296)  # 2^32
+        + F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.min(packed).alias("_b"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr("_b & 4294967295").alias("o_orderkey"),
+            F.expr(
+                "CASE WHEN (_b >> 32) & 1 = 1 THEN shiftright(_b, 33) "
+                "ELSE -shiftright(_b, 33) END"
+            ).alias("delta_seconds"),
+        )
+    )
+
+
+ASOF_NEAREST_ORACLE = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+         epoch_us(o.o_orderdate) // 1000000
+           - epoch_us(e.ts) // 1000000 AS delta
+  FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_id
+    ORDER BY abs(delta), CASE WHEN delta > 0 THEN 1 ELSE 0 END,
+             o_orderkey) AS rn
+  FROM j)
+SELECT event_id, user_id, ts, o_orderkey,
+       CAST(delta AS BIGINT) AS delta_seconds
+FROM r WHERE rn = 1
+"""
+
+
 ASOF_ORACLE = """
 SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
   SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
@@ -2264,6 +2331,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("cube_counts", cube_counts, CUBE_ORACLE),
     QuerySpec("sessionize_events", sessionize_events, SESSIONIZE_ORACLE),
     QuerySpec("asof_latest_order", asof_latest_order, ASOF_ORACLE),
+    QuerySpec("asof_nearest_order", asof_nearest_order, ASOF_NEAREST_ORACLE),
     QuerySpec("asof_merge_pandas", asof_merge_pandas, ASOF_ORACLE),
     QuerySpec("range_followup_counts", range_followup_counts, RANGE_ORACLE),
     QuerySpec("percentile_prices", percentile_prices, PERCENTILE_ORACLE),

@@ -445,7 +445,91 @@ ORDER BY pmi DESC, bigram LIMIT {PMI_TOPK}
 """
 
 
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus word-frequency distribution: OLS
+    slope/intercept of ln(freq) on ln(rank) over the rank-ordered
+    vocabulary — the one-line diagnostic for "does this corpus look
+    like natural language" (Zipf slope ≈ −1) vs template/boilerplate
+    spam (flatter).
+
+    Exactness: both logs quantize to 1e-6 nats (the lm_perplexity
+    convention — absorbs JVM-vs-libm ulp differences), after which
+    every OLS sufficient statistic (Σx, Σy, Σxy, Σx², n) accumulates in
+    DECIMAL(38,0) (n·Σxy reaches ~3.5e23 at a 50k vocabulary — far past
+    int64); slope and intercept are the only IEEE divisions, written in
+    the same operand order both sides.
+
+    Scale shape: one token-explode aggregation with map-side combine
+    (output = vocabulary, not tokens); the rank window sorts the
+    VOCABULARY frame (bounded by the language's word inventory, not
+    the corpus — the accepted domain-grain single-partition class);
+    the fit is a 1-row reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rnk = F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w").asc()))
+    q = lambda col: F.round(F.lit(1000000.0) * F.log(col)).cast("bigint")  # noqa: E731
+    xy = vocab.select(
+        q(rnk.cast("double")).alias("x"), q(F.col("c").cast("double")).alias("y")
+    )
+    d38 = "decimal(38,0)"
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double") / F.lit(1000000.0)
+    return agg.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("ln_intercept"),
+    )
+
+
+ZIPF_ORACLE = """
+WITH vocab AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY w),
+xy AS (
+  SELECT CAST(round(1000000.0 * ln(CAST(
+           row_number() OVER (ORDER BY c DESC, w ASC) AS DOUBLE)))
+           AS BIGINT) AS x,
+         CAST(round(1000000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+  FROM vocab),
+a AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy)
+SELECT n AS n_vocab,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0, 6) AS ln_intercept
+FROM a
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("corpus_zipf_fit", corpus_zipf_fit, ZIPF_ORACLE),
     QuerySpec("bm25_rank", bm25_rank, _bm25_oracle()),
     QuerySpec("hybrid_rrf_retrieval", hybrid_rrf_retrieval, _rrf_oracle()),
     QuerySpec("tfidf_top_term", tfidf_top_term, TFIDF_TOP_TERM_ORACLE),

@@ -114,6 +114,8 @@ QUERIES = [
     "embedding_kmeans_step",
     "orders_open_backlog_daily",
     "events_cusum_changepoint",
+    "asof_nearest_order",
+    "corpus_zipf_fit",
     # embedding_pca_power_iteration is EXCLUDED: its three iterations run
     # eagerly at plan-build time (per-iteration bounded collects), so the
     # noop-sink action would time only the final 64-row literal frame —
