@@ -77,6 +77,54 @@ def histogram_rank(
     return ranked, int(total)
 
 
+def histogram_prefix_sum(
+    df: DataFrame,
+    key: Column,
+    ties: list[Column],
+    val: Column,
+    out: str = "prefix",
+    target_cells: int = 65536,
+) -> DataFrame:
+    """df + an `out` long column == sum(val) OVER (ORDER BY key ASC,
+    *ties ROWS UNBOUNDED PRECEDING) — the INCLUSIVE global prefix sum,
+    without a single-partition sort. Same decomposition as
+    histogram_rank with per-cell VALUE sums instead of counts:
+    prefix(row) = Σval over strictly-smaller cells (broadcast offset)
+    + running sum within its own cell (partition-parallel window).
+
+    `val` must be castable to long and non-null; overflow fails loud
+    under ANSI. The cumulative scan runs over ≤ target_cells+1
+    histogram rows, never the data."""
+    d = df.withColumn("__key", key.cast("long")).withColumn(
+        "__val", val.cast("long")
+    )
+    mn, mx = d.agg(F.min("__key"), F.max("__key")).collect()[0]
+    if mn is None:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    width = (mx - mn) // target_cells + 1
+    d = d.withColumn("__cell", F.expr(f"(__key - {mn}L) div {width}L"))
+    hist = d.groupBy("__cell").agg(F.sum("__val").alias("__cv"))
+    offs = hist.select(
+        "__cell",
+        F.coalesce(
+            F.sum("__cv").over(
+                W.orderBy("__cell").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    intra = F.sum("__val").over(
+        W.partitionBy("__cell")
+        .orderBy(F.col("__key").asc(), *ties)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offs), "__cell")
+        .withColumn(out, (F.col("__off") + intra).cast("long"))
+        .drop("__key", "__val", "__cell", "__off")
+    )
+
+
 def histogram_ntile(
     df: DataFrame,
     key: Column,

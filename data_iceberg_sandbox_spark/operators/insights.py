@@ -421,10 +421,303 @@ FROM agg WHERE n_orders >= 2
 """
 
 
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per ISO week: average daily active users
+    divided by weekly active users — the engagement ratio product
+    teams track (1/7 = users touch once a week; 1.0 = daily habit).
+
+    Exactness: both numerator and denominator restate as exact
+    integers BEFORE the one division — Σ over days of |distinct users
+    that day| (one (day,user)-distinct then a week fold) and |distinct
+    users that week|; avg-DAU/WAU = sum_dau / (n_days·wau) as a single
+    IEEE expression. Scale shape: two user-grain distinct reductions
+    that share the same first shuffle grain ((day,user) collapses to
+    (week,user) by projection — the second distinct reuses the
+    partitioning), then week-grain folds. Weeks are keyed by weekofyear
+    (the data spans one January; a multi-year corpus would key
+    (year, week))."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.weekofyear("ts").alias("wk"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("wk", "day").agg(F.count(F.lit(1)).alias("dau"))
+    wk_dau = dau.groupBy("wk").agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    wau = (
+        du.select("wk", "user_id")
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    j = wk_dau.join(wau, "wk")
+    return j.select(
+        "wk",
+        "n_days",
+        "sum_dau",
+        "wau",
+        F.round(
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("wau")).cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+DAU_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT weekofyear(ts) AS wk, CAST(ts AS DATE) AS day, user_id
+  FROM events),
+dau AS (SELECT wk, day, count(*) AS dau FROM du GROUP BY 1, 2),
+wk_dau AS (SELECT wk, CAST(sum(dau) AS BIGINT) AS sum_dau,
+                  count(*) AS n_days
+           FROM dau GROUP BY 1),
+wau AS (SELECT wk, count(*) AS wau
+        FROM (SELECT DISTINCT wk, user_id FROM du) GROUP BY 1)
+SELECT wk, n_days, sum_dau, wau,
+       round(CAST(sum_dau AS DOUBLE)
+             / CAST(n_days * wau AS DOUBLE), 6) AS stickiness
+FROM wk_dau JOIN wau USING (wk)
+"""
+
+
+def orders_cohort_ltv(spark, sf_dir):
+    """Revenue-cohort LTV curve: customers grouped by first-order month
+    (the acquisition cohort), each cohort's CUMULATIVE revenue per
+    customer at month offsets 0, 1, 2, … — the lifetime-value table
+    under every payback-period decision (the money twin of
+    `events_retention_cohorts`' activity weeks).
+
+    Exactness: revenue rides scale-2 BIGINT cents end-to-end; the
+    cumulative scan is an integer window over (cohort × offset) cells
+    (calendar-bounded, ~80×80 at most here); ONE division per cell at
+    emit. Scale shape: one custkey shuffle for first-order months, one
+    (cohort, offset) histogram of the fact (map-side combined), then
+    everything is calendar-grain."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    j = o.join(first, "o_custkey").select(
+        "cohort",
+        (
+            F.months_between(F.trunc("o_orderdate", "month"), F.col("cohort"))
+        ).cast("bigint").alias("offset_m"),
+        fixed("o_totalprice").alias("rev"),
+    )
+    cells = j.groupBy("cohort", "offset_m").agg(F.sum("rev").alias("rev_m"))
+    cum = F.sum("rev_m").over(
+        W.partitionBy("cohort").orderBy("offset_m").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    return (
+        cells.withColumn("cum_rev", cum)
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "offset_m",
+            "n_customers",
+            (F.col("cum_rev").cast("double") / F.lit(100.0)).alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.lit(100.0)
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH first AS (
+  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY 1),
+sizes AS (SELECT cohort, count(*) AS n_customers FROM first GROUP BY 1),
+j AS (
+  SELECT f.cohort,
+         CAST(datediff('month', f.cohort,
+                       date_trunc('month', o.o_orderdate)) AS BIGINT)
+           AS offset_m,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS rev
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey),
+cells AS (SELECT cohort, offset_m, sum(rev) AS rev_m FROM j GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, offset_m,
+         CAST(sum(rev_m) OVER (PARTITION BY cohort ORDER BY offset_m
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rev
+  FROM cells)
+SELECT strftime(c.cohort, '%Y-%m') AS cohort_month, c.offset_m,
+       s.n_customers,
+       CAST(c.cum_rev AS DOUBLE) / 100.0 AS cum_revenue,
+       round(CAST(c.cum_rev AS DOUBLE) / 100.0
+             / CAST(s.n_customers AS DOUBLE), 6) AS ltv_per_customer
+FROM cum c JOIN sizes s USING (cohort)
+"""
+
+
+_SHAPLEY_N_CHANNELS = 4  # non-conversion event types; guarded at runtime
+_SHAPLEY_CONV = "purchase"
+
+
+def _shapley_terms(n: int) -> list[tuple[int, int, int, int]]:
+    """(channel_idx, S_without, S_with, |S|!·(n−|S|−1)!) for every channel
+    and every coalition S not containing it — the exact Shapley weights
+    with the n! denominator factored out. Shared by the Spark plan and
+    the generated oracle so both enumerate identically."""
+    import math as _m
+
+    return [
+        (
+            ci,
+            S,
+            S | (1 << ci),
+            _m.factorial(bin(S).count("1")) * _m.factorial(n - bin(S).count("1") - 1),
+        )
+        for ci in range(n)
+        for S in range(1 << n)
+        if not (S >> ci) & 1
+    ]
+
+
+def attribution_shapley(spark, sf_dir):
+    """Shapley-value channel attribution: each non-conversion event type
+    (channel) gets credit for 'purchase' conversions equal to its exact
+    Shapley value over channel coalitions — the game-theoretic
+    attribution that last-touch approximates. Coalition value v(S) =
+    number of converting users whose touched-channel set ⊆ S.
+
+    Distributed shape (the audience_overlap bitmask trade): users
+    reduce to a ≤2ⁿ-row (channel-mask, count) frame in ONE fact shuffle
+    (bit_or of per-event channel bits + a conversion flag); everything
+    after — v(S) for all 2ⁿ coalitions, the n·2ⁿ⁻¹ marginal terms, the
+    factorial weights — runs on literal frames of combinatorial size
+    (n=4 ⇒ 16 coalitions, 32 terms). Exactness: v and the weighted
+    marginal sums are integers (weights carry the n! denominator
+    factored out); ONE division at emit. Σφᵢ = v(all)−v(∅) — the
+    efficiency axiom — is asserted by tests/test_ext_ops.py.
+
+    Channel→bit mapping derives from the SORTED distinct non-conversion
+    types (one bounded collect; the oracle derives the same mapping via
+    row_number over the same sort, so the two sides cannot drift).
+    Raises if the channel count differs from the registered oracle's 4.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = sorted(
+        r[0]
+        for r in ev.select("event_type").distinct().collect()
+        if r[0] != _SHAPLEY_CONV
+    )
+    n = len(types)
+    if n != _SHAPLEY_N_CHANNELS:
+        raise ValueError(
+            f"attribution_shapley: {n} channels {types}; the registered "
+            f"oracle enumerates {_SHAPLEY_N_CHANNELS} — regenerate both"
+        )
+    bit_case = "CASE event_type " + " ".join(
+        f"WHEN '{t}' THEN {1 << i}L" for i, t in enumerate(types)
+    ) + " ELSE 0L END"
+    um = ev.groupBy("user_id").agg(
+        F.expr(f"bit_or({bit_case})").alias("mask"),
+        F.max((F.col("event_type") == _SHAPLEY_CONV).cast("int")).alias("conv"),
+    )
+    mc = (
+        um.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    subsets = spark.createDataFrame([(s,) for s in range(1 << n)], "s long")
+    v = (
+        subsets.join(F.broadcast(mc), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v"))
+    )
+    terms = spark.createDataFrame(
+        [(types[ci], so, sw, w) for ci, so, sw, w in _shapley_terms(n)],
+        "channel string, s_without long, s_with long, wnum long",
+    )
+    vo = v.select(F.col("s").alias("s_without"), F.col("v").alias("v_without"))
+    vw = v.select(F.col("s").alias("s_with"), F.col("v").alias("v_with"))
+    denom = 1
+    for i in range(2, n + 1):
+        denom *= i
+    phi = (
+        terms.join(F.broadcast(vo), "s_without")
+        .join(F.broadcast(vw), "s_with")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("wnum") * (F.col("v_with") - F.col("v_without"))).alias(
+                "pn"
+            )
+        )
+    )
+    return phi.select(
+        "channel",
+        F.round(F.col("pn").cast("double") / F.lit(float(denom)), 6).alias(
+            "shapley_conversions"
+        ),
+    )
+
+
+def _shapley_oracle_sql() -> str:
+    n = _SHAPLEY_N_CHANNELS
+    terms_rows = ", ".join(
+        f"({ci}, {so}, {sw}, {w})" for ci, so, sw, w in _shapley_terms(n)
+    )
+    denom = 1
+    for i in range(2, n + 1):
+        denom *= i
+    return f"""
+WITH chan AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) - 1 AS idx
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE event_type <> '{_SHAPLEY_CONV}')),
+um AS (
+  SELECT e.user_id,
+         bit_or(CASE WHEN c.idx IS NULL THEN 0
+                     ELSE (CAST(1 AS BIGINT) << c.idx) END) AS mask,
+         max(CASE WHEN e.event_type = '{_SHAPLEY_CONV}' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events e LEFT JOIN chan c ON e.event_type = c.event_type
+  GROUP BY e.user_id),
+mc AS (SELECT mask, count(*) AS cnt FROM um WHERE conv = 1 GROUP BY mask),
+subsets AS (SELECT unnest(range(0, {1 << n})) AS s),
+v AS (
+  SELECT s, CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS v
+  FROM subsets LEFT JOIN mc ON (mc.mask & subsets.s) = mc.mask
+  GROUP BY s),
+terms(ci, s_without, s_with, wnum) AS (VALUES {terms_rows}),
+chan_named AS (SELECT idx, event_type FROM chan),
+phi AS (
+  SELECT cn.event_type AS channel,
+         CAST(sum(t.wnum * (vw.v - vo.v)) AS BIGINT) AS pn
+  FROM terms t
+  JOIN v vo ON t.s_without = vo.s
+  JOIN v vw ON t.s_with = vw.s
+  JOIN chan_named cn ON t.ci = cn.idx
+  GROUP BY 1)
+SELECT channel,
+       round(CAST(pn AS DOUBLE) / {denom}.0, 6) AS shapley_conversions
+FROM phi
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "attribution_last_touch", attribution_last_touch, ATTRIBUTION_ORACLE
     ),
+    QuerySpec(
+        "attribution_shapley", attribution_shapley, _shapley_oracle_sql()
+    ),
+    QuerySpec(
+        "events_dau_wau_stickiness", events_dau_wau_stickiness, DAU_WAU_ORACLE
+    ),
+    QuerySpec("orders_cohort_ltv", orders_cohort_ltv, COHORT_LTV_ORACLE),
     QuerySpec(
         "audience_overlap_matrix",
         audience_overlap_matrix,

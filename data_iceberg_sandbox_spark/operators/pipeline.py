@@ -315,6 +315,58 @@ FROM per_doc
 PACK_ORACLE = pack_oracle_sql()
 
 
+SHARD_BYTES = 65536
+
+
+def corpus_shard_manifest(spark, sf_dir, budget: int = SHARD_BYTES):
+    """WebDataset-style shard manifest: every document gets its byte
+    offset in a single GLOBAL shard sequence (shard id + offset of the
+    doc's first byte, docs ordered by doc_id) — the manifest a training
+    loader uses to seek into packed shards. `corpus_pack_sequences`
+    deliberately packs per-source to dodge the global sort; a real
+    shard layout IS one global order, and the global exclusive prefix
+    sum now comes from `histogram_prefix_sum` (functions/ranks.py):
+    broadcast cell-histogram byte offsets + within-cell running sums —
+    nothing row-grain crosses one task, same machinery as the
+    histogram-rank ntile fix. Docs may straddle shard boundaries (the
+    manifest records starts; a greedy non-splitting packer is a
+    different operator). All arithmetic exact BIGINT."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.ranks import histogram_prefix_sum
+
+    per = docs.select(
+        "doc_id", F.coalesce(F.length("text"), F.lit(0)).alias("n_bytes")
+    )
+    cum = histogram_prefix_sum(
+        per, F.col("doc_id"), [], F.col("n_bytes"), out="cum_incl"
+    )
+    return cum.withColumn(
+        "start_byte", (F.col("cum_incl") - F.col("n_bytes")).cast("bigint")
+    ).selectExpr(
+        "doc_id",
+        "CAST(n_bytes AS BIGINT) AS n_bytes",
+        "start_byte",
+        f"start_byte div {budget} AS shard_id",  # integer div: exact, ≥0
+        f"start_byte % {budget} AS shard_offset",
+    )
+
+
+def shard_manifest_oracle_sql(budget: int = SHARD_BYTES) -> str:
+    return f"""
+WITH per AS (
+  SELECT doc_id, COALESCE(length(text), 0) AS n_bytes FROM documents),
+c AS (
+  SELECT doc_id, n_bytes,
+         CAST(sum(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_bytes AS BIGINT) AS start_byte
+  FROM per)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, start_byte,
+       start_byte // {budget} AS shard_id,
+       start_byte % {budget} AS shard_offset
+FROM c
+"""
+
+
 DECON_N = 8
 DECON_EVAL_DOCS = 5
 
@@ -1390,5 +1442,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("corpus_train_val_split", corpus_train_val_split, SPLIT_ORACLE),
     QuerySpec("corpus_sample_mix", corpus_sample_mix, SAMPLE_MIX_ORACLE),
     QuerySpec("corpus_pack_sequences", corpus_pack_sequences, PACK_ORACLE),
+    QuerySpec(
+        "corpus_shard_manifest", corpus_shard_manifest, shard_manifest_oracle_sql()
+    ),
     QuerySpec("corpus_decontaminate", corpus_decontaminate, DECONTAMINATE_ORACLE),
 ]

@@ -612,8 +612,91 @@ FROM per_doc
 """
 
 
+def lm_kneser_ney_bigrams(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram probabilities over the corpus —
+    the smoothing every n-gram LM pipeline actually ships (Kneser &
+    Ney 1995; Chen & Goodman 1999 public formulation), emitted for
+    every observed bigram:
+
+        P(w2|w1) = (c(w1w2) − D)/c(w1·)
+                 + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··),   D = 0.75
+
+    The discount D = 3/4 is EXACT in quarters, so the whole expression
+    collapses to one integer ratio:
+        P = ((4c − 3)·N1all + 3·N1w1·N1w2) / (4·c(w1·)·N1all)
+    — numerator/denominator accumulate in DECIMAL(38,0) (the cross
+    products pass int64 around 1e9-token corpora) and ONE IEEE division
+    emits. No float ever enters the statistic itself.
+
+    Scale shape: one (w1,w2)-keyed corpus histogram shuffle (map-side
+    combined, output = bigram vocabulary); the four sufficient
+    statistics (c(w1·), N1+(w1·), N1+(·w2), N1+(··)) are vocabulary-
+    grain reductions of THAT frame — the corpus is never re-scanned —
+    joined back on w1/w2 at bigram-vocabulary grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    cb = (
+        docs.select(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("arr")
+        )
+        .filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("arr", 1, F.size("arr") - 1).alias("w1"),
+                    F.slice("arr", 2, F.size("arr") - 1).alias("w2"),
+                )
+            ).alias("z")
+        )
+        .select("z.w1", "z.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cw1 = cb.groupBy("w1").agg(
+        F.sum("c").alias("ct"), F.count(F.lit(1)).alias("n1w1")
+    )
+    cw2 = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1w2"))
+    n1all = cb.agg(F.count(F.lit(1)).alias("n1all"))
+    j = cb.join(cw1, "w1").join(cw2, "w2").crossJoin(F.broadcast(n1all))
+    d38 = "decimal(38,0)"
+    # operands cast to decimal BEFORE the cross products: (4c−3)·N1all in
+    # int64 would overflow near 1e9-bigram corpora; decimal keeps 1e38
+    num = (
+        (F.lit(4) * F.col("c") - F.lit(3)).cast(d38)
+        * F.col("n1all").cast(d38)
+        + F.lit(3).cast(d38) * F.col("n1w1").cast(d38) * F.col("n1w2").cast(d38)
+    )
+    den = F.lit(4).cast(d38) * F.col("ct").cast(d38) * F.col("n1all").cast(d38)
+    return j.select(
+        "w1",
+        "w2",
+        "c",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("p_kn"),
+    )
+
+
+LM_KNESER_NEY_ORACLE = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS arr FROM documents),
+bg AS (
+  SELECT unnest(arr[1:len(arr)-1]) AS w1, unnest(arr[2:len(arr)]) AS w2
+  FROM t WHERE len(arr) >= 2),
+cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+cw1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ct, count(*) AS n1w1
+        FROM cb GROUP BY 1),
+cw2 AS (SELECT w2, count(*) AS n1w2 FROM cb GROUP BY 1),
+n1 AS (SELECT count(*) AS n1all FROM cb)
+SELECT cb.w1, cb.w2, cb.c,
+       round(CAST((4 * cb.c - 3) * n1all + 3 * n1w1 * n1w2 AS DOUBLE)
+             / CAST(4 * ct * n1all AS DOUBLE), 6) AS p_kn
+FROM cb JOIN cw1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN n1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("ks_test_value_dist", ks_test_value_dist, KS_TEST_ORACLE),
+    QuerySpec(
+        "lm_kneser_ney_bigrams", lm_kneser_ney_bigrams, LM_KNESER_NEY_ORACLE
+    ),
     QuerySpec("mwu_auc_value_dist", mwu_auc_value_dist, MWU_AUC_ORACLE),
     QuerySpec("kl_hourly_drift", kl_hourly_drift, KL_DRIFT_ORACLE),
     QuerySpec("lm_perplexity_score", lm_perplexity_score, LM_PERPLEXITY_ORACLE),

@@ -357,3 +357,64 @@ def test_histogram_ntile_matches_global_ntile(spark):
     tiny = spark.range(3).withColumn("k", F.col("id")).withColumn("tid", F.col("id"))
     got = histogram_ntile(tiny, F.col("k"), 7, [F.col("tid").asc()], out="b")
     assert sorted(r["b"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_attribution_shapley_efficiency_axiom(spark):
+    """Shapley efficiency: Σφᵢ over channels must equal v(all)−v(∅) =
+    converting users with ≥1 channel touch − 0 (exactly, up to the one
+    emit rounding) — the axiom that makes the attribution a proper
+    value split rather than a heuristic score."""
+    import duckdb
+
+    from data_iceberg_sandbox_spark.operators.insights import (
+        attribution_shapley,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = attribution_shapley(spark, sf).collect()
+    total_phi = sum(r["shapley_conversions"] for r in out)
+    con = duckdb.connect()
+    expected = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) c,
+                 max(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) t
+          FROM '{sf}/events.parquet' GROUP BY user_id)
+        WHERE c = 1 AND t = 1
+        """
+    ).fetchone()[0]
+    assert abs(total_phi - expected) < 1e-3, (total_phi, expected)
+
+
+def test_histogram_prefix_sum_matches_window(spark):
+    """histogram_prefix_sum must equal sum() OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING) exactly, including duplicate keys broken by
+    the tie column and narrow target_cells forcing multi-key cells."""
+    from pyspark.sql.window import Window as W2
+
+    from data_iceberg_sandbox_spark.functions.ranks import (
+        histogram_prefix_sum,
+    )
+
+    df = (
+        spark.range(503)
+        .withColumn("k", (F.col("id") * 48271) % 97)  # duplicate keys
+        .withColumn("v", (F.col("id") * 7919) % 1000)
+        .withColumn("tid", F.col("id"))
+    )
+    want = df.select(
+        "tid",
+        F.sum("v")
+        .over(
+            W2.orderBy(F.col("k").asc(), F.col("tid").asc()).rowsBetween(
+                W2.unboundedPreceding, 0
+            )
+        )
+        .alias("p"),
+    )
+    got = histogram_prefix_sum(
+        df, F.col("k"), [F.col("tid").asc()], F.col("v"), out="p", target_cells=8
+    ).select("tid", "p")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -181,3 +181,26 @@ def test_embedding_outliers_partition_invariant(spark):
     finally:
         pl.load_table = orig
     assert base == again
+
+
+def test_shard_manifest_invariants(spark):
+    """Global shard manifest: offsets stay within the shard budget,
+    start_byte is the exclusive prefix sum in doc_id order (contiguous,
+    gap-free), and shard_id/offset are consistent with start_byte."""
+    from data_iceberg_sandbox_spark.operators.pipeline import (
+        SHARD_BYTES,
+        corpus_shard_manifest,
+    )
+
+    rows = (
+        corpus_shard_manifest(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id")
+        .collect()
+    )
+    cum = 0
+    for r in rows:
+        assert r["start_byte"] == cum, (r, cum)
+        assert r["shard_id"] == r["start_byte"] // SHARD_BYTES
+        assert r["shard_offset"] == r["start_byte"] % SHARD_BYTES
+        assert 0 <= r["shard_offset"] < SHARD_BYTES
+        cum += r["n_bytes"]

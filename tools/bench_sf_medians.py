@@ -116,6 +116,13 @@ QUERIES = [
     "events_cusum_changepoint",
     "asof_nearest_order",
     "corpus_zipf_fit",
+    # round-9 second batch (added AFTER the committed r9 capture — first
+    # medians entries will appear in the next full re-capture)
+    "attribution_shapley",
+    "lm_kneser_ney_bigrams",
+    "corpus_shard_manifest",
+    "events_dau_wau_stickiness",
+    "orders_cohort_ltv",
     # embedding_pca_power_iteration is EXCLUDED: its three iterations run
     # eagerly at plan-build time (per-iteration bounded collects), so the
     # noop-sink action would time only the final 64-row literal frame —
