@@ -721,8 +721,245 @@ FROM ranked WHERE rk = 1
 """
 
 
+def session_length_quantiles(spark, sf_dir, gap_minutes: int = 60):
+    """Session-length distribution: exact interpolated P25/50/75/90/99
+    of session duration (seconds) and of events-per-session, over
+    gap-sessionized events (same 60-min islands construction as
+    `sessionize_events`) — the distribution product teams put on every
+    engagement dashboard.
+
+    Exact quantiles WITHOUT per-group buffering: each metric reduces to
+    a VALUE HISTOGRAM (durations are truncated seconds — domain bounded
+    by the session-timeout policy, not the row count; event counts are
+    small ints), the cumulative scan runs over the histogram, and the
+    covering order statistics interpolate at rank r = (n−1)·q — the
+    `quantile_stats_exact` machinery applied to a derived (sessions)
+    frame. Scale shape: one user shuffle to build sessions, one
+    histogram shuffle per metric (map-side combined), domain-grain
+    everything after."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w_user.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_sec"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    qs = [(25, 4), (50, 2), (75, 4), (90, 10), (99, 100)]  # (pct, den where
+    # r·den is integral: r = (n-1)·pct/100)
+
+    def metric_quantiles(col, label):
+        hist = sess.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        h = hist.select(
+            "v",
+            F.sum("cnt").over(cum).alias("c"),
+            F.sum("cnt").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
+        )
+        quants = spark.createDataFrame(
+            [(p,) for p, _ in qs], "pct int"
+        )
+        j = h.crossJoin(F.broadcast(quants))
+        # rank r = (n-1)*pct/100; lo = value at floor(r)+1-th row,
+        # hi = value at ceil(r)+1-th row (0-indexed ranks over sorted rows)
+        # ceil as (a+99) div 100: non-negative operands, so Spark's
+        # truncating `div` and DuckDB's flooring `//` agree (the
+        # -floor(-x) trick would NOT — trunc != floor on negatives)
+        lo_rank = F.expr("(n - 1) * pct div 100")
+        hi_rank = F.expr("((n - 1) * pct + 99) div 100")
+        lo = j.filter(F.col("c") >= lo_rank + 1).groupBy("pct").agg(
+            F.min("v").alias("v_lo")
+        )
+        hi = j.filter(F.col("c") >= hi_rank + 1).groupBy("pct").agg(
+            F.min("v").alias("v_hi")
+        )
+        nn = sess.agg(F.count(F.lit(1)).alias("n"))
+        frac = (
+            ((F.col("n") - 1) * F.col("pct") % 100).cast("double") / F.lit(100.0)
+        )
+        return (
+            lo.join(hi, "pct")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.lit(label).alias("metric"),
+                "pct",
+                F.round(
+                    F.col("v_lo").cast("double")
+                    + frac
+                    * (F.col("v_hi") - F.col("v_lo")).cast("double"),
+                    6,
+                ).alias("value"),
+            )
+        )
+
+    return metric_quantiles("duration_sec", "duration_sec").unionByName(
+        metric_quantiles("n_events", "n_events")
+    )
+
+
+SESSION_QUANTILES_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) // 1000000
+                   - epoch_us(lag(ts) OVER w) // 1000000 > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(max(epoch_us(ts) // 1000000)
+              - min(epoch_us(ts) // 1000000) AS BIGINT) AS duration_sec,
+         count(*) AS n_events
+  FROM (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts,
+                                    event_id ROWS UNBOUNDED PRECEDING)
+                    AS session_id
+        FROM flagged)
+  GROUP BY 1, 2),
+m AS (
+  SELECT 'duration_sec' AS metric, duration_sec AS v FROM sess
+  UNION ALL
+  SELECT 'n_events', n_events FROM sess),
+hist AS (SELECT metric, v, count(*) AS cnt FROM m GROUP BY 1, 2),
+h AS (
+  SELECT metric, v,
+         sum(cnt) OVER (PARTITION BY metric ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         sum(cnt) OVER (PARTITION BY metric) AS n
+  FROM hist),
+q AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct),
+lo AS (
+  SELECT metric, pct, min(v) AS v_lo
+  FROM h, q WHERE c >= (n - 1) * pct // 100 + 1 GROUP BY 1, 2),
+hi AS (
+  SELECT metric, pct, min(v) AS v_hi
+  FROM h, q WHERE c >= ((n - 1) * pct + 99) // 100 + 1 GROUP BY 1, 2),
+nn AS (SELECT metric, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1)
+SELECT lo.metric, lo.pct,
+       round(CAST(v_lo AS DOUBLE)
+             + (CAST((nn.n - 1) * lo.pct % 100 AS DOUBLE) / 100.0)
+               * CAST(v_hi - v_lo AS DOUBLE), 6) AS value
+FROM lo
+JOIN hi ON lo.metric = hi.metric AND lo.pct = hi.pct
+JOIN nn ON lo.metric = nn.metric
+"""
+
+
+def orders_seasonality_decomposition(spark, sf_dir):
+    """Classical ratio-to-moving-average seasonal decomposition of
+    monthly order volume (the X-11 first pass): trend = centered 2×12
+    moving average, ratio = count/trend, seasonal index = per-calendar-
+    month mean ratio — "is August always slow, or is this year a dip".
+
+    Exactness: monthly counts are integers; the 2×12 MA is the integer
+    (c₋₆ + 2Σ₋₅..₊₅ + c₊₆)/24, carried as its exact numerator; ratios
+    quantize to 1e-6 before the per-month mean (float means over years
+    would sum in engine order). Scale shape: ONE fact shuffle to ~80
+    month cells; every window/scan after runs on the month calendar."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.trunc("o_orderdate", "month").alias("m")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.orderBy("m")
+    num = (
+        F.lag("c", 6).over(w)
+        + F.lead("c", 6).over(w)
+        + sum(
+            F.lag("c", k).over(w) if k > 0 else (F.lead("c", -k).over(w) if k < 0 else F.col("c") * F.lit(1))
+            for k in range(-5, 6)
+        )
+        * F.lit(2)
+    )
+    t = monthly.select(
+        "m",
+        "c",
+        F.month("m").alias("moy"),
+        num.alias("t24"),  # 24·trend, exact integer (NULL at the edges)
+    )
+    ratio_fp = F.round(
+        F.lit(1000000.0) * F.lit(24.0) * F.col("c").cast("double")
+        / F.col("t24").cast("double")
+    ).cast("bigint")
+    r = t.withColumn("ratio_fp", F.when(F.col("t24").isNotNull(), ratio_fp))
+    idx = r.filter(F.col("ratio_fp").isNotNull()).groupBy("moy").agg(
+        F.sum("ratio_fp").alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    out = r.join(idx, "moy", "left")
+    return out.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "c",
+        F.round(F.col("t24").cast("double") / F.lit(24.0), 6).alias("trend"),
+        # ratio_fp is ALREADY integer millionths: emit the exact-int
+        # division with no re-round (a round(x, 6) here can straddle
+        # half-ties differently across engines)
+        (F.col("ratio_fp").cast("double") / F.lit(1e6)).alias("ratio"),
+        # half-up mean in INTEGER arithmetic — s/k lands on exact
+        # x.5e-6 ties (k | 2s) where Spark/DuckDB round() disagree:
+        # idx_fp = floor((s + k/2)/k) = (2s + k) div 2k, then one
+        # exact division
+        (
+            F.expr("(2 * s + k) div (2 * k)").cast("double") / F.lit(1e6)
+        ).alias("seasonal_idx"),
+    )
+
+
+SEASONALITY_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS c
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT m, c, month(m) AS moy,
+         lag(c, 6) OVER w + lead(c, 6) OVER w
+           + 2 * (lag(c, 5) OVER w + lag(c, 4) OVER w + lag(c, 3) OVER w
+                  + lag(c, 2) OVER w + lag(c, 1) OVER w + c
+                  + lead(c, 1) OVER w + lead(c, 2) OVER w
+                  + lead(c, 3) OVER w + lead(c, 4) OVER w
+                  + lead(c, 5) OVER w) AS t24
+  FROM monthly
+  WINDOW w AS (ORDER BY m)),
+r AS (
+  SELECT *, CASE WHEN t24 IS NOT NULL THEN
+         CAST(round(1000000.0 * 24.0 * CAST(c AS DOUBLE)
+                    / CAST(t24 AS DOUBLE)) AS BIGINT) END AS ratio_fp
+  FROM t),
+idx AS (
+  SELECT moy, CAST(sum(ratio_fp) AS BIGINT) AS s, count(*) AS k
+  FROM r WHERE ratio_fp IS NOT NULL GROUP BY 1)
+SELECT strftime(r.m, '%Y-%m') AS month, r.c,
+       round(CAST(r.t24 AS DOUBLE) / 24.0, 6) AS trend,
+       CAST(r.ratio_fp AS DOUBLE) / 1e6 AS ratio,
+       CAST((2 * idx.s + idx.k) // (2 * idx.k) AS DOUBLE) / 1e6
+         AS seasonal_idx
+FROM r LEFT JOIN idx ON r.moy = idx.moy
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("events_gap_fill_locf", events_gap_fill_locf, GAP_FILL_ORACLE),
+    QuerySpec(
+        "session_length_quantiles",
+        session_length_quantiles,
+        SESSION_QUANTILES_ORACLE,
+    ),
+    QuerySpec(
+        "orders_seasonality_decomposition",
+        orders_seasonality_decomposition,
+        SEASONALITY_ORACLE,
+    ),
     QuerySpec(
         "orders_open_backlog_daily", orders_open_backlog_daily, OPEN_BACKLOG_ORACLE
     ),

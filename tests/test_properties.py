@@ -117,3 +117,61 @@ def test_merge_conditional_matches_reference(spark, scratch, target, source, dth
         if k not in target and v >= 0:
             expected[k] = v
     assert _state(t) == expected
+
+
+# --- histogram-rank family vs the window forms -----------------------------
+
+RANK_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**40), max_value=2**40),  # key (wide range)
+        st.integers(min_value=0, max_value=500),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=RANK_ROWS, n=st.integers(min_value=1, max_value=9))
+def test_histogram_rank_family_equals_window_forms(spark, rows, n):
+    """For arbitrary (possibly duplicate, wide-range) keys: rank ==
+    row_number(), ntile == ntile(n), prefix == running sum — the three
+    histogram-rank primitives agree with Spark's window forms on every
+    generated frame (tiny target_cells forces multi-key cells)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W2
+
+    from data_iceberg_sandbox_spark.functions.ranks import (
+        histogram_ntile,
+        histogram_prefix_sum,
+        histogram_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "tid long, k long, v long"
+    )
+    w = W2.orderBy(F.col("k").asc(), F.col("tid").asc())
+    want = df.select(
+        "tid",
+        F.row_number().over(w).alias("r"),
+        F.ntile(n).over(w).alias("b"),
+        F.sum("v").over(w.rowsBetween(W2.unboundedPreceding, 0)).alias("p"),
+    )
+    ranked, total = histogram_rank(
+        df, F.col("k"), [F.col("tid").asc()], out="r", target_cells=4
+    )
+    assert total == len(rows)
+    got_r = ranked.select("tid", "r")
+    got_b = histogram_ntile(
+        df, F.col("k"), n, [F.col("tid").asc()], out="b", target_cells=4
+    ).select("tid", "b")
+    got_p = histogram_prefix_sum(
+        df, F.col("k"), [F.col("tid").asc()], F.col("v"), out="p", target_cells=4
+    ).select("tid", "p")
+    got = got_r.join(got_b, "tid").join(got_p, "tid")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

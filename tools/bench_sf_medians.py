@@ -123,6 +123,8 @@ QUERIES = [
     "corpus_shard_manifest",
     "events_dau_wau_stickiness",
     "orders_cohort_ltv",
+    "session_length_quantiles",
+    "orders_seasonality_decomposition",
     # embedding_pca_power_iteration is EXCLUDED: its three iterations run
     # eagerly at plan-build time (per-iteration bounded collects), so the
     # noop-sink action would time only the final 64-row literal frame —
