@@ -253,6 +253,51 @@ def d_wap_audit_publish(spark, sf_dir):
 D_WAP_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 < 2"
 
 
+def d_branch_fast_forward(spark, sf_dir):
+    """Branch-based multi-commit ingestion (the Iceberg branch-ref
+    workflow one step past single-snapshot WAP): a named branch forks
+    from main, accumulates TWO appends invisible to main readers, is
+    audited AS A WHOLE on `read_branch`, and lands atomically via
+    `fast_forward` — a CAS that refuses if main moved past the fork
+    (tests cover the diverged case and branches over MoR deletes).
+    A second, poisoned branch trips the audit and is dropped; its files
+    are orphans for remove_orphan_files. Final main = create + both
+    good branch batches, which is what the oracle checks."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "dbranch_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+
+    t.create_branch("ingest")
+    t.branch_append("ingest", orders.filter(F.col("o_orderkey") % 4 == 1))
+    t.branch_append("ingest", orders.filter(F.col("o_orderkey") % 4 == 2))
+    assert t.read().count() < t.read_branch("ingest").count()  # invisible
+    n_bad = (
+        t.read_branch("ingest")
+        .filter(F.col("o_orderkey").isNull() | (F.col("o_totalprice") <= 0))
+        .count()
+    )
+    assert n_bad == 0
+    t.fast_forward("ingest")
+
+    t.create_branch("poisoned")
+    t.branch_append(
+        "poisoned",
+        orders.filter(F.col("o_orderkey") % 4 == 3).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ),
+    )
+    n_bad = (
+        t.read_branch("poisoned").filter(F.col("o_totalprice") <= 0).count()
+    )
+    if n_bad == 0:  # the poisoned branch must trip the audit — fail loud
+        raise AssertionError("branch audit failed to catch poisoned batch")
+    t.drop_branch("poisoned")
+    return t.read()
+
+
+D_BRANCH_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 4 < 3"
+
+
 def d_snapshot_diff(spark, sf_dir):
     """Version-to-version table diff (the audit/debug question "what
     changed between snapshot v1 and HEAD?"): row-level adds/removes
@@ -1362,4 +1407,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("d_bloom_pointlookup", d_bloom_pointlookup, D_BLOOM_ORACLE, memo=False),
     QuerySpec("d_cdc_replicate", d_cdc_replicate, D_CDC_REP_ORACLE, memo=False),
     QuerySpec("d_wap_audit_publish", d_wap_audit_publish, D_WAP_ORACLE, memo=False),
+    QuerySpec(
+        "d_branch_fast_forward", d_branch_fast_forward, D_BRANCH_ORACLE, memo=False
+    ),
 ]

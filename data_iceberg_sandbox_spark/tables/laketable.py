@@ -1450,6 +1450,121 @@ class LakeTable:
         os.remove(self._staged_path(token))
         return self
 
+    # ---- branches (Iceberg branch-ref analog) -----------------------------
+    # A branch is a NAMED, MULTI-COMMIT staging line: it forks from a main
+    # snapshot, accumulates its own appends invisible to main readers, and
+    # lands via fast_forward — a CAS that succeeds only if main has not
+    # moved past the fork point (git/Iceberg fast-forward semantics; a
+    # diverged main raises CommitConflict and the caller re-branches or
+    # rebases by hand). Single-writer per branch (the branch pointer file
+    # is overwritten, not CAS'd) — the documented contract, matching
+    # Iceberg where concurrent commits to ONE branch also serialize.
+
+    def _branch_path(self, name: str) -> str:
+        if not name or not all(c.isalnum() or c in "_-" for c in name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        return os.path.join(self._manifest_dir, f"branch_{name}.json")
+
+    def _branch_manifest(self, name: str) -> Manifest:
+        path = self._branch_path(name)
+        if not os.path.exists(path):
+            raise NoSuchTable(f"no branch {name!r} on {self.root}")
+        with open(path, encoding="utf-8") as f:
+            return Manifest.from_json(f.read())
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a branch from the CURRENT snapshot. O_EXCL creation —
+        a concurrent create of the same name raises CommitConflict."""
+        cur = self.manifest()
+        bm = Manifest(
+            version=-1,  # assigned at fast_forward
+            parent=cur.version,
+            operation="branch_create",
+            timestamp_ms=int(time.time() * 1000),
+            schema_json=cur.schema_json,
+            partition_by=cur.partition_by,
+            files=list(cur.files),
+            properties=cur.properties,
+            delete_files=dict(cur.delete_files),
+            file_seq=dict(cur.file_seq) or {f: cur.version for f in cur.files},
+        )
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        try:
+            with open(self._branch_path(name), "x", encoding="utf-8") as f:
+                f.write(bm.to_json())
+        except FileExistsError:
+            raise CommitConflict(f"branch {name!r} already exists on {self.root}")
+        return self
+
+    def branch_append(self, name: str, df: DataFrame) -> "LakeTable":
+        """Append a batch to the branch (invisible to main readers).
+        Data files write through normal distributed jobs; only the
+        branch pointer update is driver-side."""
+        bm = self._branch_manifest(name)
+        new_files = self._write_data_files(
+            _align(df, bm.schema_json), bm.partition_by, bm.properties
+        )
+        updated = _dc_replace(
+            bm,
+            operation="branch_append",
+            timestamp_ms=int(time.time() * 1000),
+            files=sorted(bm.files + new_files),
+        )
+        with open(self._branch_path(name), "w", encoding="utf-8") as f:
+            f.write(updated.to_json())
+        return self
+
+    def read_branch(self, name: str) -> DataFrame:
+        """Scan the branch head: fork-point content (with the fork
+        snapshot's MoR delete sidecars applied, as read() would) plus
+        every branch append."""
+        bm = self._branch_manifest(name)
+        fork = self.manifest(bm.parent)
+        branch_seq = fork.version + 1
+        file_seq = {
+            f: fork.file_seq.get(f, fork.version)
+            if f in set(fork.files)
+            else branch_seq
+            for f in bm.files
+        }
+        view = _dc_replace(
+            bm,
+            version=branch_seq,
+            file_seq=file_seq,
+            file_stats=dict(fork.file_stats),
+        )
+        return self._scan_manifest(view)
+
+    def fast_forward(self, name: str) -> "LakeTable":
+        """Land the branch on main: CAS against the fork point. If main
+        advanced past the fork, the branch has DIVERGED and fast-forward
+        is impossible (CommitConflict) — same contract as Iceberg's
+        fast_forward procedure. The branch's commits land as ONE main
+        snapshot (squash); the branch ref is deleted on success."""
+        bm = self._branch_manifest(name)
+        if self.current_version() != bm.parent:
+            raise CommitConflict(
+                f"{self.root}: branch {name!r} forked at v{bm.parent}, "
+                f"main is at v{self.current_version()} — cannot fast-forward"
+            )
+        self._commit(
+            f"fast_forward_branch:{name}",
+            bm.files,
+            bm.schema_json,
+            bm.partition_by,
+            bm.properties,
+            expected_parent=bm.parent,
+            delete_files=dict(bm.delete_files),
+        )
+        os.remove(self._branch_path(name))
+        return self
+
+    def drop_branch(self, name: str) -> "LakeTable":
+        """Abandon a branch; its unpublished data files become orphans
+        (collected by remove_orphan_files)."""
+        os.remove(self._branch_path(name))
+        return self
+
     # ---- schema evolution (D5) ------------------------------------------
     def add_column(self, name: str, dtype: str) -> "LakeTable":
         cur = self.manifest()

@@ -8,7 +8,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from data_iceberg_sandbox_spark.tables.laketable import CommitConflict, LakeTable
+from data_iceberg_sandbox_spark.tables.laketable import (
+    CommitConflict,
+    LakeTable,
+    NoSuchTable,
+)
 
 
 @pytest.fixture
@@ -291,3 +295,50 @@ def test_read_staged_applies_mor_deletes(spark, t):
     assert audit.filter(F.col("id") == 7).collect()[0]["v"] == -7
     t.publish(token)
     assert sorted(r["id"] for r in t.read().collect()) == ids
+
+
+def test_branch_write_read_fast_forward(spark, t):
+    """Branch lifecycle: appends on a branch are invisible to main,
+    read_branch sees fork content + branch batches, fast_forward lands
+    them as one main snapshot and deletes the ref."""
+    t.create_branch("ingest")
+    t.branch_append(
+        "ingest", spark.createDataFrame([(100, 1), (101, 2)], "id long, v long")
+    )
+    t.branch_append("ingest", spark.createDataFrame([(102, 3)], "id long, v long"))
+    assert t.read().count() == 10  # main unchanged
+    assert t.read_branch("ingest").count() == 13
+    t.fast_forward("ingest")
+    assert t.read().count() == 13
+    assert [m.operation for m in t.snapshots()][-1] == "fast_forward_branch:ingest"
+    with pytest.raises(NoSuchTable):
+        t.read_branch("ingest")  # ref deleted on land
+
+
+def test_branch_fast_forward_conflicts_when_main_moves(spark, t):
+    t.create_branch("b")
+    t.branch_append("b", spark.createDataFrame([(200, 0)], "id long, v long"))
+    t.append(spark.createDataFrame([(300, 0)], "id long, v long"))  # main moves
+    with pytest.raises(CommitConflict):
+        t.fast_forward("b")
+    t.drop_branch("b")
+
+
+def test_branch_sees_fork_mor_deletes(spark, t):
+    """A branch forked after MoR deletes must read with the fork's
+    sidecars applied; a branch re-insert of a deleted key is visible
+    (its sequence postdates the sidecar) — read_staged semantics."""
+    t.delete_keys_mor(spark.createDataFrame([(4,)], "id long"))
+    t.create_branch("fix")
+    t.branch_append("fix", spark.createDataFrame([(4, -4)], "id long, v long"))
+    ids = sorted(r["id"] for r in t.read_branch("fix").collect())
+    assert ids == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    assert t.read_branch("fix").filter(F.col("id") == 4).collect()[0]["v"] == -4
+    t.fast_forward("fix")
+    assert t.read().filter(F.col("id") == 4).collect()[0]["v"] == -4
+
+
+def test_branch_duplicate_create_conflicts(spark, t):
+    t.create_branch("dup")
+    with pytest.raises(CommitConflict):
+        t.create_branch("dup")
