@@ -201,3 +201,36 @@ def test_bm25_broadcasts_stats_and_prunes_terms(spark):
     df = bm25_rank(spark, SF_ORACLE)
     assert has_broadcast_join(df)
     assert has_take_ordered(df), "BM25 top-k must not global-sort"
+
+
+def test_rfm_and_pareto_have_no_ntile(spark):
+    """Regression lock on the round-9 histogram-rank rework: the
+    customer-grain frames must never pass through ntile() (a global
+    single-partition sort). The only no-partition windows allowed are
+    the bounded cell-histogram scans."""
+    from data_iceberg_sandbox_spark.operators.advanced import (
+        customer_rfm_segments,
+        pareto_revenue_deciles,
+    )
+    from data_iceberg_sandbox_spark.plans.inspect import physical_plan
+
+    for fn in (customer_rfm_segments, pareto_revenue_deciles):
+        plan = physical_plan(fn(spark, SF_ORACLE))
+        assert "ntile" not in plan.lower(), f"{fn.__name__} regressed to ntile"
+
+
+def test_shard_manifest_prefix_sum_shape(spark):
+    """corpus_shard_manifest: the global prefix sum must come from the
+    histogram decomposition — a broadcast join for cell offsets, and no
+    row_number/global sort over the document frame."""
+    from data_iceberg_sandbox_spark.operators.pipeline import (
+        corpus_shard_manifest,
+    )
+    from data_iceberg_sandbox_spark.plans.inspect import (
+        has_broadcast_join,
+        physical_plan,
+    )
+
+    df = corpus_shard_manifest(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert "ntile" not in physical_plan(df).lower()
