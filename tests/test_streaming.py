@@ -86,3 +86,52 @@ def test_backfill_repairs_only_orphans(spark):
     after = t.read()
     assert after.filter(F.col("client_id").isNull()).count() == 0
     assert after.count() == before.count()
+
+
+def test_streaming_ingest_into_branch_then_fast_forward(spark, scratch):
+    """Streaming WAP composition: micro-batches land on a BRANCH
+    (invisible to main readers while the stream runs), the branch is
+    audited as a whole, then fast-forwarded — the Iceberg
+    `spark.wap.branch` streaming-ingest pattern. Multi-batch is real
+    (maxFilesPerTrigger=2 over an 8-file backlog); main must still be
+    at the fork while every batch accumulates on the branch."""
+    from data_iceberg_sandbox_spark.streaming.fraud_stream import (
+        events_stream,
+        stage_event_files,
+    )
+    from data_iceberg_sandbox_spark.tables.laketable import LakeTable
+
+    staged = stage_event_files(spark, SF_SMOKE, "branch_ingest")
+    batch_events = spark.read.parquet(staged)
+    seed = batch_events.limit(0)
+
+    t = LakeTable(spark, os.path.join(scratch, "stream_branch"))
+    t.create(seed)
+    t.create_branch("stream")
+
+    n_batches = [0]
+
+    def to_branch(batch_df, epoch):
+        t.branch_append("stream", batch_df)
+        n_batches[0] += 1
+        assert t.read().count() == 0  # main never sees in-flight batches
+
+    q = (
+        events_stream(spark, staged, files_per_trigger=2)
+        .writeStream.foreachBatch(to_branch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(scratch, "stream_branch_ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    assert n_batches[0] > 1, "backlog must replay as multiple micro-batches"
+
+    total = batch_events.count()
+    assert t.read_branch("stream").count() == total  # audit: no loss, no dup
+    t.fast_forward("stream")
+    assert t.read().count() == total
+    # exactly-once content, not just counts: branch landing == batch read
+    assert t.read().exceptAll(batch_events).count() == 0
+    assert batch_events.exceptAll(t.read()).count() == 0
