@@ -418,3 +418,24 @@ def test_histogram_prefix_sum_matches_window(spark):
     ).select("tid", "p")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_attribution_shapley_zero_converters(spark, tmp_path):
+    """No converting users: every coalition value is 0, so every channel's
+    Shapley value must be exactly 0.0 (the left-join v(S)=0 path)."""
+    from data_iceberg_sandbox_spark.operators.insights import (
+        attribution_shapley,
+    )
+
+    rows = [
+        (i, f"2024-01-0{1 + i % 5} 10:00:00", i % 7, t, 1.0, "{}")
+        for i, t in enumerate(["view", "click", "signup", "error"] * 6)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = attribution_shapley(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(r["shapley_conversions"] == 0.0 for r in out)
