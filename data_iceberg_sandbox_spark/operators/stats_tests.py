@@ -692,8 +692,78 @@ FROM cb JOIN cw1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN n1
 """
 
 
+def events_user_fano_dispersion(spark, sf_dir):
+    """Per-user burstiness via the Fano factor (variance-to-mean ratio
+    of daily event counts over the table's full day span): D ≈ 1 is
+    Poisson-like human traffic, D ≫ 1 is bursty (campaign/incident
+    spikes), D ≪ 1 with high volume is suspiciously metronomic — the
+    classic bot signal.
+
+    No dense per-user grid is materialized: inactive days contribute 0
+    to both Σc and Σc², so with the span length n as a broadcast
+    constant, var/mean = (n·Σc² − S²)/(n·S) is EXACT integer algebra
+    over only the user's ACTIVE days — the operator is O(active cells),
+    not O(users × days) (the seasonal-anomaly grid trick inverted).
+    One (user, day) shuffle with map-side combine, one user fold."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).alias("n_days")
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = daily.groupBy("user_id").agg(
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.count(F.lit(1)).alias("active_days"),
+    )
+    j = per.crossJoin(F.broadcast(span))
+    fano = (F.col("n_days") * F.col("q") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (F.col("n_days") * F.col("s")).cast("double")
+    return j.select(
+        "user_id",
+        "active_days",
+        "s",
+        F.round(fano, 6).alias("fano"),
+        (fano > 2.0).alias("is_bursty"),
+        ((fano < 0.5) & (F.col("s") >= 30)).alias("is_metronomic"),
+    )
+
+
+USER_FANO_ORACLE = """
+WITH span AS (
+  SELECT datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
+           AS n_days
+  FROM events),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+per AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q,
+         count(*) AS active_days
+  FROM daily GROUP BY 1)
+SELECT user_id, active_days, s,
+       round(CAST(n_days * q - s * s AS DOUBLE)
+             / CAST(n_days * s AS DOUBLE), 6) AS fano,
+       CAST(n_days * q - s * s AS DOUBLE)
+         / CAST(n_days * s AS DOUBLE) > 2.0 AS is_bursty,
+       (CAST(n_days * q - s * s AS DOUBLE)
+          / CAST(n_days * s AS DOUBLE) < 0.5 AND s >= 30) AS is_metronomic
+FROM per CROSS JOIN span
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("ks_test_value_dist", ks_test_value_dist, KS_TEST_ORACLE),
+    QuerySpec(
+        "events_user_fano_dispersion",
+        events_user_fano_dispersion,
+        USER_FANO_ORACLE,
+    ),
     QuerySpec(
         "lm_kneser_ney_bigrams", lm_kneser_ney_bigrams, LM_KNESER_NEY_ORACLE
     ),

@@ -125,6 +125,7 @@ QUERIES = [
     "orders_cohort_ltv",
     "session_length_quantiles",
     "orders_seasonality_decomposition",
+    "events_user_fano_dispersion",
     # embedding_pca_power_iteration is EXCLUDED: its three iterations run
     # eagerly at plan-build time (per-iteration bounded collects), so the
     # noop-sink action would time only the final 64-row literal frame —
