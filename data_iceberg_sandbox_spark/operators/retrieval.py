@@ -528,8 +528,62 @@ FROM a
 """
 
 
+def corpus_word_burstiness(spark, sf_dir):
+    """Word burstiness (Church & Gale's cf/df): mean occurrences per
+    CONTAINING document, for every vocabulary word. Function words sit
+    near their global rate; topical/template words are "bursty" — once
+    a document uses them it uses them repeatedly. The signal separates
+    content terms from glue BEFORE any frequency cutoff, and flags
+    template spam (high burstiness at high df) that plain tf or zipf
+    rank cannot see.
+
+    Scale shape: ONE (doc, word) shuffle with map-side combine (output
+    = per-doc vocabularies, not tokens) — cf and df are then BOTH plain
+    sums/counts of that frame at word grain; no countDistinct expand,
+    no second corpus pass. Output is vocabulary-sized; burstiness is
+    one exact-integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return dw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("cf"),
+    ).select(
+        "w",
+        "df",
+        "cf",
+        F.round(F.col("cf").cast("double") / F.col("df").cast("double"), 6).alias(
+            "burstiness"
+        ),
+    )
+
+
+WORD_BURSTINESS_ORACLE = """
+WITH dw AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY 1, 2)
+SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf,
+       round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS burstiness
+FROM dw GROUP BY w
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("corpus_zipf_fit", corpus_zipf_fit, ZIPF_ORACLE),
+    QuerySpec(
+        "corpus_word_burstiness", corpus_word_burstiness, WORD_BURSTINESS_ORACLE
+    ),
     QuerySpec("bm25_rank", bm25_rank, _bm25_oracle()),
     QuerySpec("hybrid_rrf_retrieval", hybrid_rrf_retrieval, _rrf_oracle()),
     QuerySpec("tfidf_top_term", tfidf_top_term, TFIDF_TOP_TERM_ORACLE),

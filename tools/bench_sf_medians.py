@@ -126,6 +126,7 @@ QUERIES = [
     "session_length_quantiles",
     "orders_seasonality_decomposition",
     "events_user_fano_dispersion",
+    "corpus_word_burstiness",
     # embedding_pca_power_iteration is EXCLUDED: its three iterations run
     # eagerly at plan-build time (per-iteration bounded collects), so the
     # noop-sink action would time only the final 64-row literal frame —
