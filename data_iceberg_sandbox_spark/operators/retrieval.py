@@ -579,8 +579,127 @@ FROM dw GROUP BY w
 """
 
 
+def corpus_source_jsd(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between source domains' word
+    distributions — the corpus-mix diagnostic behind "which domains are
+    interchangeable and which add new text" (JSD is symmetric, finite
+    even on disjoint vocabularies, and √JSD is a metric — the standard
+    domain-similarity measure in data-mixture work).
+
+    Determinism: the per-(pair, word) term p·ln(p/m) + q·ln(q/m)
+    (m = (p+q)/2; absent side contributes 0 by the 0·ln 0 limit) is ONE
+    shared double expression quantized to 1e-9 nats, so the per-pair
+    fold is exact integer summation — order-free across engines (the
+    kl_hourly_drift convention).
+
+    Scale shape: one (source, word) token shuffle with map-side combine
+    (output = per-source vocabularies); the pair grid is (|pairs| ×
+    vocab) built from bounded frames — 190×31 here. A web-scale vocab
+    would make the DENSE grid |pairs|·|vocab|; the sparse alternative
+    (union of the two sources' words per pair via two anti-joins) has
+    the same algebra — the dense form is kept while grids stay far
+    below fact size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).cache()
+    totals = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    srcs = totals.select(F.col("source").alias("s"), F.col("n"))
+    pairs = (
+        srcs.select(F.col("s").alias("src_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(srcs.select(F.col("s").alias("src_b"), F.col("n").alias("n_b")))
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    vocab = sw.select("w").distinct()
+    grid = pairs.crossJoin(F.broadcast(vocab))
+    ca = sw.select(F.col("source").alias("src_a"), "w", F.col("c").alias("c_a"))
+    cb = sw.select(F.col("source").alias("src_b"), "w", F.col("c").alias("c_b"))
+    j = (
+        grid.join(ca, ["src_a", "w"], "left")
+        .join(cb, ["src_b", "w"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+        .filter((F.col("c_a") + F.col("c_b")) > 0)
+    )
+    p = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    q = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(F.col("c_a") > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c_b") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    t_fp = F.round(F.lit(1e9) * term).cast("bigint")
+    return (
+        j.select("src_a", "src_b", t_fp.alias("t"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("t").alias("s"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("s").cast("double") / F.lit(2e9), 6).alias("jsd_nats"),
+        )
+    )
+
+
+SOURCE_JSD_ORACLE = """
+WITH sw AS (
+  SELECT source, w, count(*) AS c
+  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY 1, 2),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sw GROUP BY 1),
+pairs AS (
+  SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+  FROM totals a JOIN totals b ON a.source < b.source),
+vocab AS (SELECT DISTINCT w FROM sw),
+grid AS (SELECT * FROM pairs CROSS JOIN vocab),
+j AS (
+  SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+         COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b, g.w
+  FROM grid g
+  LEFT JOIN sw ca ON ca.source = g.src_a AND ca.w = g.w
+  LEFT JOIN sw cb ON cb.source = g.src_b AND cb.w = g.w
+  WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0),
+terms AS (
+  SELECT src_a, src_b,
+         CAST(round(1e9 * (
+           CASE WHEN c_a > 0 THEN
+             (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             * ln((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                  / ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      + CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0))
+           ELSE 0.0 END
+           +
+           CASE WHEN c_b > 0 THEN
+             (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             * ln((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      + CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0))
+           ELSE 0.0 END)) AS BIGINT) AS t
+  FROM j)
+SELECT src_a, src_b,
+       round(CAST(sum(t) AS DOUBLE) / 2e9, 6) AS jsd_nats
+FROM terms GROUP BY 1, 2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("corpus_zipf_fit", corpus_zipf_fit, ZIPF_ORACLE),
+    QuerySpec("corpus_source_jsd", corpus_source_jsd, SOURCE_JSD_ORACLE),
     QuerySpec(
         "corpus_word_burstiness", corpus_word_burstiness, WORD_BURSTINESS_ORACLE
     ),

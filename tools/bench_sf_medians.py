@@ -127,6 +127,7 @@ QUERIES = [
     "orders_seasonality_decomposition",
     "events_user_fano_dispersion",
     "corpus_word_burstiness",
+    "corpus_source_jsd",
     # embedding_pca_power_iteration is EXCLUDED: its three iterations run
     # eagerly at plan-build time (per-iteration bounded collects), so the
     # noop-sink action would time only the final 64-row literal frame —
