@@ -342,3 +342,20 @@ def test_branch_duplicate_create_conflicts(spark, t):
     t.create_branch("dup")
     with pytest.raises(CommitConflict):
         t.create_branch("dup")
+
+
+def test_two_branches_first_ff_wins(spark, t):
+    """Two branches forked from the same snapshot: the first
+    fast-forward lands; the second now targets a moved main and must
+    conflict (its work is preserved on the branch for a manual rebase
+    or drop) — the multi-writer contract at branch granularity."""
+    t.create_branch("a")
+    t.create_branch("b")
+    t.branch_append("a", spark.createDataFrame([(400, 0)], "id long, v long"))
+    t.branch_append("b", spark.createDataFrame([(500, 0)], "id long, v long"))
+    t.fast_forward("a")
+    assert t.read().count() == 11
+    with pytest.raises(CommitConflict):
+        t.fast_forward("b")
+    assert t.read_branch("b").filter(F.col("id") == 500).count() == 1  # preserved
+    t.drop_branch("b")
