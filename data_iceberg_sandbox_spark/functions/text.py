@@ -9,7 +9,15 @@ from pyspark.sql import functions as F
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization."""
+    """Whitespace tokenization.
+
+    Data contract: the DuckDB oracles across the dedup/text family
+    tokenize with string_split(text, ' '), so equivalence relies on
+    single-space-separated text (true of the generated corpus — no
+    tabs/newlines/runs of spaces). Text with consecutive whitespace
+    would produce an empty-string token here ( \\s+ collapses; ' '
+    does not ) and diverge; normalize with regexp_replace(text,
+    '\\\\s+', ' ') upstream before trusting cross-engine hashes."""
     return F.split(text, r"\s+")
 
 

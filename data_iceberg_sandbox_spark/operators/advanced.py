@@ -208,7 +208,14 @@ def asof_nearest_order(spark, sf_dir):
     accident. The before bit sits BELOW the distance so equal-distance
     prefers before; ANSI multiply-overflow fails loud past year-2262
     distances. Left-join misses propagate NULL through the packing —
-    one all-null row per unmatched event."""
+    one all-null row per unmatched event.
+
+    Contract: o_orderkey must be < 2^32 (holds through ~sf700, same
+    bound asof_latest_order documents). Beyond that the key bleeds into
+    the after-bit/distance fields and the addition corrupts the decode
+    WITHOUT tripping ANSI overflow — only the delta multiply is
+    guarded by ANSI. Scale past sf700 requires widening to two packed
+    columns or a struct-ordering argmin."""
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     e_sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")

@@ -270,13 +270,17 @@ def d_branch_fast_forward(spark, sf_dir):
     t.create_branch("ingest")
     t.branch_append("ingest", orders.filter(F.col("o_orderkey") % 4 == 1))
     t.branch_append("ingest", orders.filter(F.col("o_orderkey") % 4 == 2))
-    assert t.read().count() < t.read_branch("ingest").count()  # invisible
+    # Explicit raises (not bare asserts) so the audits survive python -O,
+    # matching the poisoned-branch gate below.
+    if not t.read().count() < t.read_branch("ingest").count():
+        raise AssertionError("branch appends leaked into main readers")
     n_bad = (
         t.read_branch("ingest")
         .filter(F.col("o_orderkey").isNull() | (F.col("o_totalprice") <= 0))
         .count()
     )
-    assert n_bad == 0
+    if n_bad != 0:
+        raise AssertionError(f"branch audit found {n_bad} bad rows")
     t.fast_forward("ingest")
 
     t.create_branch("poisoned")

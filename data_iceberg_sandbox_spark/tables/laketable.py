@@ -1415,9 +1415,10 @@ class LakeTable:
         staged = self._staged_manifest(token)
         parent = self.manifest(staged.parent)
         staged_seq = parent.version + 1
+        parent_set = set(parent.files)
         file_seq = {
             f: parent.file_seq.get(f, parent.version)
-            if f in set(parent.files)
+            if f in parent_set
             else staged_seq
             for f in staged.files
         }
@@ -1510,8 +1511,14 @@ class LakeTable:
             timestamp_ms=int(time.time() * 1000),
             files=sorted(bm.files + new_files),
         )
-        with open(self._branch_path(name), "w", encoding="utf-8") as f:
+        # Atomic pointer update: write a temp file then os.replace(), so a
+        # crash mid-write never leaves a truncated branch ref (same
+        # discipline as _commit's atomic pointer replace for main).
+        path = self._branch_path(name)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(updated.to_json())
+        os.replace(tmp, path)
         return self
 
     def read_branch(self, name: str) -> DataFrame:
@@ -1521,9 +1528,10 @@ class LakeTable:
         bm = self._branch_manifest(name)
         fork = self.manifest(bm.parent)
         branch_seq = fork.version + 1
+        fork_set = set(fork.files)
         file_seq = {
             f: fork.file_seq.get(f, fork.version)
-            if f in set(fork.files)
+            if f in fork_set
             else branch_seq
             for f in bm.files
         }
