@@ -116,7 +116,20 @@ def main() -> None:
     # the resident-engine shape (DuckDB equally serves these 17 MB from
     # its buffer manager / OS page cache); at cluster scale the analog
     # is hot-table caching on the executors.
+    #
+    # BALANCE the pin: the testdata parquet is written as a single row
+    # group per table, so byte-range splits collapse onto ONE task — a
+    # cache built straight off the scan holds all of lineitem in one
+    # partition and every downstream query runs single-threaded (we
+    # measured the r9 suite doing exactly that: 600k-row agg 0.158 s
+    # skewed vs 0.065 s balanced). A one-time round-robin repartition at
+    # pin time (~40k rows/partition, capped at 16 — the measured sweet
+    # spot; 32+ partitions re-pay per-task overhead) is the cluster
+    # analog of caching a hot table with sane partitioning.
+    import math as _math
+
     from data_iceberg_sandbox_spark.sources.registry import load_table as _lt
+    from data_iceberg_sandbox_spark.sources.registry import pin_table as _pin
 
     _pinned = []
     for t in (
@@ -124,9 +137,13 @@ def main() -> None:
         "part", "events", "documents", "embeddings",
     ):
         try:
-            df = _lt(spark, sf_dir, t).cache()
+            raw = _lt(spark, sf_dir, t)
+            k = max(1, min(16, _math.ceil(raw.count() / 40_000)))
+            df = raw.repartition(k).cache()
             df.count()
-            _pinned.append(df)
+            # route every later load_table() at this plan, so queries hit
+            # the balanced in-memory relation instead of the skewed scan
+            _pinned.append(_pin(spark, sf_dir, t, df))
         except Exception:
             pass
 

@@ -35,9 +35,19 @@ from pyspark.sql import functions as F
 
 def fixed(col: Column | str, scale: int = 2) -> Column:
     """Scale a money/rate column to an exact BIGINT at ``scale`` decimal
-    places (``round`` first: the double 1234.56*100 is 123455.999…)."""
+    places.
+
+    Implemented as ``floor(x·10^scale + 0.5)`` rather than ``round``:
+    Spark's Round on DOUBLE allocates a java.math.BigDecimal per row
+    (measured ~15% of q1's whole runtime at sf0.1), while floor stays a
+    single Math.floor in codegen. The two agree exactly for any input
+    whose true value fits the scale — x·10^scale then lands within
+    ~1e-9 of an integer k (the double 1234.56*100 is 123455.999…), so
+    +0.5 can never reach the next half-integer boundary, and floor
+    recovers k for negative values too (a bare BIGINT cast would
+    truncate toward zero and break negatives; floor does not)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * (10**scale)).cast("bigint")
+    return F.floor(c * (10**scale) + F.lit(0.5)).cast("bigint")
 
 
 def unscale(sum_col: Column, scale: int) -> Column:

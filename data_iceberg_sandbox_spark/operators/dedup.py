@@ -693,25 +693,33 @@ def doc_ngram_novelty(spark, sf_dir):
     even when no single pair crosses a whole-doc Jaccard threshold —
     the signal doc-level `dedup_ngram_jaccard` cannot see.
 
-    Scale shape (reworked same-session after the first sf10 run showed
-    202 s): per-doc dedup happens IN-ARRAY (array_distinct before the
-    explode — the containment trick, replacing a (doc, string)-keyed
-    distinct SHUFFLE with a per-row projection), and shingles ride as
-    md5-derived 60-bit BIGINTs (8-byte shuffle keys instead of ~50-byte
-    strings; the oracle hashes identically, so a collision merges the
-    same counts on both sides — the dedup-family convention). What
+    Scale shape (reworked r7 after the first sf10 run showed 202 s,
+    re-reworked r10 per VERDICT): per-doc dedup happens IN-ARRAY
+    (array_distinct before the explode — the containment trick,
+    replacing a (doc, string)-keyed distinct SHUFFLE with a per-row
+    projection), and shingles ride as xxhash64 BIGINTs (8-byte shuffle
+    keys, JVM-native — replacing the md5→hex→conv chain that was ~40%
+    of runtime; divergence analysis at the selectExpr below). What
     remains: ONE hash-keyed shuffle for document frequencies (map-side
     combined), one join back on the same key, one doc_id fold.
-    Measured sf10: 202 s (string keys, contended box) → 31–53 s
-    (median 44 s, idle) vs DuckDB 13.7 s."""
+    Measured sf10: 202 s (string keys) → 44 s median (md5 longs) →
+    see BENCH_SF_MEDIANS for the xxhash64 capture; DuckDB 13.7 s."""
     docs = load_table(spark, sf_dir, "documents")
     warr = docs.select("doc_id", words(F.col("text")).alias("w"))
+    # Shingle key = xxhash64 (JVM-native long hash, no hex string round
+    # trip): the md5→conv→parse chain was ~40% of this operator's sf10
+    # runtime. The hash never reaches the output — it only buckets
+    # identical shingles — so the oracle keeping its md5-60 key yields
+    # the SAME (doc_id, n_shingles, n_shared) rows unless one engine
+    # collides where the other doesn't: P ≈ n²/2⁶⁵ ≈ 6e-5 at sf10's
+    # 46M shingles (1e-10 at the sf0.01 gate), and a collision would
+    # trip the hash gate loudly, never silently.
     ds = warr.selectExpr(
         "doc_id",
         f"explode(array_distinct({_shingle_arr_sql(8)})) AS sh_str",
     ).selectExpr(
         "doc_id",
-        "CAST(conv(substring(md5(sh_str), 1, 15), 16, 10) AS BIGINT) AS sh",
+        "xxhash64(sh_str) AS sh",
     )
     dfreq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per = (

@@ -358,14 +358,11 @@ def lm_perplexity_score(spark, sf_dir):
     broadcast assumption, so it scales past any driver limit); (4) one
     doc-keyed fold. Memory is bounded by per-doc distinct terms and
     the vocab partition, never the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .tokenbase import token_frame
+
     tc = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-            ).alias("term"),
-        )
+        token_frame(spark, sf_dir)
+        .select("doc_id", F.explode("arr").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -530,12 +527,14 @@ def lm_bigram_perplexity(spark, sf_dir):
     combine, vocabulary-grain reductions, one bigram-keyed join back
     (no broadcast assumption on the bigram vocab), one doc fold —
     the lm_perplexity_score shape one order higher."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize arr and guard size >= 2 BEFORE the slices: F.slice with a
-    # negative length (empty/NULL text → size 0 or −1) throws at runtime, and
-    # the oracle's `WHERE len(arr) >= 2` would otherwise be asymmetric.
+    from .tokenbase import token_frame
+
+    # Guard size >= 2 BEFORE the slices: F.slice with a negative length
+    # (empty/NULL text → size 0 or −1) throws at runtime, and the
+    # oracle's `WHERE len(arr) >= 2` would otherwise be asymmetric.
     tc = (
-        docs.select("doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("arr"))
+        token_frame(spark, sf_dir)
+        .select("doc_id", "arr")
         .filter(F.size("arr") >= 2)
         .select(
             "doc_id",

@@ -99,3 +99,76 @@ def test_avro_registry_rejects_changed_schema():
     # original binding untouched and still resolvable
     assert reg.register("s", '{"type": "record1"}') == a
     assert reg.get_by_id(a) == '{"type": "record1"}'
+
+
+GOLDEN_WIRE_RECORDS = [
+    # Confluent wire format (magic 0x00, big-endian schema id) + Avro body
+    # per the Avro 1.11 binary spec for the reference's transaction.avsc
+    # (card_id string, amount bytes-decimal(28,4), ts timestamp-micros).
+    # Bytes derived BY HAND from the two public specs (zigzag varints,
+    # length-prefixed utf8/bytes, two's-complement big-endian unscaled
+    # decimal) — independently of avro_codec, so agreement proves the
+    # codec against the wire contract, not against itself.
+    (
+        "000000000110636172645f3132330612d6878080f28183898506",
+        ("card_123", "123.4567", 1_700_000_000_000_000, 1),
+    ),
+    (
+        # unscaled 40000 = 0x9C40 has its high bit set → the spec's
+        # two's-complement encoding needs a 0x00 pad byte (3-byte body)
+        "000000000110636172645f37383906009c408089ec9af9c28006",
+        ("card_789", "4.0000", 1_690_000_000_123_456, 1),
+    ),
+    (
+        # different schema id in the frame (7) + 1-µs timestamp
+        "000000000710636172645f323334060f424002",
+        ("card_234", "100.0000", 1, 7),
+    ),
+]
+
+
+def test_avro_codec_decodes_golden_confluent_frames():
+    """Golden-bytes contract (VERDICT r9 #8): hand-derived
+    Confluent-framed Avro records decode bit-exactly, and re-encoding
+    the decoded values reproduces the identical frames."""
+    from decimal import Decimal
+
+    from data_iceberg_sandbox_spark.sources.avro_codec import (
+        decode_transaction,
+        encode_transaction,
+    )
+
+    for hexpayload, (card, amount, ts, sid) in GOLDEN_WIRE_RECORDS:
+        payload = bytes.fromhex(hexpayload)
+        got = decode_transaction(payload)
+        assert got == (card, Decimal(amount), ts, sid)
+        assert encode_transaction(card, Decimal(amount), ts, sid) == payload
+
+
+def test_avro_golden_frames_through_spark_decode(spark):
+    """The mapInPandas decode path (from_avro analog) over the golden
+    frames: typed rows out, schema ids preserved, no broker needed."""
+    from decimal import Decimal
+
+    rows = [(bytes.fromhex(h),) for h, _ in GOLDEN_WIRE_RECORDS]
+    df = spark.createDataFrame(rows, "value binary")
+    from data_iceberg_sandbox_spark.sources.avro_codec import (
+        decode_transactions,
+    )
+
+    out = {
+        r["card_id"]: r
+        for r in decode_transactions(df).collect()
+    }
+    assert len(out) == len(GOLDEN_WIRE_RECORDS)
+    for _, (card, amount, ts, sid) in GOLDEN_WIRE_RECORDS:
+        r = out[card]
+        assert r["amount"] == Decimal(amount)
+        assert r["schema_id"] == sid
+        # TIMESTAMP under the UTC-pinned session: epoch micros match
+        # (round, not truncate: float seconds carry ~0.1 µs error)
+        epoch_us = round(
+            r["ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()
+            * 1_000_000
+        )
+        assert epoch_us == ts

@@ -174,12 +174,25 @@ def main() -> None:
             "spark.sql.adaptive.enabled": "false",
         },
     )
+    # Balanced pin (r10): parquet row groups bound scan parallelism —
+    # sf10 documents.parquet has FIVE row groups (embeddings two), so a
+    # cache built straight off the scan runs every document/embedding
+    # query ≤5-way parallel on a 32-core box; this was the dominant
+    # term of the r9 sf10 tail (doc_ngram_novelty 31.9 s, pmi 15.7 s).
+    # One round-robin repartition at pin time fixes the layout once.
+    import math as _math
+
+    from data_iceberg_sandbox_spark.sources.registry import pin_table
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     pinned = []
     for t in TABLES:
         try:
-            df = load_table(spark, sf_dir, t).cache()
+            raw = load_table(spark, sf_dir, t)
+            k = max(1, min(cpus, _math.ceil(raw.count() / 5_000)))
+            df = raw.repartition(k).cache()
             df.count()
-            pinned.append(df)
+            pinned.append(pin_table(spark, sf_dir, t, df))
         except Exception:
             pass
 
