@@ -126,26 +126,14 @@ def main() -> None:
     # pin time (~40k rows/partition, capped at 16 — the measured sweet
     # spot; 32+ partitions re-pay per-task overhead) is the cluster
     # analog of caching a hot table with sane partitioning.
-    import math as _math
+    # Keyed layout (registry.pin_balanced): each fact hash-clustered by
+    # its canonical key — the bucketed-table shape — so orderkey joins
+    # and per-user windows start exchange-free. Cap 16 / 40k-row slices:
+    # the measured sf0.1 sweet spot (32+ partitions re-pay per-task
+    # overhead at this scale).
+    from data_iceberg_sandbox_spark.sources.registry import pin_balanced as _pb
 
-    from data_iceberg_sandbox_spark.sources.registry import load_table as _lt
-    from data_iceberg_sandbox_spark.sources.registry import pin_table as _pin
-
-    _pinned = []
-    for t in (
-        "lineitem", "orders", "customer", "supplier", "nation", "region",
-        "part", "events", "documents", "embeddings",
-    ):
-        try:
-            raw = _lt(spark, sf_dir, t)
-            k = max(1, min(16, _math.ceil(raw.count() / 40_000)))
-            df = raw.repartition(k).cache()
-            df.count()
-            # route every later load_table() at this plan, so queries hit
-            # the balanced in-memory relation instead of the skewed scan
-            _pinned.append(_pin(spark, sf_dir, t, df))
-        except Exception:
-            pass
+    _pinned = _pb(spark, sf_dir, cpus=16, min_rows_per_slice=40_000)
 
     def materialize(df) -> None:
         # noop sink: executes the full plan and materializes every result

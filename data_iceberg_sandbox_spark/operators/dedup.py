@@ -697,33 +697,37 @@ def doc_ngram_novelty(spark, sf_dir):
     re-reworked r10 per VERDICT): per-doc dedup happens IN-ARRAY
     (array_distinct before the explode — the containment trick,
     replacing a (doc, string)-keyed distinct SHUFFLE with a per-row
-    projection), and shingles ride as xxhash64 BIGINTs (8-byte shuffle
-    keys, JVM-native — replacing the md5→hex→conv chain that was ~40%
-    of runtime; divergence analysis at the selectExpr below). What
-    remains: ONE hash-keyed shuffle for document frequencies (map-side
-    combined), one join back on the same key, one doc_id fold.
-    Measured sf10: 202 s (string keys) → 44 s median (md5 longs) →
-    see BENCH_SF_MEDIANS for the xxhash64 capture; DuckDB 13.7 s."""
+    projection); shingles ride as xxhash64 BIGINTs hashed STRAIGHT OFF
+    the word-array slice (8-byte shuffle keys, no 50-byte concat ever
+    materializes; divergence analysis below); and document frequencies
+    come from a COUNT-OVER window on the shingle key instead of a
+    groupBy + join back — same single hash-partitioning of the
+    exploded pairs, but the 46M-row frame materializes once, not
+    twice. Measured sf10: 202 s (string keys, join) → 13.6 s (hashed
+    keys, join) → 6.6 s (window) vs DuckDB 13.1 s — crossover class.
+    """
     docs = load_table(spark, sf_dir, "documents")
     warr = docs.select("doc_id", words(F.col("text")).alias("w"))
-    # Shingle key = xxhash64 (JVM-native long hash, no hex string round
-    # trip): the md5→conv→parse chain was ~40% of this operator's sf10
-    # runtime. The hash never reaches the output — it only buckets
-    # identical shingles — so the oracle keeping its md5-60 key yields
-    # the SAME (doc_id, n_shingles, n_shared) rows unless one engine
-    # collides where the other doesn't: P ≈ n²/2⁶⁵ ≈ 6e-5 at sf10's
-    # 46M shingles (1e-10 at the sf0.01 gate), and a collision would
-    # trip the hash gate loudly, never silently.
+    # Shingle key = xxhash64 OF THE SLICE (JVM-native hash over the 8
+    # words, element-wise — no joined string is ever built; word
+    # boundaries hash distinctly, which words() guarantees anyway since
+    # tokens never contain the joiner space). The key never reaches
+    # the output — it only buckets identical shingles — so the oracle
+    # keeping its md5-60 string key yields the SAME (doc_id,
+    # n_shingles, n_shared) rows unless one engine collides where the
+    # other doesn't: P ≈ n²/2⁶⁵ ≈ 6e-5 at sf10's 46M shingles (1e-10
+    # at the sf0.01 gate), and a collision would trip the hash gate
+    # loudly, never silently. Short docs (<8 words) contribute their
+    # whole word array as one shingle, matching _shingle_arr_sql.
     ds = warr.selectExpr(
         "doc_id",
-        f"explode(array_distinct({_shingle_arr_sql(8)})) AS sh_str",
-    ).selectExpr(
-        "doc_id",
-        "xxhash64(sh_str) AS sh",
+        "explode(array_distinct("
+        "CASE WHEN size(w) >= 8 THEN "
+        "transform(sequence(0, size(w) - 8), i -> xxhash64(slice(w, i + 1, 8))) "
+        "ELSE array(xxhash64(w)) END)) AS sh",
     )
-    dfreq = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per = (
-        ds.join(dfreq, "sh")
+        ds.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

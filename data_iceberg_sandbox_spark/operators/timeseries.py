@@ -557,10 +557,14 @@ def orders_open_backlog_daily(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         F.to_date("o_orderdate").alias("d0")
     )
+    # max over the RAW timestamp (primitive-long fast path), truncated
+    # to day once per group: to_date is monotone, so
+    # max(to_date(x)) == to_date(max(x)) — saves one per-row conversion
+    # on the full fact (60M evals → 15M at sf10).
     last_ship = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("d1"))
     )
     opens = o.groupBy(F.col("d0").alias("day")).agg(
         F.count(F.lit(1)).alias("opened")

@@ -875,13 +875,19 @@ def q18_large_volume_customers(spark, sf_dir):
     sum (double sum order-dependence would flip borderline orders
     between engines). TakeOrderedAndProject carries the top-100 with a
     unique o_orderkey tie-break — no global sort materializes."""
+    # Quantity sums ride BIGINT hundredths, not DECIMAL(12,2): the
+    # decimal sum's precision-22 buffer falls off HashAggregate's
+    # primitive fast path into per-row BigDecimal allocation — measured
+    # as a GC storm at sf10 (first post-pin run 103 s; the corr
+    # operator documents the same 8× decimal-state pathology). The
+    # cents filter >23000 is the exact integer twin of >230.00, and
+    # cents/100.0 emits the identical correctly-rounded double the
+    # oracle's decimal→double cast produces.
     big = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast(PRICE)).alias("_sum_qty")
-        )
-        .filter(F.col("_sum_qty") > F.lit(230).cast(PRICE))
+        .agg(F.sum(fixed("l_quantity")).alias("_sum_qty_c"))
+        .filter(F.col("_sum_qty_c") > F.lit(23000))
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -894,7 +900,7 @@ def q18_large_volume_customers(spark, sf_dir):
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("_sum_qty").cast("double").alias("sum_qty"),
+            (F.col("_sum_qty_c").cast("double") / F.lit(100.0)).alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)

@@ -115,6 +115,78 @@ def pin_table(
     return df
 
 
+# Canonical hash-partitioning key per fact table — the storage analog
+# is BUCKETING: cache hot facts clustered by their primary join/agg key
+# so orderkey joins (lineitem⋈orders), per-order aggregates (q18,
+# backlog), and per-user windows (sessionize, rolling z-score, funnel)
+# start from a satisfying HashPartitioning and need NO exchange. Every
+# key is high-cardinality (weakest: events.user_id, 1.5k/sf0.1 — ~50
+# rows per user per partition at 32 slices), so hash layout is as
+# balanced as round-robin was.
+PIN_KEYS: dict[str, str] = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# Tables that must share ONE partition count so their equi-join keys
+# co-partition (zero-exchange sort-merge): lineitem⋈orders on orderkey.
+_CO_PARTITION = ("lineitem", "orders")
+
+
+def pin_balanced(
+    spark: SparkSession,
+    sf_dir: str,
+    cpus: int | None = None,
+    min_rows_per_slice: int = 5_000,
+) -> list[DataFrame]:
+    """Cache every registry table with a balanced, KEYED layout and pin it.
+
+    Parquet row groups bound scan parallelism: the driver testdata is
+    ONE row group per table (sf10 documents has five, embeddings two),
+    so a cache built straight off the scan leaves whole tables in a
+    handful of partitions and every downstream query runs ≤5-way on a
+    32-core box — the dominant term of the round-9 sf10 tail. The
+    repartition at pin time fixes the layout once, and it hash-clusters
+    each fact by its canonical key (PIN_KEYS — the bucketed-table
+    shape) so orderkey/user_id shuffles vanish from the hot queries;
+    lineitem and orders share a partition count so their join
+    co-partitions. Tiny dims stay single-partition so broadcast builds
+    don't pay a shuffle. Returns the pinned frames (hold them to keep
+    the caches alive)."""
+    import math
+
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+
+    def natural_k(raw: DataFrame) -> int:
+        return max(1, min(cpus, math.ceil(raw.count() / min_rows_per_slice)))
+
+    raws: dict[str, DataFrame] = {}
+    for t in TABLES:
+        try:
+            raws[t] = load_table(spark, sf_dir, t)
+        except Exception:
+            continue
+    co_k = max(
+        (natural_k(raws[t]) for t in _CO_PARTITION if t in raws), default=1
+    )
+    pinned: list[DataFrame] = []
+    for t, raw in raws.items():
+        k = co_k if t in _CO_PARTITION else natural_k(raw)
+        key = PIN_KEYS.get(t)
+        part = raw.repartition(k, F.col(key)) if key and k > 1 else raw.repartition(k)
+        df = part.cache()
+        df.count()
+        pinned.append(pin_table(spark, sf_dir, t, df))
+    return pinned
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -25,7 +25,7 @@ def main() -> None:
     runs = int(os.environ.get("RUNS", "5"))
 
     from data_iceberg_sandbox_spark.session import get_spark_session
-    from data_iceberg_sandbox_spark.sources.registry import TABLES, load_table
+    from data_iceberg_sandbox_spark.sources.registry import TABLES, pin_balanced
 
     import __spark_entry__ as entry_mod
 
@@ -36,14 +36,10 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
-    pinned = []
-    for t in TABLES:
-        try:
-            df = load_table(spark, sf_dir, t).cache()
-            df.count()
-            pinned.append(df)
-        except Exception:
-            pass
+    # Balanced pin (see registry.pin_balanced): row-group-bound scan
+    # parallelism made the r9 subset captures run document/embedding
+    # queries ≤5-way; same fix as the full-capture tool.
+    pinned = pin_balanced(spark, sf_dir)
 
     def run_once(df) -> float:
         t0 = time.perf_counter()

@@ -153,7 +153,7 @@ def main() -> None:
     out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SF_MEDIANS.json"
 
     from data_iceberg_sandbox_spark.session import get_spark_session
-    from data_iceberg_sandbox_spark.sources.registry import TABLES, load_table
+    from data_iceberg_sandbox_spark.sources.registry import TABLES
 
     import __spark_entry__ as entry_mod
 
@@ -180,21 +180,9 @@ def main() -> None:
     # query ≤5-way parallel on a 32-core box; this was the dominant
     # term of the r9 sf10 tail (doc_ngram_novelty 31.9 s, pmi 15.7 s).
     # One round-robin repartition at pin time fixes the layout once.
-    import math as _math
+    from data_iceberg_sandbox_spark.sources.registry import pin_balanced
 
-    from data_iceberg_sandbox_spark.sources.registry import pin_table
-
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-    pinned = []
-    for t in TABLES:
-        try:
-            raw = load_table(spark, sf_dir, t)
-            k = max(1, min(cpus, _math.ceil(raw.count() / 5_000)))
-            df = raw.repartition(k).cache()
-            df.count()
-            pinned.append(pin_table(spark, sf_dir, t, df))
-        except Exception:
-            pass
+    pinned = pin_balanced(spark, sf_dir)
 
     def run_once(df) -> float:
         t0 = time.perf_counter()
