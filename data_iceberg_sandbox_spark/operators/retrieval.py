@@ -577,6 +577,100 @@ def corpus_word_burstiness(spark, sf_dir):
     )
 
 
+def corpus_simpson_diversity(spark, sf_dir):
+    """Per-source Simpson index over the word distribution — the
+    repeat-probability Σ c_w(c_w−1)/(N(N−1)): the concentration
+    diagnostic behind "is this domain template-heavy or lexically
+    broad" (low D = diverse vocabulary, high D = a few words dominate;
+    1/D is the effective vocabulary size used in data-mixture work).
+
+    Exactness: counts only until the very last step — c(c−1) terms are
+    decimal-exact integer products summed at WORD grain (vocabulary-
+    bounded rows, not the token firehose, so the decimal fold costs
+    nothing), and the single double division of two exact integers is
+    correctly rounded on both engines. Scale shape: one (source, word)
+    shuffle with map-side combine, then a source-grain fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    wc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(F.col("c").cast(dec) * (F.col("c") - 1).cast(dec)).alias("s2"),
+    )
+    denom = F.col("n_tokens").cast(dec) * (F.col("n_tokens") - 1).cast(dec)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        F.round(
+            F.col("s2").cast("double") / denom.cast("double"), 12
+        ).alias("simpson"),
+    )
+
+
+SIMPSON_ORACLE = """
+WITH wc AS (
+  SELECT source, w, count(*) AS c
+  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY 1, 2),
+agg AS (
+  SELECT source, sum(c) AS n_tokens, count(*) AS n_vocab,
+         sum(c * (c - 1)) AS s2
+  FROM wc GROUP BY 1)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_vocab,
+       round(CAST(s2 AS DOUBLE)
+             / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 12) AS simpson
+FROM agg
+"""
+
+
+def corpus_source_dup_inflation(spark, sf_dir):
+    """Per-source exact-duplicate inflation: how many raw documents
+    each source contributes vs how many UNIQUE texts — the
+    which-domain-is-flooding-us diagnostic a crawl pipeline checks
+    before mixture weights are set (a source at 3× inflation gets its
+    weight divided by 3, or its dups dropped by `dedup_exact`).
+
+    Spark-side texts collapse to xxhash64 keys before the shuffle
+    (8-byte keys, the doc_ngram_novelty convention: the key never
+    reaches the output, and a collision vs the oracle's true DISTINCT
+    would trip the hash gate loudly); the oracle counts DISTINCT text
+    directly. One (source, hash) shuffle with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.xxhash64("text").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_share"),
+    )
+
+
+DUP_INFLATION_ORACLE = """
+SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_share
+FROM documents GROUP BY source
+"""
+
+
 WORD_BURSTINESS_ORACLE = """
 WITH dw AS (
   SELECT doc_id, w, count(*) AS c
@@ -719,4 +813,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tfidf_top_term", tfidf_top_term, TFIDF_TOP_TERM_ORACLE),
     QuerySpec("doc_chunk_sliding", doc_chunk_sliding, DOC_CHUNK_ORACLE),
     QuerySpec("corpus_pmi_collocations", corpus_pmi_collocations, PMI_ORACLE),
+    QuerySpec(
+        "corpus_simpson_diversity", corpus_simpson_diversity, SIMPSON_ORACLE
+    ),
+    QuerySpec(
+        "corpus_source_dup_inflation",
+        corpus_source_dup_inflation,
+        DUP_INFLATION_ORACLE,
+    ),
 ]

@@ -952,7 +952,82 @@ FROM r LEFT JOIN idx ON r.moy = idx.moy
 """
 
 
+def order_fulfillment_latency(spark, sf_dir):
+    """Order-to-last-shipment latency per order priority: order count,
+    exact mean days, and the exact (lower) median days — the SLA /
+    fulfillment-health rollup an ops dashboard runs hourly. Orders
+    with no lineitems (257 exist in this data, see
+    orders_open_backlog_daily) have no shipment and are excluded by
+    the inner join — truthfully "never fulfilled", not latency 0.
+
+    Scale shape: the per-order max-shipdate aggregate and the orders
+    join are BOTH orderkey-grain (zero-exchange under the keyed cache
+    pin; one orderkey shuffle cold); per-order rows then collapse to a
+    (priority × latency-day) histogram — calendar-bounded ~5×2500
+    cells — where the mean comes from Σ(lat·cnt)/Σcnt in exact integer
+    algebra and the median is the order statistic over the cumulative
+    window, never a per-row sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d0"),
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.to_date(F.max("l_shipdate")).alias("d1"))
+    )
+    lat = o.join(last_ship, o.o_orderkey == last_ship.l_orderkey).select(
+        "o_orderpriority", F.datediff("d1", "d0").alias("lat")
+    )
+    hist = lat.groupBy("o_orderpriority", "lat").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wp = W.partitionBy("o_orderpriority")
+    cum = (
+        hist.withColumn(
+            "cum", F.sum("cnt").over(wp.orderBy("lat"))
+        )
+        .withColumn("tot", F.sum("cnt").over(wp))
+        .withColumn("s", F.sum(F.col("lat").cast("bigint") * F.col("cnt")).over(wp))
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("tot").alias("n_orders"),
+        F.round(
+            F.max("s").cast("double") / F.max("tot").cast("double"), 6
+        ).alias("avg_days"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("lat"))
+        ).cast("bigint").alias("p50_days"),
+    )
+
+
+FULFILLMENT_ORACLE = """
+WITH ls AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS d1
+            FROM lineitem GROUP BY 1),
+lat AS (SELECT o_orderpriority,
+               datediff('day', CAST(o_orderdate AS DATE), d1) AS lat
+        FROM orders JOIN ls ON o_orderkey = l_orderkey),
+hist AS (SELECT o_orderpriority, lat, count(*) AS cnt FROM lat GROUP BY 1, 2),
+cum AS (SELECT o_orderpriority, lat, cnt,
+               sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lat
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY o_orderpriority) AS tot,
+               sum(lat * cnt) OVER (PARTITION BY o_orderpriority) AS s
+        FROM hist)
+SELECT o_orderpriority, CAST(max(tot) AS BIGINT) AS n_orders,
+       round(CAST(max(s) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS avg_days,
+       CAST(min(CASE WHEN 2 * cum >= tot THEN lat END) AS BIGINT) AS p50_days
+FROM cum GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "order_fulfillment_latency",
+        order_fulfillment_latency,
+        FULFILLMENT_ORACLE,
+    ),
     QuerySpec("events_gap_fill_locf", events_gap_fill_locf, GAP_FILL_ORACLE),
     QuerySpec(
         "session_length_quantiles",

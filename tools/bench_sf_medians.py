@@ -128,6 +128,10 @@ QUERIES = [
     "events_user_fano_dispersion",
     "corpus_word_burstiness",
     "corpus_source_jsd",
+    # round-10 additions
+    "order_fulfillment_latency",
+    "corpus_simpson_diversity",
+    "corpus_source_dup_inflation",
     # embedding_pca_power_iteration is EXCLUDED: its three iterations run
     # eagerly at plan-build time (per-iteration bounded collects), so the
     # noop-sink action would time only the final 64-row literal frame —
@@ -151,6 +155,23 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf10"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SF_MEDIANS.json"
+    # optional 4th arg "i:j" — measure only QUERIES[i:j]. Used by
+    # bench_sf_medians_chunked.py to run every chunk in a FRESH JVM:
+    # a single 91-query session accumulates heap/codegen pressure that
+    # inflated mid-suite queries 2-4× over their clean-session numbers
+    # (q1 run spread 0.77-5.0 s within one 5-run set; corr 2.1 s in a
+    # 12-query session vs 6-10 s mid-big-session — measured r10).
+    # "i:j" = slice of QUERIES; "name1,name2" = explicit repair list
+    # (used to re-measure rows whose run arrays show host-noise steal —
+    # monotone multi-x inflation on an otherwise idle box).
+    q_slice = sys.argv[4] if len(sys.argv) > 4 else None
+    if q_slice and ":" in q_slice:
+        i, j = (int(x) for x in q_slice.split(":"))
+        del QUERIES[j:]
+        del QUERIES[:i]
+    elif q_slice:
+        keep = set(q_slice.split(","))
+        QUERIES[:] = [n for n in QUERIES if n in keep]
 
     from data_iceberg_sandbox_spark.session import get_spark_session
     from data_iceberg_sandbox_spark.sources.registry import TABLES
