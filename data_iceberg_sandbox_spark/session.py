@@ -28,6 +28,23 @@ from pyspark.sql import SparkSession
 _DEF_APP = "data_iceberg_sandbox_spark"
 
 
+def _shm_local_dir() -> str | None:
+    """tmpfs scratch for local-mode shuffle files, or None when absent.
+    Overridable (or disabled with an empty value) via SPARK_GRAFT_LOCAL_DIR."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override is not None:
+        return override or None
+    d = "/dev/shm/spark-local"
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d if os.access(d, os.W_OK) else None
+    except OSError:
+        return None
+
+
+_SHM_DIR = _shm_local_dir()
+
+
 def _cpus() -> int:
     try:
         return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -74,6 +91,20 @@ def get_spark_session(
         # local mode: driver memory is the only pool; leave headroom
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "spark.ui.enabled": "false",
+        # local-mode shuffle/spill files on tmpfs when available: every
+        # stage boundary writes+reads map outputs through spark.local.dir,
+        # and /tmp on this image is spinning-rust-backed (measured ~45 ms
+        # off a 3-stage join suite query, ~6 ms off a 2-stage agg). On a
+        # real cluster the cluster manager sets local dirs (typically
+        # instance NVMe) and this default is ignored.
+        **(
+            {"spark.local.dir": _SHM_DIR}
+            if _SHM_DIR
+            and (master or os.environ.get("SPARK_GRAFT_MASTER", "local")).startswith(
+                "local"
+            )
+            else {}
+        ),
         # NOTE: keep autoBroadcastJoinThreshold at Spark's 10 MB default —
         # measured: raising it to 64 MB made q3/q5 broadcast a fact-sized
         # table and cost 4-6× on the bench suite.
