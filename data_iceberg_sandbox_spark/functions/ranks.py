@@ -84,44 +84,57 @@ def histogram_prefix_sum(
     val: Column,
     out: str = "prefix",
     target_cells: int = 65536,
+    parts: list[Column] | None = None,
 ) -> DataFrame:
-    """df + an `out` long column == sum(val) OVER (ORDER BY key ASC,
-    *ties ROWS UNBOUNDED PRECEDING) — the INCLUSIVE global prefix sum,
-    without a single-partition sort. Same decomposition as
-    histogram_rank with per-cell VALUE sums instead of counts:
-    prefix(row) = Σval over strictly-smaller cells (broadcast offset)
-    + running sum within its own cell (partition-parallel window).
+    """df + an `out` long column == sum(val) OVER (PARTITION BY *parts
+    ORDER BY key ASC, *ties ROWS UNBOUNDED PRECEDING) — the INCLUSIVE
+    prefix sum, without a single-partition (or few-partition) sort. Same
+    decomposition as histogram_rank with per-cell VALUE sums instead of
+    counts: prefix(row) = Σval over strictly-smaller cells (broadcast
+    offset) + running sum within its own cell (partition-parallel
+    window). `parts` (default none = global order) scopes both terms to
+    the partition — the low-cardinality-PARTITION BY case (e.g. 3
+    returnflags) that would otherwise serialize the whole sort onto
+    #parts tasks.
 
     `val` must be castable to long and non-null; overflow fails loud
     under ANSI. The cumulative scan runs over ≤ target_cells+1
-    histogram rows, never the data."""
+    histogram rows per partition, never the data."""
+    parts = list(parts or [])
     d = df.withColumn("__key", key.cast("long")).withColumn(
         "__val", val.cast("long")
     )
+    pcols = []
+    for i, p in enumerate(parts):
+        d = d.withColumn(f"__p{i}", p)
+        pcols.append(f"__p{i}")
     mn, mx = d.agg(F.min("__key"), F.max("__key")).collect()[0]
     if mn is None:
         return df.withColumn(out, F.lit(None).cast("long"))
     width = (mx - mn) // target_cells + 1
     d = d.withColumn("__cell", F.expr(f"(__key - {mn}L) div {width}L"))
-    hist = d.groupBy("__cell").agg(F.sum("__val").alias("__cv"))
+    hist = d.groupBy(*pcols, "__cell").agg(F.sum("__val").alias("__cv"))
     offs = hist.select(
+        *pcols,
         "__cell",
         F.coalesce(
             F.sum("__cv").over(
-                W.orderBy("__cell").rowsBetween(W.unboundedPreceding, -1)
+                W.partitionBy(*pcols)
+                .orderBy("__cell")
+                .rowsBetween(W.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("__off"),
     )
     intra = F.sum("__val").over(
-        W.partitionBy("__cell")
+        W.partitionBy(*pcols, "__cell")
         .orderBy(F.col("__key").asc(), *ties)
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return (
-        d.join(F.broadcast(offs), "__cell")
+        d.join(F.broadcast(offs), [*pcols, "__cell"])
         .withColumn(out, (F.col("__off") + intra).cast("long"))
-        .drop("__key", "__val", "__cell", "__off")
+        .drop("__key", "__val", "__cell", "__off", *pcols)
     )
 
 

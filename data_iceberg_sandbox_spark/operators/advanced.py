@@ -1718,9 +1718,15 @@ def weighted_median_price(spark, sf_dir):
 
     Scale shape: the `quantile_stats_exact` / `mad_robust_stats` value-
     histogram formulation — the fact collapses to a (flag, price) →
-    Σweight histogram in one map-side-combined shuffle; the cumulative
-    scan runs over distinct prices per flag (bounded by the price
-    domain, never rows), so no per-group buffering anywhere."""
+    Σweight histogram in one map-side-combined shuffle. The cumulative
+    sum then runs through `histogram_prefix_sum` partitioned by flag
+    (r10 verdict: the naive PARTITION BY l_returnflag window serialized
+    the whole per-flag histogram sort onto 3 tasks — 9.65× DuckDB at
+    sf10; the two-phase form keeps every row-grain step
+    partition-parallel and the sequential scan on the ≤65k-cell
+    histogram)."""
+    from ..functions.ranks import histogram_prefix_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     hist = (
         li.select(
@@ -1731,13 +1737,16 @@ def weighted_median_price(spark, sf_dir):
         .groupBy("l_returnflag", "pfp")
         .agg(F.sum("qty").alias("w"))
     )
-    # totals via a 3-row broadcast join, not a second (frame-less)
-    # window pass — one window sort on the histogram instead of two
+    # totals via a 3-row broadcast join, not a frame-less window pass
     tot = hist.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
-    win = W.partitionBy("l_returnflag").orderBy("pfp")
-    cum = hist.withColumn("cum", F.sum("w").over(win)).join(
-        F.broadcast(tot), "l_returnflag"
-    )
+    cum = histogram_prefix_sum(
+        hist,
+        F.col("pfp"),
+        [],
+        F.col("w"),
+        out="cum",
+        parts=[F.col("l_returnflag")],
+    ).join(F.broadcast(tot), "l_returnflag")
     return (
         cum.groupBy("l_returnflag")
         .agg(

@@ -608,14 +608,14 @@ def corpus_simpson_diversity(spark, sf_dir):
         F.sum(F.col("c").cast(dec) * (F.col("c") - 1).cast(dec)).alias("s2"),
     )
     denom = F.col("n_tokens").cast(dec) * (F.col("n_tokens") - 1).cast(dec)
-    return agg.select(
-        "source",
-        "n_tokens",
-        "n_vocab",
-        F.round(
-            F.col("s2").cast("double") / denom.cast("double"), 12
-        ).alias("simpson"),
+    # n_tokens < 2 → denominator 0: Spark yields NULL where DuckDB's IEEE
+    # division yields inf/nan — guard symmetrically (ADVICE r10): a
+    # ≤1-token source has no defined repeat probability, emit NULL.
+    simpson = F.when(
+        F.col("n_tokens") >= 2,
+        F.round(F.col("s2").cast("double") / denom.cast("double"), 12),
     )
+    return agg.select("source", "n_tokens", "n_vocab", simpson.alias("simpson"))
 
 
 SIMPSON_ORACLE = """
@@ -629,8 +629,10 @@ agg AS (
          sum(c * (c - 1)) AS s2
   FROM wc GROUP BY 1)
 SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_vocab,
-       round(CAST(s2 AS DOUBLE)
-             / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 12) AS simpson
+       CASE WHEN n_tokens >= 2
+            THEN round(CAST(s2 AS DOUBLE)
+                       / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 12)
+       END AS simpson
 FROM agg
 """
 

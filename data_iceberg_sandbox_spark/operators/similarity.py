@@ -363,28 +363,115 @@ def ann_lsh_bucketed(spark, sf_dir, k: int = 10):
 
 
 IVF_MAX_CENTROIDS = 4096  # broadcast stays bounded at any corpus size
+SEMDEDUP_TARGET_CELL = 128  # target vectors per cell (power of 2: exact /)
 
 
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-cell assignment: broadcast the (bounded) centroid set, one
-    streamed pass + per-row argmax. Sims rounded to 6 dp before ranking
-    so tie-breaks (cent_id asc) are engine-portable."""
-    scored = (
-        _with_norm(emb, "emb", "_en")
-        .crossJoin(F.broadcast(_with_norm(cents, "cent_emb", "_cn")))
-        .withColumn(
-            "sim",
-            F.round(
-                dot(F.col("emb"), F.col("cent_emb"))
-                / (F.col("_en") * F.col("_cn")),
-                6,
+    """Nearest-cell assignment (the r10 sf10 timeout fix — this was a
+    crossJoin + row_number window that exchanged the full n×k product,
+    412M array-carrying rows at sf10, and timed out inside the centroid
+    broadcast build; a JVM per-pair fold re-shape still measured
+    ~0.4 µs/pair = ~2 min at n×k=312M, so the n×k product must never be
+    JVM-evaluated at all).
+
+    Shape: the centroid matrix is collected once while the plan is built
+    (bounded ≤ IVF_MAX_CENTROIDS×DIM doubles ≈ 2 MB — the fit/transform
+    split every production pipeline uses: learning the quantizer is its
+    own step, applying it is the streamed pass) and rides into an
+    Arrow-batched ``mapInArrow`` kernel as a closure constant. Per batch:
+    BLAS matmul gives APPROXIMATE scores used only to SELECT candidate
+    cells (argmax within a 2e-6+1e-9 margin — same exactness argument as
+    ann_cosine_topk: approx error ≤ ~1.6e-14, so every cell whose
+    6-dp-rounded exact sim could win survives selection); the exact
+    sequential dim-by-dim fold is recomputed for the ~1× kept rows and
+    EMITTED, with division + HALF_UP rounding + the (sim desc, cent_id
+    asc) argmax left JVM-side — bit-identical to the oracle's
+    crossJoin + row_number replay. Rows with no finite approx score
+    (zero-norm vectors) emit all k candidates so the JVM tie-break
+    decides exactly as both engines' NaN ordering does. Only ~n rows
+    ever shuffle (the max_by partial aggregate combines map-side)."""
+    import numpy as np
+    import pyarrow as pa
+
+    crows = sorted(
+        cents.select("cent_id", "cent_emb").collect(), key=lambda r: r["cent_id"]
+    )
+    cids_np = np.array([r["cent_id"] for r in crows], dtype=np.int64)
+    C = np.array([r["cent_emb"] for r in crows], dtype=np.float64)  # k×d
+    k = len(cids_np)
+    cn2 = np.zeros(k)
+    for d in range(C.shape[1]):  # same fold order as dot(c, c)
+        cn2 += C[:, d] * C[:, d]
+    cnrm_np = np.sqrt(cn2)
+
+    def assign_batches(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec_ids = np.asarray(b.column(0))
+            flat = b.column(1).flatten()  # offset-aware list flatten
+            E = np.asarray(flat).reshape(n, -1).astype(np.float64, copy=False)
+            apx = E @ C.T
+            nrm_apx = np.sqrt((E * E).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = apx / (nrm_apx[:, None] * cnrm_np[None, :])
+            finite = np.isfinite(s)
+            s_sel = np.where(finite, s, -np.inf)
+            mx = s_sel.max(axis=1)
+            mask = s_sel >= (mx[:, None] - (2e-6 + 1e-9))
+            # degenerate rows (no finite score): keep every candidate so
+            # the JVM NaN ordering decides — identical in both engines
+            degenerate = ~np.isfinite(mx)
+            if degenerate.any():
+                mask[degenerate, :] = True
+            ri, ci = np.nonzero(mask)
+            # exact sequential refine PER KEPT PAIR (~1.05 pairs/row —
+            # never an n×k dense pass): the dim-ordered fold is
+            # row-independent, so these doubles are bit-identical to a
+            # full-product fold
+            Er = E[ri]  # m×d
+            Cc = C[ci]  # m×d
+            m = len(ri)
+            dotv = np.zeros(m)
+            nrm2 = np.zeros(m)
+            for d in range(E.shape[1]):
+                dotv += Er[:, d] * Cc[:, d]
+                nrm2 += Er[:, d] * Er[:, d]
+            offsets = pa.array(np.arange(0, (m + 1) * E.shape[1], E.shape[1]))
+            emb_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(Er.ravel(), pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids[ri], pa.int64()),
+                    emb_arr,
+                    pa.array(cids_np[ci], pa.int64()),
+                    pa.array(dotv, pa.float64()),
+                    pa.array(np.sqrt(nrm2), pa.float64()),
+                    pa.array(cnrm_np[ci], pa.float64()),
+                ],
+                ["vec_id", "emb", "cent_id", "dotv", "nrm", "cnrm"],
+            )
+
+    kept = emb.select("vec_id", "emb").mapInArrow(
+        assign_batches,
+        "vec_id bigint, emb array<double>, cent_id bigint, "
+        "dotv double, nrm double, cnrm double",
+    )
+    sim = F.round(F.col("dotv") / (F.col("nrm") * F.col("cnrm")), 6)
+    # argmax by (sim desc, cent_id asc) == the oracle's row_number pick;
+    # the ordering struct is unique per candidate (cent_id distinct), so
+    # max_by is deterministic. emb rides through first() (constant within
+    # the vec_id group).
+    return (
+        kept.groupBy("vec_id")
+        .agg(
+            F.first("emb").alias("emb"),
+            F.max_by(F.col("cent_id"), F.struct(sim, -F.col("cent_id"))).alias(
+                "cent_id"
             ),
         )
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
         .select("vec_id", "emb", "cent_id")
     )
 
@@ -394,9 +481,10 @@ def ivf_centroids(
     sf_dir: str,
     centroid_mod: int = 97,
     refine_iters: int = 1,
+    max_cells: int = IVF_MAX_CENTROIDS,
 ) -> DataFrame:
     """Learned IVF coarse centroids: deterministic seeds (every vec_id %
-    centroid_mod == 0, hard-capped at IVF_MAX_CENTROIDS seeds) refined by
+    centroid_mod == 0, hard-capped at `max_cells` seeds) refined by
     `refine_iters` Lloyd steps (assign → per-cell mean).
 
     The mean uses exact DECIMAL accumulation per (cell, dim) — float sums
@@ -410,7 +498,7 @@ def ivf_centroids(
     )
     cents = emb.filter(
         (F.col("vec_id") % centroid_mod == 0)
-        & (F.col("vec_id") < centroid_mod * IVF_MAX_CENTROIDS)
+        & (F.col("vec_id") < centroid_mod * max_cells)
     ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb"))
     for _ in range(refine_iters):
         dims = _assign_cells(emb, cents).select(
@@ -438,6 +526,7 @@ def ivf_assign(
     sf_dir: str,
     centroid_mod: int = 97,
     refine_iters: int = 1,
+    max_cells: int = IVF_MAX_CENTROIDS,
 ) -> tuple:
     """IVF coarse quantization against the learned centroids."""
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -446,8 +535,9 @@ def ivf_assign(
     # cache: cents feeds both the assignment and the caller's probe
     # ranking. Repeat calls build plan-identical frames, so Spark's
     # CacheManager dedupes to ONE storage entry per distinct
-    # (sf_dir, refine_iters) — bounded, not a per-call leak.
-    cents = ivf_centroids(spark, sf_dir, centroid_mod, refine_iters).cache()
+    # (sf_dir, centroid_mod, max_cells, refine_iters) — bounded, not a
+    # per-call leak.
+    cents = ivf_centroids(spark, sf_dir, centroid_mod, refine_iters, max_cells).cache()
     return _assign_cells(emb, cents), cents
 
 
@@ -490,13 +580,16 @@ def ann_ivf_topk(spark, sf_dir, k: int = 10, nprobe: int = 4, refine_iters: int 
 
 
 _IVF_CAP = 97 * IVF_MAX_CENTROIDS
-# Shared oracle prefix: seeds → assign → DECIMAL-exact Lloyd mean →
-# re-assign (a1) — the SQL replay of ivf_assign(refine_iters=1). Used by
-# both the IVF ANN oracle and the SemDeDup oracle below.
-_IVF_A1_SQL = f"""
+
+
+def _ivf_a1_sql(seeds_cte: str) -> str:
+    """Oracle prefix: seeds → assign → DECIMAL-exact Lloyd mean →
+    re-assign (a1) — the SQL replay of ivf_assign(refine_iters=1),
+    parametrized by the seed-selection CTE chain (the ANN oracle keeps
+    the fixed mod-97 rule; SemDeDup derives its rule from count(*))."""
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
-seeds AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-          WHERE vec_id % 97 = 0 AND vec_id < {_IVF_CAP}),
+{seeds_cte},
 a0 AS (SELECT vec_id, emb, cent_id FROM (
     SELECT v.vec_id, v.emb, s.cent_id,
            row_number() OVER (PARTITION BY v.vec_id
@@ -518,6 +611,12 @@ a1 AS (SELECT vec_id, emb, cent_id FROM (
                ORDER BY round({_cos_sql('v.emb', 'c.cent_emb')}, 6) DESC,
                         c.cent_id) AS rn
     FROM e v CROSS JOIN cents c) WHERE rn = 1)"""
+
+
+_IVF_A1_SQL = _ivf_a1_sql(
+    f"""seeds AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+          WHERE vec_id % 97 = 0 AND vec_id < {_IVF_CAP})"""
+)
 
 ANN_IVF_ORACLE = f"""{_IVF_A1_SQL},
 q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 8),
@@ -593,6 +692,20 @@ FROM s
 """
 
 
+def _semdedup_cells(n: int) -> tuple[int, int]:
+    """(seed_mod, n_cells) for a corpus of ``n`` vectors: the cell count
+    GROWS with the corpus at a constant ~SEMDEDUP_TARGET_CELL vectors per
+    cell (integer ceil both here and in the SQL twin — exact at any n),
+    capped at IVF_MAX_CENTROIDS so the centroid broadcast stays bounded.
+    Past the cap (n > 4096·128 ≈ 524k vectors per partition-group) cells
+    grow linearly again; the 100 TB recipe is then a two-level quantizer
+    (shard by a coarse code first), not a bigger flat broadcast."""
+    n_cells = min(max((n + SEMDEDUP_TARGET_CELL - 1) // SEMDEDUP_TARGET_CELL, 1),
+                  IVF_MAX_CENTROIDS)
+    seed_mod = max((n + n_cells - 1) // n_cells, 1)
+    return seed_mod, n_cells
+
+
 def embedding_semdedup(spark, sf_dir, threshold: float = 0.45):
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public): assign
     every vector to its nearest Lloyd-refined IVF cell, then inside each
@@ -601,14 +714,26 @@ def embedding_semdedup(spark, sf_dir, threshold: float = 0.45):
     prune step (`WHERE NOT is_dup`) is the corpus-reduction pass a
     training pipeline runs before tokenization.
 
-    Scale: pairwise work is confined to IVF cells (the SemDeDup recipe —
-    cluster count grows with the corpus so cells stay bounded), assignment
-    is one broadcast argmax pass, and the self-join shuffles on cent_id
-    only. Deterministic throughout → the DuckDB twin replays seed →
-    Lloyd → assign → pair verbatim. Default threshold is calibrated to
-    the synthetic testdata corpus (max pairwise cosine ~0.51; real
-    embedding corpora use ~0.95+)."""
-    assigned, _ = ivf_assign(spark, sf_dir)
+    Scale: pairwise work is confined to IVF cells, and the cell count is
+    DERIVED FROM THE CORPUS SIZE (`_semdedup_cells`: ~128 vectors per
+    cell, capped for broadcast) — the r10 sf10 failure was a fixed cell
+    count letting the in-cell self-join go O(n²/k). The corpus count that
+    sizes the quantizer is read once at plan build (table-stats-grade:
+    Iceberg/parquet row counts are metadata). Assignment is one
+    broadcast max_by pass (no n×k shuffle — `_assign_cells`), the pair
+    join shuffles on cent_id only, and the pair dot runs unrolled
+    (whole-stage codegen). Deterministic throughout → the DuckDB twin
+    replays count → seed → Lloyd → assign → pair verbatim. Default
+    threshold is calibrated to the synthetic testdata corpus (max
+    pairwise cosine ~0.51; real embedding corpora use ~0.95+)."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    seed_mod, n_cells = _semdedup_cells(n)
+    assigned, _ = ivf_assign(spark, sf_dir, centroid_mod=seed_mod, max_cells=n_cells)
+    # consumed 3× (both sides of the pair join + the final left join):
+    # cache the n-row assignment instead of re-running the Arrow kernel
+    # per subtree; plan-identical repeat calls share the one entry via
+    # the CacheManager (the dedup_minhash_lsh convention)
+    assigned = assigned.cache()
     a = _with_norm(assigned, "emb", "na")
     b = a.select(
         F.col("vec_id").alias("vb"),
@@ -641,10 +766,26 @@ def embedding_semdedup(spark, sf_dir, threshold: float = 0.45):
     )
 
 
+# Seed rule derived from count(*) — the SQL twin of _semdedup_cells
+# (DuckDB `//` is integer floor-division on BIGINT, so the ceils are the
+# same exact integer arithmetic as the Python side).
+_SEMDEDUP_SEEDS_CTE = f"""prm AS (
+    SELECT n,
+           GREATEST((n + nc - 1) // nc, 1) AS seed_mod, nc AS n_cells
+    FROM (SELECT n,
+                 LEAST(GREATEST((n + {SEMDEDUP_TARGET_CELL} - 1)
+                                // {SEMDEDUP_TARGET_CELL}, 1),
+                       {IVF_MAX_CENTROIDS}) AS nc
+          FROM (SELECT count(*) AS n FROM e))),
+seeds AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e, prm
+          WHERE vec_id % seed_mod = 0 AND vec_id < seed_mod * n_cells)"""
+
+
 def embedding_semdedup_oracle_sql(threshold: float = 0.45) -> str:
     """Oracle generated from the same threshold as the query (the
-    decontaminate_oracle_sql pattern)."""
-    return f"""{_IVF_A1_SQL},
+    decontaminate_oracle_sql pattern); the IVF prefix derives its cell
+    count from count(*) exactly like `_semdedup_cells`."""
+    return f"""{_ivf_a1_sql(_SEMDEDUP_SEEDS_CTE)},
 pairs AS (SELECT a.vec_id, b.vec_id AS vb,
                  round({_cos_sql('a.emb', 'b.emb')}, 6) AS sim
           FROM a1 a JOIN a1 b

@@ -178,11 +178,21 @@ def pin_balanced(
     )
     pinned: list[DataFrame] = []
     for t, raw in raws.items():
-        k = co_k if t in _CO_PARTITION else natural_k(raw)
-        key = PIN_KEYS.get(t)
-        part = raw.repartition(k, F.col(key)) if key and k > 1 else raw.repartition(k)
-        df = part.cache()
-        df.count()
+        # Per-table isolation (ADVICE r10): one table failing to
+        # materialize must degrade to "that table stays unpinned", not
+        # abort the whole pin — queries over the healthy tables still get
+        # their balanced caches.
+        try:
+            k = co_k if t in _CO_PARTITION else natural_k(raw)
+            key = PIN_KEYS.get(t)
+            part = (
+                raw.repartition(k, F.col(key)) if key and k > 1 else raw.repartition(k)
+            )
+            df = part.cache()
+            df.count()
+        except Exception as e:  # noqa: BLE001 — skip, keep pinning the rest
+            print(f"pin_balanced: skipping {t}: {type(e).__name__}: {e}")
+            continue
         pinned.append(pin_table(spark, sf_dir, t, df))
     return pinned
 

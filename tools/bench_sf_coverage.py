@@ -79,7 +79,12 @@ def main() -> None:
 
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     if only:
-        names = [n for n in only if n in queries]
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            # a typo'd repair invocation must fail loudly, not exit 0 with
+            # an empty sweep (ADVICE r10)
+            raise SystemExit(f"unknown query names: {unknown}")
+        names = list(only)
     else:
         covered = set(med_mod.QUERIES)
         names = [n for n in queries if n not in covered]

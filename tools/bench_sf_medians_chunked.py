@@ -46,13 +46,28 @@ def main() -> None:
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             part = tf.name
         print(f"--- chunk {i}:{j} ---", file=sys.stderr, flush=True)
-        subprocess.run(
-            [sys.executable, tool, sf_dir, runs, part, f"{i}:{j}"],
-            check=True,
-        )
-        with open(part) as fh:
-            data = json.load(fh)
-        os.unlink(part)
+        try:
+            subprocess.run(
+                [sys.executable, tool, sf_dir, runs, part, f"{i}:{j}"],
+                check=True,
+            )
+            with open(part) as fh:
+                data = json.load(fh)
+        except BaseException:
+            # Dump what earlier chunks already captured before re-raising
+            # (ADVICE r10: a failing chunk used to discard the whole merge
+            # AND leak its temp file).
+            if per_query:
+                with open(out_path + ".partial", "w") as fh:
+                    json.dump({"per_query": per_query}, fh, indent=1)
+                print(f"partial merge saved to {out_path}.partial",
+                      file=sys.stderr)
+            raise
+        finally:
+            try:
+                os.unlink(part)
+            except OSError:
+                pass
         for name, row in data["per_query"].items():
             row["chunk"] = n_chunks
             per_query[name] = row
@@ -74,9 +89,15 @@ def main() -> None:
             sum(v.get("duckdb_median", 0) for v in per_query.values()), 2
         ),
         "ratio_of_totals": None,
-        "per_query_ratio_median": round(statistics.median(ratios), 2),
-        "per_query_ratio_geomean": round(
-            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 2
+        # all-DuckDB-error chunks leave no ratios: emit nulls, never
+        # discard the captured per-query data (ADVICE r10)
+        "per_query_ratio_median": (
+            round(statistics.median(ratios), 2) if ratios else None
+        ),
+        "per_query_ratio_geomean": (
+            round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 2)
+            if ratios
+            else None
         ),
         "per_query": per_query,
     }
