@@ -309,14 +309,20 @@ def d_snapshot_diff(spark, sf_dir):
     the per-key net delta. A create + append + keyed DELETE history
     makes both directions non-empty.
 
-    Scale shape: ONE key shuffle, no anti-joins — each version
-    contributes (key, priority, ±1) and one hash aggregate nets them:
-    a key present in both versions sums to 0 and drops, so survivors
-    ARE the adds (+1) and removes (−1). The anti-join formulation this
-    replaces shuffled both versions TWICE (once per direction, ~30M
-    rows at sf10 vs 15M here) and was measured 2.74 s median; version
-    keys are unique (table key), which is what makes the netting exact.
-    Where the history is append/delete-only the CDC changelog
+    Scale shape: ONE key shuffle, no anti-joins — `LakeTable.
+    snapshot_diff` scans only files UNIQUE to each manifest (shared
+    files carry identical rows and net to zero, so they are never
+    read), tags rows ±1, and one hash aggregate nets them: a key
+    present in both versions sums to 0 and drops, so survivors ARE the
+    adds (+1) and removes (−1). The anti-join formulation this replaced
+    shuffled both versions TWICE (~30M rows at sf10, 2.74 s median);
+    version keys are unique (table key), which is what makes the
+    netting exact. Residual sf10 cost note (r10 item 5): this spec's
+    per-run cost is dominated by BUILDING its demo history (create +
+    append + COW delete over ~1.5M rows/sf — three table writes the
+    pure-SELECT oracle never performs), not by the diff; the r11
+    file-pruned delete_where cut the build's rewrite to the matched
+    files. Where the history is append/delete-only the CDC changelog
     (`d_cdc_changelog`) answers this from metadata without scanning
     either version — this operator is the general fallback when history
     spans rewrites (compaction/merge) that break changelog-based
@@ -326,14 +332,9 @@ def d_snapshot_diff(spark, sf_dir):
     t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
     t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
     t.delete_where(F.col("o_orderkey") % 9 == 0)
-    v1, head = t.read(version=1), t.read()
     tagged = (
-        head.select("o_orderkey", "o_orderpriority", F.lit(1).alias("src"))
-        .unionByName(
-            v1.select(
-                "o_orderkey", "o_orderpriority", F.lit(-1).alias("src")
-            )
-        )
+        t.snapshot_diff(1)
+        .select("o_orderkey", "o_orderpriority", F.col("_src").alias("src"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(F.sum("src").alias("d"))
         .filter(F.col("d") != 0)

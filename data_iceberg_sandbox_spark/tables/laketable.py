@@ -444,6 +444,40 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def snapshot_diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Candidate rows for a version-to-version content diff, tagged
+        ``_src`` = +1 (rows scanned from to-version-only files) / −1
+        (from-version-only files). Files present in BOTH manifests carry
+        identical rows, contribute zero net under any keyed/multiset
+        netting, and are NEVER read — on a 100 TB table where a few
+        commits touched a few files, the diff scans the file delta, not
+        two table snapshots. Callers net by key (Σ_src = 0 drops) or by
+        whole row. Falls back to two full version reads only under live
+        equality-delete sidecars (suppression is version-dependent
+        per-row, not per-file). Raises IncrementalReadError across a
+        schema change, like :meth:`changes_between`."""
+        to_v = self.current_version() if to_version is None else to_version
+        m_from, m_to = self.manifest(from_version), self.manifest(to_v)
+        if m_from.schema_json != m_to.schema_json:
+            raise IncrementalReadError(
+                f"snapshot v{from_version}→v{to_v} crosses a schema "
+                "change; diff each schema era separately"
+            )
+        if m_from.delete_files or m_to.delete_files:
+            plus = self.read(version=to_v)
+            minus = self.read(version=from_version)
+        else:
+            from_set, to_set = set(m_from.files), set(m_to.files)
+            plus = self._scan_file_subset(
+                m_to, [f for f in m_to.files if f not in from_set]
+            )
+            minus = self._scan_file_subset(
+                m_from, [f for f in m_from.files if f not in to_set]
+            )
+        return plus.withColumn("_src", F.lit(1)).unionByName(
+            minus.withColumn("_src", F.lit(-1))
+        )
+
     def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
         """Iceberg ``remove_orphan_files`` analog: delete data files on
         disk that no live snapshot references — the debris of writes
@@ -944,14 +978,48 @@ class LakeTable:
         return self
 
     def delete_where(self, condition) -> "LakeTable":
-        """DELETE (D5-adjacent DML; OPA op list allow_table.rego:73-80).
+        """DELETE (D5-adjacent DML; OPA op list allow_table.rego:73-80),
+        copy-on-write with FILE-LEVEL pruning: one column-pruned
+        discovery pass finds the files that actually contain matches
+        (``input_file_name`` groupBy — the predicate columns are the
+        only data read); files with no match are RETAINED untouched (no
+        rewrite, they keep their sequence), and only the blast radius is
+        rewritten — the Iceberg COW-delete shape; a selective DELETE on
+        a 100 TB table rewrites its matched files, not the table. Under
+        live equality-delete sidecars the rewrite falls back to a full
+        pass of ``read()`` (which materializes the sidecars, exactly as
+        ``compact`` does).
 
         SQL DELETE semantics: only rows where the predicate is TRUE are
         deleted — rows where it evaluates to NULL are RETAINED (a plain
         ``filter(~cond)`` would silently drop them)."""
         cur = self.manifest()
-        remaining = self.read().filter(~condition.eqNullSafe(F.lit(True)))
-        files = self._write_data_files(remaining, cur.partition_by, cur.properties)
+        cond_true = condition.eqNullSafe(F.lit(True))
+        if cur.delete_files:
+            remaining = self.read().filter(~cond_true)
+            files = sorted(
+                self._write_data_files(remaining, cur.partition_by, cur.properties)
+            )
+        else:
+            hit_uris = [
+                r["_file"]
+                for r in self._scan_file_subset(cur, cur.files)
+                .withColumn("_file", F.input_file_name())
+                .filter(cond_true)
+                .select("_file")
+                .distinct()
+                .collect()  # bounded by the file count (manifest-grade)
+            ]
+            matched = [f for f in cur.files if any(u.endswith(f) for u in hit_uris)]
+            kept = [f for f in cur.files if f not in set(matched)]
+            if matched:
+                remaining = self._scan_file_subset(cur, matched).filter(~cond_true)
+                new_files = self._write_data_files(
+                    remaining, cur.partition_by, cur.properties
+                )
+            else:  # nothing matched: metadata-only commit, zero rewrites
+                new_files = []
+            files = sorted(kept + new_files)
         self._commit(
             "delete",
             files,
