@@ -107,3 +107,25 @@ def kafka_sink(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+# Spark's Kafka source schema, verbatim (KafkaSourceProvider): every
+# downstream consumer of kafka_stream() sees exactly these columns.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def fake_kafka_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """Jar-free harness twin of :func:`kafka_stream`: a file-backed
+    ``readStream`` whose rows carry the EXACT Kafka source schema
+    (``KAFKA_SOURCE_SCHEMA``) — binary key/value (Confluent-framed Avro
+    in the tests), topic/partition/offset lineage columns, broker
+    timestamp. Downstream code (registry decode, fraud MV chain, sinks)
+    is schema-compatible with the real source by construction, so the
+    CI smoke proves the full wiring end-to-end and a production cluster
+    only swaps this call for ``kafka_stream(...)``. Offsets replay from
+    the staged files in order — the `startingOffsets=earliest` (W4)
+    semantics."""
+    return spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(staged_dir)
