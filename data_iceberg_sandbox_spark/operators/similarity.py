@@ -396,6 +396,8 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     crows = sorted(
         cents.select("cent_id", "cent_emb").collect(), key=lambda r: r["cent_id"]
     )
+    if not crows:  # empty corpus → no cells, no assignments (oracle: empty)
+        return emb.select("vec_id", "emb", F.lit(None).cast("bigint").alias("cent_id")).limit(0)
     cids_np = np.array([r["cent_id"] for r in crows], dtype=np.int64)
     C = np.array([r["cent_emb"] for r in crows], dtype=np.float64)  # k×d
     k = len(cids_np)
