@@ -439,3 +439,37 @@ def test_attribution_shapley_zero_converters(spark, tmp_path):
     out = attribution_shapley(spark, str(tmp_path)).collect()
     assert len(out) == 4
     assert all(r["shapley_conversions"] == 0.0 for r in out)
+
+
+def test_histogram_prefix_sum_partitioned_matches_window(spark):
+    """parts= (r11): per-partition prefix sums must equal
+    sum() OVER (PARTITION BY p ORDER BY k, tid)."""
+    from pyspark.sql.window import Window as W2
+
+    from data_iceberg_sandbox_spark.functions.ranks import (
+        histogram_prefix_sum,
+    )
+
+    df = (
+        spark.range(401)
+        .withColumn("p", F.col("id") % 3)
+        .withColumn("k", (F.col("id") * 48271) % 53)
+        .withColumn("v", (F.col("id") * 7919) % 500)
+        .withColumn("tid", F.col("id"))
+    )
+    want = df.select(
+        "tid",
+        F.sum("v")
+        .over(
+            W2.partitionBy("p")
+            .orderBy(F.col("k").asc(), F.col("tid").asc())
+            .rowsBetween(W2.unboundedPreceding, 0)
+        )
+        .alias("x"),
+    )
+    got = histogram_prefix_sum(
+        df, F.col("k"), [F.col("tid").asc()], F.col("v"),
+        out="x", target_cells=8, parts=[F.col("p")],
+    ).select("tid", "x")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

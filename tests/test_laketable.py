@@ -308,3 +308,47 @@ def test_four_writer_retry_loop_converges(spark, scratch, df10):
         .collect()
     }
     assert per_writer == {i: 5 for i in range(n)}
+
+
+def test_delete_where_rewrites_only_matched_files(spark, scratch, df10):
+    """File-pruned COW delete (r11): files with no predicate match are
+    RETAINED verbatim (same relative path, same sequence number); only
+    files containing matches are rewritten."""
+    t = LakeTable(spark, os.path.join(scratch, "t8p"))
+    t.create(df10.filter(F.col("id") < 5))          # v1 files: ids 0-4
+    t.append(df10.filter(F.col("id") >= 5))         # v2 adds: ids 5-9
+    m2 = t.manifest()
+    v1_files = set(t.manifest(1).files)
+    appended = [f for f in m2.files if f not in v1_files]
+    t.delete_where(F.col("id") < 2)                 # touches only v1 files
+    m3 = t.manifest()
+    # the append-commit files survive untouched, with their v2 sequence
+    for f in appended:
+        assert f in m3.files
+        assert m3.file_seq[f] == m2.file_seq[f]
+    # every v1 file contained a match here? not necessarily (multi-part
+    # writes) — but at least one was rewritten, and content is correct
+    assert sorted(r["id"] for r in t.read().collect()) == [2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_delete_where_no_match_is_metadata_only(spark, scratch, df10):
+    """A DELETE matching nothing must not rewrite a single file."""
+    t = LakeTable(spark, os.path.join(scratch, "t8z"))
+    t.create(df10)
+    before = t.manifest()
+    t.delete_where(F.col("id") > 1000)
+    after = t.manifest()
+    assert after.files == before.files
+    assert after.version == before.version + 1  # still a real commit
+
+
+def test_snapshot_diff_skips_shared_files(spark, scratch, df10):
+    """snapshot_diff reads only the manifests' file delta: after an
+    append, the diff vs v1 is exactly the appended rows (+1) and nothing
+    else — and netting by key yields no removes."""
+    t = LakeTable(spark, os.path.join(scratch, "t8d"))
+    t.create(df10.filter(F.col("id") < 5))
+    t.append(df10.filter(F.col("id") >= 5))
+    d = t.snapshot_diff(1)
+    rows = [(r["id"], r["_src"]) for r in d.collect()]
+    assert sorted(rows) == [(i, 1) for i in range(5, 10)]

@@ -234,3 +234,25 @@ def test_shard_manifest_prefix_sum_shape(spark):
     df = corpus_shard_manifest(spark, SF_ORACLE)
     assert has_broadcast_join(df)
     assert "ntile" not in physical_plan(df).lower()
+
+
+def test_ivf_assignment_is_arrow_kernel_not_nested_loop(spark):
+    """r11 semdedup scale fix lock: nearest-cell assignment must run
+    through the Arrow kernel (MapInArrow) — never a JVM crossJoin
+    (BroadcastNestedLoopJoin) whose n×k product was the sf10 timeout."""
+    from data_iceberg_sandbox_spark.operators.similarity import ivf_assign
+
+    assigned, _ = ivf_assign(spark, SF_ORACLE)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_flagship_query_plan_is_memoized(spark):
+    """r11 bench fix lock: repeat queries() calls must return the SAME
+    flagship DataFrame object (plan build — including the nation-map
+    collect — happens once, not per run)."""
+    import __spark_entry__ as m
+
+    q = m.queries()["flagship_fraud_enriched"]
+    assert q(spark, SF_ORACLE) is q(spark, SF_ORACLE)
