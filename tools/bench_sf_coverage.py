@@ -89,6 +89,17 @@ def main() -> None:
         covered = set(med_mod.QUERIES)
         names = [n for n in queries if n not in covered]
 
+    # Resume (RESUME=1): load the existing out file and keep every row it
+    # already holds — the spark phase skips names with a spark_median (or
+    # recorded error), the oracle phase skips rows that already carry a
+    # duckdb_median / ratio_skip_reason. A multi-hour sf10 sweep can then
+    # survive wall-clock cutoffs across invocations instead of silently
+    # overwriting earlier captures.
+    resume: dict[str, dict] = {}
+    if os.environ.get("RESUME") and os.path.exists(out_path):
+        with open(out_path, encoding="utf-8") as f:
+            resume = json.load(f).get("per_query", {})
+
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "80g")
     spark = get_spark_session(
         app_name="bench_coverage",
@@ -103,7 +114,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     med = lambda xs: round(statistics.median(xs), 3)  # noqa: E731
-    per: dict[str, dict] = {}
+    per: dict[str, dict] = dict(resume)
 
     def dump() -> None:  # incremental: partial sweeps survive a cutoff
         payload = {
@@ -122,6 +133,9 @@ def main() -> None:
             json.dump(payload, f, indent=1)
 
     for n in names:
+        prev = per.get(n)
+        if prev and ("spark_median" in prev or "error" in prev):
+            continue  # resumed row
         cls = classify(n)
         row: dict = {"class": cls}
         try:
@@ -156,10 +170,35 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def duck_run_with_timeout(sql: str, seconds: float) -> float:
+        """One timed execute, interrupted from a watchdog thread if it
+        exceeds `seconds` (some sf10 oracles — e.g. the SemDeDup n×k
+        crossJoin replay — are intractable single-node; the honest record
+        is 'oracle exceeded Ns', not a hung sweep)."""
+        import threading
+
+        done = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(seconds):
+                con.interrupt()
+
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+        finally:
+            done.set()
+        return time.perf_counter() - t0
+
+    duck_timeout = float(os.environ.get("DUCK_TIMEOUT", "300"))
     for n in names:
-        row = per[n]
-        if "error" in row:
+        row = per.get(n)
+        if row is None or "error" in row:
             continue
+        if "duckdb_median" in row or "ratio_skip_reason" in row:
+            continue  # resumed row
         if row["class"] != "batch":
             row["ratio_skip_reason"] = (
                 f"{row['class']}: oracle reconstructs results from base "
@@ -175,17 +214,18 @@ def main() -> None:
             row["ratio_skip_reason"] = f"DUCK_SKIP: {DUCK_SKIP[n]}"
             continue
         try:
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            first = time.perf_counter() - t0
+            first = duck_run_with_timeout(sql, duck_timeout)
             samples = [first]
             if first <= DUCK_SLOW_CUTOFF:
                 for _ in range(runs):
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
-                    samples.append(time.perf_counter() - t0)
+                    samples.append(duck_run_with_timeout(sql, duck_timeout))
         except Exception as exc:
-            row["ratio_skip_reason"] = f"duckdb error: {exc}"[:200]
+            msg = f"duckdb error: {exc}"[:200]
+            if "INTERRUPT" in str(exc).upper():
+                msg = f"duckdb oracle exceeded {duck_timeout:.0f}s (interrupted)"
+            row["ratio_skip_reason"] = msg
+            dump()
+            print(f"duckdb {n}: SKIP {msg}", file=sys.stderr, flush=True)
             continue
         row["duckdb_runs"] = [round(s, 3) for s in samples]
         row["duckdb_median"] = med(samples)
