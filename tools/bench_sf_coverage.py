@@ -132,21 +132,55 @@ def main() -> None:
         with open(out_path, "w", encoding="utf-8") as f:
             json.dump(payload, f, indent=1)
 
+    spark_timeout = float(os.environ.get("QUERY_TIMEOUT", "600"))
+
+    def run_spark_side(n: str, res: dict) -> None:
+        t0 = time.perf_counter()
+        df = queries[n](spark, sf_dir)
+        res["build_sec"] = round(time.perf_counter() - t0, 3)
+        res["e2e_first_sec"] = round(res["build_sec"] + action(df), 3)
+        res["spark_runs"] = [round(action(df), 3) for _ in range(runs)]
+        res["spark_median"] = med(res["spark_runs"])
+
     for n in names:
         prev = per.get(n)
         if prev and ("spark_median" in prev or "error" in prev):
             continue  # resumed row
         cls = classify(n)
         row: dict = {"class": cls}
-        try:
-            t0 = time.perf_counter()
-            df = queries[n](spark, sf_dir)
-            row["build_sec"] = round(time.perf_counter() - t0, 3)
-            row["e2e_first_sec"] = round(row["build_sec"] + action(df), 3)
-            row["spark_runs"] = [round(action(df), 3) for _ in range(runs)]
-            row["spark_median"] = med(row["spark_runs"])
-        except Exception as exc:  # publish the failure, don't drop the row
-            row["error"] = f"{type(exc).__name__}: {exc}"[:300]
+        # Per-query wall deadline (QUERY_TIMEOUT, default 600s): one
+        # intractable-at-sf10 op must cost the sweep its own budget, not
+        # block the remaining names (r11: stream_stream_range_join's
+        # 60-day-watermark state grind). On expiry: cancel every job,
+        # stop active streams, record the timeout as the row's result.
+        import threading
+
+        res: dict = {}
+        err: list = []
+
+        def work(n=n, res=res, err=err) -> None:
+            try:
+                run_spark_side(n, res)
+            except Exception as exc:  # noqa: BLE001 — published per row
+                err.append(f"{type(exc).__name__}: {exc}"[:300])
+
+        w = threading.Thread(target=work, daemon=True)
+        w.start()
+        w.join(spark_timeout)
+        if w.is_alive():
+            row["error"] = f"spark side exceeded {spark_timeout:.0f}s (killed)"
+            try:
+                for q in spark.streams.active:
+                    q.stop()
+                spark.sparkContext.cancelAllJobs()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
+            w.join(30)
+        elif err:
+            row["error"] = err[0]
+        else:
+            row.update(res)
+        if "error" in row:
             per[n] = row
             dump()
             print(f"spark {n}: ERROR {row['error']}", file=sys.stderr, flush=True)
