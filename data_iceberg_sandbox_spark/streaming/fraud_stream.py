@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,17 +101,44 @@ def bounded_shuffle(spark: SparkSession, n: int = 8):
 
 
 def stage_event_files(
-    spark: SparkSession, sf_dir: str, name: str, n_files: int = 8
+    spark: SparkSession, sf_dir: str, name: str, n_files: int = 8,
+    time_ordered: bool = False,
 ) -> str:
     """Stage `events` as n parquet files so the file source yields real
     micro-batches (the self-contained analog of a Kafka topic's
-    partitioned backlog, replayed from earliest — S10/W4)."""
+    partitioned backlog, replayed from earliest — S10/W4).
+
+    ``time_ordered=True`` stages contiguous event-time slices that the
+    file source replays in slice order (files are committed one by one,
+    strictly increasing mtime AND lexicographic path) — the
+    near-ordered-arrival shape of a real log tail, which is what makes
+    a BOUNDED watermark lossless for stateful consumers. The default
+    (one shuffled write) replays in effectively random time order, the
+    worst-case backlog."""
     out = os.path.join(
         SCRATCH, f"staged_{name}_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     if os.path.isdir(out):
         shutil.rmtree(out)
-    load_table(spark, sf_dir, "events").repartition(n_files).write.parquet(out)
+    events = load_table(spark, sf_dir, "events")
+    if not time_ordered:
+        events.repartition(n_files).write.parquet(out)
+        return out
+    os.makedirs(out, exist_ok=True)
+    sliced = events.repartitionByRange(n_files, F.col("ts"))
+    tmp = out + ".tmp"
+    sliced.write.parquet(tmp)
+    # re-commit each range slice as one sequentially-named file so the
+    # file source's (mtime, path) ordering equals event-time ordering
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    now = time.time()
+    for i, f in enumerate(parts):
+        dst = os.path.join(out, f"{i:05d}.parquet")
+        os.replace(os.path.join(tmp, f), dst)
+        os.utime(dst, (now + i, now + i))  # strictly increasing mtime
+    shutil.rmtree(tmp)
     return out
 
 
@@ -485,14 +513,20 @@ def run_stream_stream_join(
     the join's time constraint). Drained result must equal the batch
     range self-join.
 
-    Watermark choice: the staged backlog replays in RANDOM event-time
-    order (like a partitioned Kafka topic read from earliest), so any
-    watermark shorter than the backlog's time span may drop legitimately
-    "late" pairs mid-replay. The reference keeps state forever
-    (streaming-usecase.md — no watermarks), so the default here out-waits
-    the data span; production tails with near-ordered arrival would use
-    minutes instead."""
-    staged = stage_event_files(spark, sf_dir, "ssj", n_files=6)
+    Watermark choice (reworked r11 — the 60-day out-wait-everything
+    delay ground past 600 s at sf10 holding both 5M-row sides in state):
+    the backlog is staged TIME-ORDERED (`stage_event_files
+    time_ordered=True` — contiguous event-time slices replayed in slice
+    order, a real log tail's near-ordered arrival), so every batch's
+    minimum event time is ≥ the previous batch's maximum and NO input
+    ever falls behind the watermark regardless of delay. A 10-minute
+    delay (join range 5 min + margin) is then lossless by construction
+    — drained-equals-batch stays hash-exact — while state holds minutes
+    of data instead of the whole backlog. The reference keeps state
+    forever (streaming-usecase.md — no watermarks); a production tail
+    with genuinely disordered arrival would widen the delay to its
+    observed disorder bound, trading state for completeness."""
+    staged = stage_event_files(spark, sf_dir, "ssj", n_files=6, time_ordered=True)
     if os.path.isdir(table_root):
         shutil.rmtree(table_root)
     result = LakeTable(spark, table_root)
@@ -504,7 +538,7 @@ def run_stream_stream_join(
             F.col("user_id").alias("user_a"),
             F.col("ts").alias("ts_a"),
         )
-        .withWatermark("ts_a", "60 days")
+        .withWatermark("ts_a", "10 minutes")
     )
     right = (
         events_stream(spark, staged, files_per_trigger=3)
@@ -513,7 +547,7 @@ def run_stream_stream_join(
             F.col("user_id").alias("user_b"),
             F.col("ts").alias("ts_b"),
         )
-        .withWatermark("ts_b", "60 days")
+        .withWatermark("ts_b", "10 minutes")
     )
     pairs = left.join(
         right,

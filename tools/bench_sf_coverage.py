@@ -99,6 +99,8 @@ def main() -> None:
     if os.environ.get("RESUME") and os.path.exists(out_path):
         with open(out_path, encoding="utf-8") as f:
             resume = json.load(f).get("per_query", {})
+        for n in only:  # explicitly requested names always re-run
+            resume.pop(n, None)
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "80g")
     spark = get_spark_session(
