@@ -395,6 +395,60 @@ def d8_expire_snapshots(spark, sf_dir):
 D8_ORACLE = "SELECT * FROM orders"
 
 
+def d_rollback_restore(spark, sf_dir):
+    """Iceberg ``rollback_to_snapshot``: a corrupting overwrite is undone
+    by restoring the prior snapshot as a NEW commit — history is
+    retained, so the bad version stays time-travel-readable for the
+    post-mortem while readers immediately see the good state again
+    (infra/README.md:85 'Version Control' surface; public Iceberg
+    rollback semantics). Metadata-only: no data file is rewritten or
+    deleted, the new manifest simply points back at v2's files — O(1)
+    at any table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "drbk_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    # a bad job overwrites the table with negated totals
+    t.overwrite(
+        orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+    )
+    t.rollback(2)
+    # the rollback is itself a commit: the poisoned v3 must remain in
+    # history (time-travel-auditable), HEAD must be v4
+    assert t.current_version() == 4, t.current_version()
+    assert t.read(version=3).limit(1).count() == 1
+    return t.read()
+
+
+D_ROLLBACK_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 <> 2"
+
+
+def d_orphan_cleanup(spark, sf_dir):
+    """``remove_orphan_files``: a staged write that never publishes (the
+    crash / lost-CAS debris case) leaves data files on disk that no live
+    snapshot references; GC deletes exactly those and table content is
+    untouched. The in-flight-writer guard is exercised both ways: with
+    the default cutoff (newest snapshot ts) the young orphans survive,
+    with a far-future cutoff they are collected."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "dorph_orders", sf_dir)
+    t.create(orders.filter(F.col("o_orderkey") % 2 == 0))
+    # abandoned stage: data files land under data/, manifest never commits
+    t.stage_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    # default cutoff = newest snapshot's ts → the younger staged files
+    # must be treated as possibly-in-flight and kept
+    assert t.remove_orphan_files() == []
+    # explicit far-future cutoff (fixed epoch: 2100-01-01, deterministic)
+    removed = t.remove_orphan_files(older_than_ms=4102444800000)
+    assert removed, "abandoned stage left no orphan data files"
+    return t.read()
+
+
+D_ORPHAN_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 2 = 0"
+
+
 def d5_schema_evolution(spark, sf_dir):
     """D5 ALTER TABLE add/drop column as metadata-only commits
     (03-Trino-query.ipynb:156; allow_table.rego:75-79)."""
@@ -1415,4 +1469,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "d_branch_fast_forward", d_branch_fast_forward, D_BRANCH_ORACLE, memo=False
     ),
+    QuerySpec("d_rollback_restore", d_rollback_restore, D_ROLLBACK_ORACLE, memo=False),
+    QuerySpec("d_orphan_cleanup", d_orphan_cleanup, D_ORPHAN_ORACLE, memo=False),
 ]
