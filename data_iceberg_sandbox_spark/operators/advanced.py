@@ -1243,6 +1243,114 @@ FROM pairs
 """
 
 
+def events_markov_stationary(spark, sf_dir, iters: int = 8):
+    """Stationary distribution of the first-order event-type Markov
+    chain (the long-run share of time a user's journey spends in each
+    state) by power iteration — π ← πP, 8 fixed iterations from the
+    uniform start, under the repo's exactness contract for iterative
+    algorithms (the `embedding_pca_power_iteration` recipe,
+    similarity.py): transition probabilities quantize once to scale-6
+    BIGINT via a single IEEE multiply/divide/round (bit-stable across
+    engines), every per-iteration sum is exact integer arithmetic, and
+    the only float op per step is one shared renormalizing division —
+    so the DuckDB twin unrolls the same 8 steps and hash-matches.
+
+    Scale shape: the distributed work is the transition-count pass —
+    ONE user_id shuffle for the per-user `lead` window plus a map-side-
+    combined re-aggregation into a ≤|types|² frame (25 cells here; a
+    domain constant, not data-scaled). That matrix is metadata-class,
+    so the iterations run driver-side on exact ints (the PCA/ANN
+    bounded-collect precedent); at 100 TB the cost profile is identical
+    — one shuffle, 25 collected cells. Chain restricted to states with
+    outgoing edges; renormalization absorbs mass lost to dropped
+    edges. Reference analog: none — [EXT] behavioral-analytics surface
+    alongside `events_transition_matrix` / `events_top_paths`."""
+    import math as _math
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy("event_type"))
+    m = pairs.select(
+        F.col("event_type").alias("f"),
+        F.col("next_type").alias("t"),
+        F.round(F.col("n").cast("double") * 1000000.0 / tot.cast("double"))
+        .cast("bigint")
+        .alias("pq"),
+    ).collect()
+    states = sorted({r["f"] for r in m})
+    state_set = set(states)
+    edges = sorted(
+        (r["f"], r["t"], int(r["pq"])) for r in m if r["t"] in state_set
+    )
+    v = {s: 1_000_000 for s in states}
+    for _ in range(iters):
+        u: dict[str, int] = {}
+        for f_, t_, pq in edges:
+            u[t_] = u.get(t_, 0) + v.get(f_, 0) * pq
+        tot_u = sum(u.values())
+        v = {
+            s: int(_math.floor(float(w_) * 1000000.0 / float(tot_u) + 0.5))
+            for s, w_ in u.items()
+        }
+    return spark.createDataFrame(
+        sorted((s, p / 1e6) for s, p in v.items()),
+        "event_type string, pi double",
+    )
+
+
+def _markov_stationary_oracle(iters: int = 8) -> str:
+    """The same 8 unrolled integer power-iteration steps in DuckDB."""
+    parts = [
+        """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type AS f, next_type AS t, count(*) AS n
+  FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+m0 AS MATERIALIZED (
+  SELECT f, t,
+         CAST(round(CAST(n AS DOUBLE) * 1000000.0
+                    / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE))
+              AS BIGINT) AS pq
+  FROM pairs),
+m AS MATERIALIZED (SELECT * FROM m0 WHERE t IN (SELECT DISTINCT f FROM m0)),
+v0 AS MATERIALIZED (SELECT DISTINCT f AS s, CAST(1000000 AS BIGINT) AS vf FROM m0)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+u{k} AS MATERIALIZED (
+  SELECT m.t AS s, sum(v{k - 1}.vf * m.pq) AS w
+  FROM v{k - 1} JOIN m ON m.f = v{k - 1}.s GROUP BY 1),
+v{k} AS MATERIALIZED (
+  SELECT s,
+         CAST(floor(CAST(w AS DOUBLE) * 1000000.0
+                    / CAST((SELECT sum(w) FROM u{k}) AS DOUBLE) + 0.5)
+              AS BIGINT) AS vf
+  FROM u{k})"""
+        )
+    parts.append(
+        f"""
+SELECT s AS event_type, CAST(vf AS DOUBLE) / 1000000.0 AS pi FROM v{iters}"""
+    )
+    return "".join(parts)
+
+
+MARKOV_STATIONARY_ORACLE = _markov_stationary_oracle()
+
+
 def _histogram_median(hist, val_col: str, out_col: str):
     """Exact per-group median of an int64 column given its VALUE HISTOGRAM
     (event_type, val, cnt) — the scale-safe formulation shared with
@@ -2316,6 +2424,12 @@ SPECS: list[QuerySpec] = [
         "events_transition_matrix",
         events_transition_matrix,
         TRANSITION_MATRIX_ORACLE,
+    ),
+    QuerySpec(
+        "events_markov_stationary",
+        events_markov_stationary,
+        MARKOV_STATIONARY_ORACLE,
+        memo=False,  # driver-side iteration collect at plan-build time
     ),
     QuerySpec(
         "diagnose_join_skew",
