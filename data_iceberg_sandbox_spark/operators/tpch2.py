@@ -104,33 +104,47 @@ GROUP BY 1, 2, 3
 
 def q8_market_share(spark, sf_dir):
     """Q8 shape: a nation's share of revenue within its region's market,
-    by year (p_retailprice band substitutes the part-type filter)."""
+    by year (p_retailprice band substitutes the part-type filter).
+
+    Scale shape (reworked r11 — the naive left-deep chain measured
+    17.7 s / 33× DuckDB at sf10 in the AQE-off bench regime): the q5/q7
+    lever applied to a 6-table join. Every selective dim broadcasts
+    into its fact FIRST — the ASIA customers (region's ≤1/5, key column
+    only) prune orders before the big join; the part band (one key
+    column, explicitly broadcast: ~1M keys at sf10 beats a 60M-row
+    partkey exchange) and the supplier→nation literal map (25-entry
+    `element_at`, no nation join at all) prune/annotate lineitem
+    map-side. Only then do the two reduced facts meet on the ONE
+    orderkey shuffle — which the keyed buffer-pool pin already
+    co-partitions, so steady-state reads skip even that exchange.
+    Inner equi-joins commute; bit-identical to the join-form oracle."""
+    from .tpch import _inline_nations
+
+    asia_keys, _, _ = _inline_nations(spark, sf_dir, region_name="ASIA")
+    _, _, nmap_all = _inline_nations(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950)
-    n_c = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+
+    c_f = c.filter(F.col("c_nationkey").isin(asia_keys)).select("c_custkey")
+    o_f = o.join(F.broadcast(c_f), o.o_custkey == c_f.c_custkey).select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
     )
-    n_s = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    s_map = s.select(
+        "s_suppkey", F.element_at(nmap_all, F.col("s_nationkey")).alias("supp_nation")
     )
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n_c), c.c_nationkey == F.col("cnk"))
-        .join(F.broadcast(n_s), s.s_nationkey == F.col("snk"))
-        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+    li_f = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s_map), li.l_suppkey == s_map.s_suppkey)
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            "l_orderkey",
             _rev(F.col("l_extendedprice"), F.col("l_discount")).alias("volume"),
             "supp_nation",
         )
     )
+    vol = li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
     return vol.groupBy("o_year").agg(
         F.round(
             F.sum(
@@ -202,23 +216,25 @@ FROM top JOIN supplier ON l_suppkey = s_suppkey WHERE rk = 1
 
 def q17_small_quantity(spark, sf_dir):
     """Q17 shape: revenue impact of small-quantity orders — lineitems
-    below 50% of their part's average quantity (correlated scalar
-    subquery → join of per-part averages).
+    below 50% of their part's average quantity.
 
-    No broadcast hint: avg_qty has one row per partkey (~20M at SF100),
-    a data-dependent aggregate that must NOT be forced driver-side. AQE
-    sizes it at runtime — broadcast at small SF, co-partitioned
-    shuffle join on l_partkey at scale (both sides shuffle on the same
-    key, so the agg and the join share one exchange)."""
+    The correlated scalar subquery is a whole-partition WINDOW, not an
+    agg+self-join (reworked r11: the join form paid the 60M-row partkey
+    exchange TWICE — once into the aggregate, once to join it back —
+    and measured 16 s / 20× DuckDB at sf10 with AQE off). `avg` over
+    `partitionBy(l_partkey)` computes the per-part mean and leaves it
+    ON the row: ONE exchange + one partition-local sort, and the
+    arithmetic stays the oracle's — exact DECIMAL sum, one IEEE
+    division. The avg never concentrates: parts are ~30 rows at every
+    scale factor, so the window runs in bounded per-group state."""
     li = load_table(spark, sf_dir, "lineitem")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (
-            F.sum(F.col("l_quantity").cast(PRICE)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast(PRICE)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        li.join(avg_qty, li.l_partkey == F.col("pk"))
+        li.select("l_quantity", "l_extendedprice", avg_qty.alias("avg_qty"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(
