@@ -412,26 +412,29 @@ def q2_cheapest_supplier(spark, sf_dir):
     in for partsupp). Tie-break on s_suppkey."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
+    # ONE explicit partkey exchange feeds everything downstream
+    # (reworked r11: the agg→agg→join-back chain re-shuffled the
+    # near-fact-sized (partkey,suppkey) offers frame three more times
+    # and measured 11.6 s at sf10). hashpartitioning(partkey) satisfies
+    # the (partkey,suppkey) grouping (subset rule), the per-part MIN
+    # window, and the final per-part argmin group — all partition-local
+    # after this single shuffle. Supplier names ride a broadcast.
     offers = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice").cast(PRICE)).alias("best_price"))
     )
-    part_min = offers.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.min("best_price").alias("min_price")
-    )
+    min_price = F.min("best_price").over(W.partitionBy("l_partkey"))
     best = (
-        offers.join(
-            part_min,
-            (offers.l_partkey == F.col("pk"))
-            & (offers.best_price == F.col("min_price")),
-        )
+        offers.withColumn("min_price", min_price)
+        .filter(F.col("best_price") == F.col("min_price"))
         .groupBy("l_partkey")
         .agg(
             F.min("l_suppkey").alias("l_suppkey"),
             F.min("min_price").cast("double").alias("min_price"),
         )
     )
-    return best.join(s, best.l_suppkey == s.s_suppkey).select(
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
         F.col("l_partkey").alias("p_partkey"),
         F.col("s_suppkey"),
         "s_name",
@@ -463,17 +466,20 @@ def q20_volume_share_suppliers(spark, sf_dir):
     non-empty at every SF) — per-group share via a windowed total."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    vol = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(PRICE)).alias("qty")
+    # one explicit partkey exchange serves both the (partkey,suppkey)
+    # grouping and the per-part total window — the q2 subset-rule
+    # rework (was: two near-fact-sized shuffles, 9.8 s at sf10)
+    vol = (
+        li.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(PRICE)).alias("qty"))
     )
-    from pyspark.sql import Window as W
-
     total = F.sum("qty").over(W.partitionBy("l_partkey"))
     share = (F.col("qty").cast("double") / total.cast("double"))
     big = vol.withColumn("share", F.round(share, 6)).filter(
         F.col("share") > 0.15
     )
-    return big.join(s, big.l_suppkey == s.s_suppkey).select(
+    return big.join(F.broadcast(s), big.l_suppkey == s.s_suppkey).select(
         F.col("l_partkey").alias("p_partkey"),
         "s_suppkey",
         "s_name",
