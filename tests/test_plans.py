@@ -256,3 +256,54 @@ def test_flagship_query_plan_is_memoized(spark):
 
     q = m.queries()["flagship_fraud_enriched"]
     assert q(spark, SF_ORACLE) is q(spark, SF_ORACLE)
+
+
+def test_partkey_correlates_are_single_exchange(spark):
+    """The r11 reworks: q17's correlated avg, q2's per-part argmin and
+    q20's per-part share all ride ONE fact exchange on l_partkey — the
+    partitioning subset rule lets the (partkey,suppkey) grouping, the
+    per-part window and the final per-part agg share it. A second
+    hashpartitioning exchange here is the 2×-fact-shuffle regression
+    the sf10 sweep caught at 10-16 s."""
+    from data_iceberg_sandbox_spark.operators import tpch2
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for fn in (
+            tpch2.q17_small_quantity,
+            tpch2.q2_cheapest_supplier,
+            tpch2.q20_volume_share_suppliers,
+        ):
+            df = fn(spark, SF_ORACLE)
+            assert exchange_count(df) == 1, fn.__name__
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_range_followup_is_window_not_self_join(spark):
+    """range_followup_counts must stay the RANGE-framed window form:
+    one user_id exchange, no join operator anywhere (the self-join form
+    measured 152 s at sf10)."""
+    from data_iceberg_sandbox_spark.operators import advanced
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = advanced.range_followup_counts(spark, SF_ORACLE)
+        assert exchange_count(df) == 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan[:800]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_percentiles_never_buffer_groups(spark):
+    """percentile_prices / agg_approx: no `percentile(` exact aggregate
+    in the physical plan — the buffering form stalled the sf10 sweep;
+    the value-histogram formulation is the locked shape
+    (percentile_approx, a bounded sketch, remains allowed)."""
+    from data_iceberg_sandbox_spark.operators import advanced
+
+    for fn in (advanced.percentile_prices, advanced.agg_approx):
+        df = fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "percentile(" not in plan, fn.__name__
