@@ -470,11 +470,23 @@ def agg_approx(spark, sf_dir):
             F.when(F.col("cum_end") >= F.ceil(F.col("n") * 0.75), pv)
         ).alias("p75"),
     )
-    g = li.groupBy("l_returnflag").agg(
+    # The sketches run in their OWN aggregation, never co-planned with
+    # the COUNT(DISTINCT) rewrite: mixing them makes the partial stage
+    # group by (flag, partkey) — millions of groups — and
+    # ObjectHashAggregate's sort-based fallback then allocates a fresh
+    # 64 KB HLL buffer (rsd .005 → 2^16 registers) PER GROUP. jstack'd
+    # at sf10: every task pinned in
+    # ObjectAggregationIterator.createNewAggregationBuffer — the sweep's
+    # 600 s "freeze" (r11). Split, the sketch agg holds exactly 3
+    # buffers and the distinct rewrite stays pure codegen.
+    g_exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    g_sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.005).alias("ap"),
         F.percentile_approx("l_extendedprice", 0.5).alias("ap50"),
-    ).join(bounds, "l_returnflag")
+    )
+    g = g_exact.join(g_sketch, "l_returnflag").join(bounds, "l_returnflag")
     return g.select(
         "l_returnflag",
         "exact_parts",
