@@ -525,14 +525,29 @@ def run_stream_stream_join(
     of data instead of the whole backlog. The reference keeps state
     forever (streaming-usecase.md — no watermarks); a production tail
     with genuinely disordered arrival would widen the delay to its
-    observed disorder bound, trading state for completeness."""
-    staged = stage_event_files(spark, sf_dir, "ssj", n_files=6, time_ordered=True)
+    observed disorder bound, trading state for completeness.
+
+    Slice count scales with the backlog (~250k events per micro-batch,
+    floor of 6 slices): with a handful of giant slices each batch spans
+    a large share of the TIMELINE, and the watermark — which only
+    advances between batches — lets state grow to the whole batch
+    (5M rows/side at sf10; the r11 sweep measured that as a >600 s
+    state-store grind). Bounded slices cap per-batch state at
+    batch + 10-minute carryover regardless of SF; the time-ordered
+    invariant (every slice's min ≥ previous slice's max) holds for any
+    slice count, so drained-equals-batch is unaffected."""
+    n_events = load_table(spark, sf_dir, "events").count()
+    n_files = max(6, -(-n_events // 250_000))
+    fpt = 3 if n_files == 6 else 1
+    staged = stage_event_files(
+        spark, sf_dir, "ssj", n_files=n_files, time_ordered=True
+    )
     if os.path.isdir(table_root):
         shutil.rmtree(table_root)
     result = LakeTable(spark, table_root)
 
     left = (
-        events_stream(spark, staged, files_per_trigger=3)
+        events_stream(spark, staged, files_per_trigger=fpt)
         .select(
             F.col("event_id").alias("event_a"),
             F.col("user_id").alias("user_a"),
@@ -541,7 +556,7 @@ def run_stream_stream_join(
         .withWatermark("ts_a", "10 minutes")
     )
     right = (
-        events_stream(spark, staged, files_per_trigger=3)
+        events_stream(spark, staged, files_per_trigger=fpt)
         .select(
             F.col("event_id").alias("event_b"),
             F.col("user_id").alias("user_b"),
