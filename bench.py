@@ -331,14 +331,17 @@ def main() -> None:
     line = json.dumps(payload)
     # Durable copy: the driver captures stdout and has truncated this line
     # before (BENCH_r06.json parsed:null) — the in-repo file is the record.
-    try:
-        out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_last.json"
-        )
-        with open(out, "w") as fh:
-            fh.write(line + "\n")
-    except OSError:
-        pass
+    # Self-test runs (the pytest contract check) are NOT a record and must
+    # not clobber it.
+    if "--self-test-broken" not in sys.argv:
+        try:
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_last.json"
+            )
+            with open(out, "w") as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass
     print(line)
 
 
