@@ -995,6 +995,45 @@ FROM m
 """
 
 
+def embedding_ann_recall(spark, sf_dir, k: int = 10):
+    """Recall@k of the IVF index against the exact brute-force ground
+    truth — the quality gate every ANN deployment runs before swapping
+    an index into the retrieval path ("did nprobe=4 lose neighbors?").
+    Pure composition: `ann_cosine_topk` (exact) left-joins
+    `ann_ivf_topk` (approx) on (query, neighbor); recall = hits/k per
+    query. Scale shape inherits the two operands' (each one streamed
+    kernel scan + a tiny top-k window); the join itself is k·|queries|
+    rows. The DuckDB twin nests both existing oracle replays as derived
+    tables, so the recall numbers — not just the operand top-ks — are
+    hash-checked cross-engine."""
+    ex = ann_cosine_topk(spark, sf_dir, k).select("query_id", "neighbor_id")
+    ap = ann_ivf_topk(spark, sf_dir, k).select(
+        F.col("query_id").alias("qa"), F.col("neighbor_id").alias("na")
+    )
+    j = ex.join(
+        ap,
+        (ex.query_id == F.col("qa")) & (ex.neighbor_id == F.col("na")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.col("na")).alias("n_hits"),
+        F.round(F.count(F.col("na")).cast("double") / float(k), 4).alias("recall"),
+    )
+
+
+ANN_RECALL_ORACLE = f"""
+WITH exact AS (SELECT * FROM ({ANN_TOPK_ORACLE})),
+     approx AS (SELECT * FROM ({ANN_IVF_ORACLE}))
+SELECT exact.query_id,
+       count(approx.neighbor_id) AS n_hits,
+       round(CAST(count(approx.neighbor_id) AS DOUBLE) / 10.0, 4) AS recall
+FROM exact LEFT JOIN approx
+  ON exact.query_id = approx.query_id
+ AND exact.neighbor_id = approx.neighbor_id
+GROUP BY exact.query_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("embedding_quantize_int8", embedding_quantize_int8_check, QUANTIZE_ORACLE),
     QuerySpec("embedding_kmeans_step", embedding_kmeans_step, KMEANS_STEP_ORACLE),
@@ -1008,4 +1047,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ann_lsh_bucketed", ann_lsh_bucketed, ANN_LSH_ORACLE),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     QuerySpec("embedding_semdedup", embedding_semdedup, SEMDEDUP_ORACLE),
+    QuerySpec("embedding_ann_recall", embedding_ann_recall, ANN_RECALL_ORACLE),
 ]
