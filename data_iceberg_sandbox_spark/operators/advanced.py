@@ -479,6 +479,12 @@ def agg_approx(spark, sf_dir):
     # ObjectAggregationIterator.createNewAggregationBuffer — the sweep's
     # 600 s "freeze" (r11). Split, the sketch agg holds exactly 3
     # buffers and the distinct rewrite stays pure codegen.
+    # Isolated, the exact distinct plans as two-phase dedup-then-count
+    # with map-side partial dedup and NO Expand (verified: a manual
+    # (flag,partkey)-groupBy two-phase form produces the identical
+    # physical plan) — the expand only appears when distinct and
+    # non-distinct aggregates share one Aggregate, which the split
+    # above avoids.
     g_exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
     )
