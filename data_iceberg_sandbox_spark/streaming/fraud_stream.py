@@ -505,7 +505,11 @@ def run_sliding_window_stream(
 
 @with_bounded_shuffle
 def run_stream_stream_join(
-    spark: SparkSession, sf_dir: str, table_root: str, minutes: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    table_root: str,
+    minutes: int = 5,
+    events_per_slice: int = 250_000,
 ) -> LakeTable:
     """Stream-stream inner join with event-time range condition: pairs of
     same-user events within N minutes, both sides watermarked — the
@@ -535,9 +539,17 @@ def run_stream_stream_join(
     state-store grind). Bounded slices cap per-batch state at
     batch + 10-minute carryover regardless of SF; the time-ordered
     invariant (every slice's min ≥ previous slice's max) holds for any
-    slice count, so drained-equals-batch is unaffected."""
+    slice count, so drained-equals-batch is unaffected.
+
+    Slice-size A/B at sf10 (measured r11): 250k/slice drains in 418 s
+    (40 batches); 1M/slice (10 batches) did NOT finish in 590 s — the
+    HDFS-backed state store snapshots the full in-memory map per
+    batch, so fewer-but-fatter batches pay superlinear state I/O that
+    swamps the saved per-batch fixed cost. Fatter slices are a dead
+    end; ``events_per_slice`` stays parameterized for re-measurement
+    on engines with RocksDB state."""
     n_events = load_table(spark, sf_dir, "events").count()
-    n_files = max(6, -(-n_events // 250_000))
+    n_files = max(6, -(-n_events // events_per_slice))
     fpt = 3 if n_files == 6 else 1
     staged = stage_event_files(
         spark, sf_dir, "ssj", n_files=n_files, time_ordered=True
