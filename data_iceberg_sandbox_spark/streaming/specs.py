@@ -111,6 +111,90 @@ FROM events
 """
 
 
+def stream_embedding_ivf_ingest(spark, sf_dir):
+    """Streaming vector ingestion with online IVF bookkeeping — the
+    missing streaming×vector cell of the surface matrix. The coarse
+    quantizer fits ONCE on the corpus (`ivf_centroids`, identical
+    parameters to `ivf_assign`'s defaults so the oracle reuses the
+    standard seed→Lloyd→assign replay); the embedding log then replays
+    as micro-batches, each batch rides the same Arrow assignment
+    kernel as the batch ANN path, and the per-cell membership counts
+    append as an exactly-once changelog the final read rolls up. This
+    is the ingest half of every vector store: drained bookkeeping must
+    equal the one-shot batch assignment — same convergence oracle as
+    the windowed MVs.
+
+    Scale: fit is the batch quantizer (bounded centroid set); per
+    batch the kernel is one streamed scan (no shuffle) and the
+    changelog append is ≤|cells| rows; nothing driver-side except the
+    ≤2 MB centroid matrix each batch's plan build collects."""
+    import shutil
+
+    from ..functions.vector import as_double
+    from ..operators.similarity import _assign_cells, ivf_centroids
+    from ..tables.laketable import LakeTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, sf_dir).cache()
+
+    staged = _root("staged_emb_ivf", sf_dir)
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)
+    emb.repartition(6, F.col("vec_id")).write.parquet(staged)
+
+    table_root = _root("emb_ivf_mv", sf_dir)
+    if os.path.isdir(table_root):
+        shutil.rmtree(table_root)
+    ckpt = table_root + "_ckpt"
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    mv = LakeTable(spark, table_root)
+
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+
+    def ingest(batch_df, _epoch):
+        assigned = _assign_cells(
+            batch_df.select(
+                "vec_id", as_double(F.col("embedding")).alias("emb")
+            ),
+            cents,
+        )
+        counts = assigned.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("n_vecs")
+        )
+        if not mv.exists():
+            mv.create(counts)
+        else:
+            mv.append(counts)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        mv.read()
+        .groupBy("cent_id")
+        .agg(F.sum("n_vecs").cast("bigint").alias("n_vecs"))
+    )
+
+
+def _emb_ivf_ingest_oracle() -> str:
+    from ..operators.similarity import _IVF_A1_SQL
+
+    return f"""{_IVF_A1_SQL}
+SELECT cent_id, count(*) AS n_vecs FROM a1 GROUP BY cent_id
+"""
+
+
 from .stateful import SPECS as STATEFUL_SPECS  # noqa: E402
 
 SPECS: list[QuerySpec] = [
@@ -174,5 +258,11 @@ SPECS: list[QuerySpec] = [
             spark, sf_dir, _root("session_mv", sf_dir)
         ).read(),
         SESSION_NATIVE_ORACLE,  # converges to the batch session_window agg
+    ),
+    QuerySpec(
+        "stream_embedding_ivf_ingest",
+        stream_embedding_ivf_ingest,
+        _emb_ivf_ingest_oracle(),
+        memo=False,
     ),
 ]
