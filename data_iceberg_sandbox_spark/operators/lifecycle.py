@@ -426,21 +426,29 @@ D_ROLLBACK_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 3 <> 2"
 
 
 def d_orphan_cleanup(spark, sf_dir):
-    """``remove_orphan_files``: a staged write that never publishes (the
-    crash / lost-CAS debris case) leaves data files on disk that no live
-    snapshot references; GC deletes exactly those and table content is
-    untouched. The in-flight-writer guard is exercised both ways: with
-    the default cutoff (newest snapshot ts) the young orphans survive,
-    with a far-future cutoff they are collected."""
+    """``remove_orphan_files``: orphan GC deletes exactly the data files
+    no referenced metadata points at, and table content is untouched.
+    Three guards exercised: (1) a LIVE staged WAP append is referenced
+    metadata — its files survive GC even with a far-future cutoff
+    (Iceberg treats wap/branch snapshots as live refs); (2) abandoning
+    the stage via ``expire_staged`` makes those files orphans, but the
+    default cutoff (newest snapshot ts) still keeps them as
+    possibly-in-flight; (3) an explicit far-future cutoff collects
+    them."""
     orders = load_table(spark, sf_dir, "orders")
     t = _fresh_table(spark, "dorph_orders", sf_dir)
     t.create(orders.filter(F.col("o_orderkey") % 2 == 0))
-    # abandoned stage: data files land under data/, manifest never commits
-    t.stage_append(orders.filter(F.col("o_orderkey") % 2 == 1))
-    # default cutoff = newest snapshot's ts → the younger staged files
+    # staged append: data files land under data/, manifest stays staged
+    token = t.stage_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    # (1) live stage = referenced → never an orphan, any cutoff
+    # (fixed far-future epoch: 2100-01-01, deterministic)
+    assert t.remove_orphan_files(older_than_ms=4102444800000) == []
+    # (2) abandon the stage (crash/lost-CAS case modeled explicitly)
+    t.expire_staged(token)
+    # default cutoff = newest snapshot's ts → the younger orphaned files
     # must be treated as possibly-in-flight and kept
     assert t.remove_orphan_files() == []
-    # explicit far-future cutoff (fixed epoch: 2100-01-01, deterministic)
+    # (3) far-future cutoff collects the abandoned stage's files
     removed = t.remove_orphan_files(older_than_ms=4102444800000)
     assert removed, "abandoned stage left no orphan data files"
     return t.read()

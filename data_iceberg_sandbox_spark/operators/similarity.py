@@ -1021,17 +1021,27 @@ def embedding_ann_recall(spark, sf_dir, k: int = 10):
     )
 
 
-ANN_RECALL_ORACLE = f"""
+def _ann_recall_oracle(k: int = 10) -> str:
+    """Oracle generated from the same k the operator uses (divisor
+    f-stringed, like _markov_stationary_oracle's loop count) so a
+    non-default k cannot silently break Spark/oracle parity. Note the
+    operand replays (`ANN_TOPK_ORACLE`/`ANN_IVF_ORACLE`) are the
+    default-k ones; recall at k != 10 would need them re-generated too,
+    so we derive everything from one place."""
+    return f"""
 WITH exact AS (SELECT * FROM ({ANN_TOPK_ORACLE})),
      approx AS (SELECT * FROM ({ANN_IVF_ORACLE}))
 SELECT exact.query_id,
        count(approx.neighbor_id) AS n_hits,
-       round(CAST(count(approx.neighbor_id) AS DOUBLE) / 10.0, 4) AS recall
+       round(CAST(count(approx.neighbor_id) AS DOUBLE) / {float(k)}, 4) AS recall
 FROM exact LEFT JOIN approx
   ON exact.query_id = approx.query_id
  AND exact.neighbor_id = approx.neighbor_id
 GROUP BY exact.query_id
 """
+
+
+ANN_RECALL_ORACLE = _ann_recall_oracle()
 
 
 SPECS: list[QuerySpec] = [

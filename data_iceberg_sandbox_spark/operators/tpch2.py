@@ -18,6 +18,23 @@ PRICE = "decimal(12,2)"
 RATE = "decimal(4,3)"
 
 
+def _dir_bytes(sf_dir, name):
+    """On-disk size of a testdata table (file or directory parquet) —
+    cheap driver-side stat used to gate data-scaled broadcast hints."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _dns, fns in os.walk(path)
+            for fn in fns
+        )
+    return 0
+
+
 def _rev(price, disc):
     return price.cast(PRICE) * (F.lit(1).cast(RATE) - disc.cast(RATE))
 
@@ -129,7 +146,15 @@ def q8_market_share(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950)
 
     c_f = c.filter(F.col("c_nationkey").isin(asia_keys)).select("c_custkey")
-    o_f = o.join(F.broadcast(c_f), o.o_custkey == c_f.c_custkey).select(
+    # The ASIA key set is data-scaled (~30k rows/SF unit), unlike the
+    # bounded nation/region folds — the forced broadcast is only valid
+    # while it fits comfortably under driver/broadcast capacity. Gate
+    # the hint on the customer table's on-disk size (≤512 MB ≈ SF~200,
+    # keyset ≤~6M keys ≈ 50 MB in-memory); past that, leave the join
+    # unhinted so AQE (on in the production session config) can demote
+    # it to a shuffle join instead of blowing the broadcast limit.
+    c_hint = F.broadcast(c_f) if _dir_bytes(sf_dir, "customer") <= 512 << 20 else c_f
+    o_f = o.join(c_hint, o.o_custkey == c_f.c_custkey).select(
         "o_orderkey", F.year("o_orderdate").alias("o_year")
     )
     s_map = s.select(

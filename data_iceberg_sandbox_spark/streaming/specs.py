@@ -157,7 +157,7 @@ def stream_embedding_ivf_ingest(spark, sf_dir):
         .parquet(staged)
     )
 
-    def ingest(batch_df, _epoch):
+    def ingest(batch_df, epoch):
         assigned = _assign_cells(
             batch_df.select(
                 "vec_id", as_double(F.col("embedding")).alias("emb")
@@ -167,10 +167,19 @@ def stream_embedding_ivf_ingest(spark, sf_dir):
         counts = assigned.groupBy("cent_id").agg(
             F.count(F.lit(1)).alias("n_vecs")
         )
+        # Exactly-once: the epoch id commits atomically with the counts
+        # (same manifest-property guard as run_append_stream) so a
+        # micro-batch retried after a successful append — failure window
+        # between table commit and checkpoint write — is skipped, not
+        # double-counted.
+        marker = {"streaming.last_epoch": str(epoch)}
         if not mv.exists():
-            mv.create(counts)
+            mv.create(counts, properties=marker)
         else:
-            mv.append(counts)
+            last = mv.manifest().properties.get("streaming.last_epoch")
+            if last is not None and epoch <= int(last):
+                return  # already committed; post-commit retry
+            mv.append(counts, extra_properties=marker)
 
     q = (
         stream.writeStream.outputMode("append")

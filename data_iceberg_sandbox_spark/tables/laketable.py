@@ -488,13 +488,26 @@ class LakeTable:
         file younger than the cutoff is kept even if unreferenced,
         because its commit may simply not have happened yet (Iceberg's
         ``older_than`` has the same role; default keeps only files older
-        than the newest live snapshot's timestamp)."""
+        than the newest live snapshot's timestamp).
+
+        Live set = committed snapshots ∪ staged WAP manifests ∪ branch
+        refs: a staged-but-unpublished append and an unlanded branch are
+        referenced metadata (Iceberg treats wap/branch snapshots the
+        same way), so their data files are NOT orphans regardless of
+        cutoff. To GC an abandoned stage, drop its token first via
+        ``expire_staged``; branches via ``drop_branch``."""
         mans = self.snapshots()
         if not mans:
             return []
         if older_than_ms is None:
             older_than_ms = mans[-1].timestamp_ms
         live = {f for m in mans for f in m.files}
+        for fn in os.listdir(self._manifest_dir):
+            if fn.startswith(("staged_", "branch_")) and fn.endswith(".json"):
+                with open(
+                    os.path.join(self._manifest_dir, fn), encoding="utf-8"
+                ) as fh:
+                    live.update(Manifest.from_json(fh.read()).files)
         removed: list[str] = []
         data_dir = os.path.join(self.root, "data")
         if not os.path.isdir(data_dir):
@@ -1498,6 +1511,17 @@ class LakeTable:
             file_stats=dict(parent.file_stats),
         )
         return self._scan_manifest(view)
+
+    def expire_staged(self, token: str) -> "LakeTable":
+        """Abandon a staged (unpublished) snapshot: drop the stage token
+        so the stage's data files become unreferenced and eligible for
+        ``remove_orphan_files`` (the crash/lost-CAS debris case is
+        modeled as stage → expire → GC; a live stage is never GC'd)."""
+        path = self._staged_path(token)
+        if not os.path.exists(path):
+            raise NoSuchTable(f"no staged snapshot {token} in {self.root}")
+        os.remove(path)
+        return self
 
     def publish(self, token: str) -> "LakeTable":
         """Write-audit-publish step 2: promote the staged snapshot to the

@@ -473,3 +473,42 @@ def test_histogram_prefix_sum_partitioned_matches_window(spark):
     ).select("tid", "x")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_percentile_histogram_matches_exact_percentile(spark):
+    """Cross-implementation guard for percentile_prices (ADVICE r11): the
+    shared histogram lo/hi/frac formulation is replayed token-for-token
+    on both engines, so its oracle is self-referential — this test pins
+    it against Spark's INDEPENDENT exact `percentile` aggregate (the
+    same 1-based r = 1 + q·(n−1) linear-interpolation definition as
+    DuckDB's quantile_cont) on oracle-SF data, where buffering every
+    group is affordable."""
+    from data_iceberg_sandbox_spark.operators.advanced import (
+        _PCTL_QS,
+        percentile_prices,
+    )
+    from data_iceberg_sandbox_spark.sources.registry import load_table
+
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in percentile_prices(spark, SF_ORACLE).collect()
+    }
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    want_rows = li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(
+                    f"percentile(CAST(l_extendedprice AS DOUBLE), {q})"
+                ),
+                4,
+            ).alias(tag)
+            for tag, q in _PCTL_QS
+        ]
+    ).collect()
+    assert len(want_rows) == len(got) > 0
+    for r in want_rows:
+        for tag, _q in _PCTL_QS:
+            assert got[r["l_returnflag"]][tag] == r[tag], (
+                r["l_returnflag"],
+                tag,
+            )
