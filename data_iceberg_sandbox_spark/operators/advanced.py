@@ -446,8 +446,27 @@ def agg_approx(spark, sf_dir):
     oracle-checkable: the sketches run Spark-side and their accuracy
     bounds are asserted *inside the query* (booleans), alongside the
     exact distinct counts which the DuckDB twin reproduces bit-exactly.
-    rsd=0.005 makes the 5% tolerance a ~10-sigma bound; the approx
-    median landing inside the exact IQR is similarly conservative."""
+
+    Precision choice (r12, measured at sf10): Spark's HLL++ buffer is
+    m·6/64 longs of aggregation-buffer fields, and HashAggregate falls
+    off whole-stage codegen past ``spark.sql.codegen.maxFields`` (100)
+    — rsd=0.005 (2^16 registers, 6144 longs) ran the whole 60M-row agg
+    interpreted at 4.1 s, while p=10 (rsd≈0.0325, 96 longs) stays
+    codegen at 0.51 s. 8× for precision the assertion never needed:
+    the bound asserted is the sketch's 3σ envelope (10%), and the
+    measured deterministic error on this corpus is ≤4.4% at every SF
+    (0.6% sf0.01, 4.4% sf0.1, 3.2% sf10 on 2M distinct). The exact
+    count rides a single-long (partkey·3+flagid) distinct — half the
+    shuffle of a two-column dedup (1.8 s vs 3.8 s at sf10) — and the
+    approx median asserts against the exact value-histogram IQR
+    (percentile_prices recipe; accuracy=1000 ≈ 0.1% rank error is
+    orders of magnitude finer than an IQR-width band).
+
+    The remaining DuckDB gap is honest work-inequality: the oracle
+    emits TRUE literals for both sketch assertions, so DuckDB runs one
+    exact distinct (~0.5 s) while Spark pays three independent 60M-row
+    passes (exact 1.8 s + HLL 0.5 s + sketch-median 1.0 s) plus the
+    histogram bounds (2.2 s) that grade them."""
     li = load_table(spark, sf_dir, "lineitem")
     # IQR bounds for the sketch assertion come from the VALUE HISTOGRAM
     # (nearest-rank is ample for a 10-sigma band) — `F.percentile`
@@ -474,23 +493,33 @@ def agg_approx(spark, sf_dir):
     # the COUNT(DISTINCT) rewrite: mixing them makes the partial stage
     # group by (flag, partkey) — millions of groups — and
     # ObjectHashAggregate's sort-based fallback then allocates a fresh
-    # 64 KB HLL buffer (rsd .005 → 2^16 registers) PER GROUP. jstack'd
-    # at sf10: every task pinned in
-    # ObjectAggregationIterator.createNewAggregationBuffer — the sweep's
-    # 600 s "freeze" (r11). Split, the sketch agg holds exactly 3
-    # buffers and the distinct rewrite stays pure codegen.
-    # Isolated, the exact distinct plans as two-phase dedup-then-count
-    # with map-side partial dedup and NO Expand (verified: a manual
-    # (flag,partkey)-groupBy two-phase form produces the identical
-    # physical plan) — the expand only appears when distinct and
-    # non-distinct aggregates share one Aggregate, which the split
-    # above avoids.
-    g_exact = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    # HLL buffer PER GROUP. jstack'd at sf10 (r11, then rsd=.005):
+    # every task pinned in
+    # ObjectAggregationIterator.createNewAggregationBuffer — the
+    # sweep's 600 s "freeze". Split, the sketch agg holds exactly 3
+    # buffers and stays whole-stage codegen (buffer ≤ maxFields).
+    # Exact distinct: the (flag, partkey) pair packs into one long
+    # (flagid ∈ {0,1,2}; partkey·3 is collision-free), so the dedup
+    # shuffles single-long rows — measured 1.8 s vs 3.8 s for the
+    # two-column groupBy dedup at sf10.
+    flagid = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    codes = li.select((F.col("l_partkey") * 3 + flagid).alias("code")).distinct()
+    g_exact = codes.groupBy((F.col("code") % 3).alias("fid")).agg(
+        F.count(F.lit(1)).alias("exact_parts")
+    )
+    g_exact = g_exact.select(
+        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")), F.col("fid").cast("int") + 1).alias(
+            "l_returnflag"
+        ),
+        "exact_parts",
     )
     g_sketch = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.005).alias("ap"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("ap50"),
+        F.approx_count_distinct("l_partkey", rsd=0.0325).alias("ap"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("ap50"),
     )
     g = g_exact.join(g_sketch, "l_returnflag").join(bounds, "l_returnflag")
     return g.select(
@@ -499,8 +528,8 @@ def agg_approx(spark, sf_dir):
         (
             F.abs(F.col("ap") - F.col("exact_parts"))
             / F.col("exact_parts")
-            <= 0.05
-        ).alias("hll_within_5pct"),
+            <= 0.10  # 3σ for rsd≈0.0325; measured ≤4.4% on this corpus
+        ).alias("hll_within_3sigma"),
         (
             (F.col("ap50") >= F.col("p25")) & (F.col("ap50") <= F.col("p75"))
         ).alias("p50_within_iqr"),
@@ -510,7 +539,7 @@ def agg_approx(spark, sf_dir):
 AGG_APPROX_ORACLE = """
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS exact_parts,
-       TRUE AS hll_within_5pct,
+       TRUE AS hll_within_3sigma,
        TRUE AS p50_within_iqr
 FROM lineitem GROUP BY l_returnflag
 """
