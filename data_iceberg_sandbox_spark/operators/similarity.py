@@ -210,9 +210,23 @@ def embedding_neardup_pairs(spark, sf_dir, top_pairs: int = 20):
     full-corpus scale path.
 
     The sample is HARD-CAPPED at vec_id < NEARDUP_SAMPLE_CAP (≤20k rows
-    after the %10 filter) so the O(sample²) self-join stays ≤2×10⁸ pairs
+    after the %10 filter) so the O(sample²) scoring stays ≤2×10⁸ pairs
     no matter how large the corpus grows — the quadratic baseline can
-    never silently scale with the data."""
+    never silently scale with the data.
+
+    Scale shape (r12 — the theta-join with per-pair JVM fold evaluated
+    2×10⁸ higher-order `aggregate` calls interpreted, 44.7 s at sf10):
+    the ANN Arrow kernel pattern. The capped sample collects once
+    (≤10 MB, bounded) and broadcasts; each Arrow batch BLAS-matmuls its
+    row block against the sample (approximate scores, used only to
+    SELECT candidates), then the top candidates are exact-refined with
+    the sequential dim-by-dim fold so the emitted doubles are
+    bit-identical to the JVM/DuckDB left-to-right accumulation. Each
+    batch emits ~top_pairs rows; the global sort ranks a few hundred
+    candidates. Measured 1.0 s at sf10."""
+    import numpy as np
+    import pyarrow as pa
+
     sub = (
         load_table(spark, sf_dir, "embeddings")
         .filter(
@@ -220,24 +234,74 @@ def embedding_neardup_pairs(spark, sf_dir, top_pairs: int = 20):
         )
         .select("vec_id", as_double(F.col("embedding")).alias("emb"))
     )
-    sub = _with_norm(sub, "emb", "nrm")
-    a = sub.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = sub.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
+    rows = sorted(sub.collect(), key=lambda r: r["vec_id"])
+    vids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["emb"] for r in rows], dtype=np.float64)
+    n2 = np.zeros(len(rows))
+    for d in range(M.shape[1]):  # same fold order as dot(e, e)
+        n2 += M[:, d] * M[:, d]
+    nrm_all = np.sqrt(n2)
+    bc = spark.sparkContext.broadcast((vids_all, M, nrm_all))
+    npairs = int(top_pairs)
+
+    def score_batches(batches):
+        vids, Mat, nrm = bc.value
+        ntot = len(vids)
+        for b in batches:
+            nb_rows = b.num_rows
+            if nb_rows == 0:
+                continue
+            bvids = np.asarray(b.column(0))
+            E = (
+                np.asarray(b.column(1).flatten())
+                .reshape(nb_rows, -1)
+                .astype(np.float64, copy=False)
+            )
+            # row-chunk so the (chunk × sample) score matrix stays tens
+            # of MB regardless of Arrow batch size
+            for lo in range(0, nb_rows, 256):
+                Ec = E[lo : lo + 256]
+                cvids = bvids[lo : lo + 256]
+                dot_apx = Ec @ Mat.T
+                en2 = np.zeros(len(Ec))
+                for d in range(Ec.shape[1]):
+                    en2 += Ec[:, d] * Ec[:, d]
+                enrm = np.sqrt(en2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = dot_apx / (enrm[:, None] * nrm[None, :])
+                s[~np.isfinite(s)] = -np.inf
+                s[cvids[:, None] >= vids[None, :]] = -np.inf  # a < b only
+                flat = s.ravel()
+                live = int(np.isfinite(flat).sum())
+                if live == 0:
+                    continue
+                take = min(npairs, live)
+                kth = np.partition(flat, flat.size - take)[flat.size - take]
+                idx = np.nonzero(flat >= kth - (2e-6 + 1e-9))[0]
+                ri, ci = np.unravel_index(idx, s.shape)
+                # exact refine: sequential fold over only the kept pairs
+                dotv = np.zeros(len(idx))
+                for d in range(Ec.shape[1]):
+                    dotv += Ec[ri, d] * Mat[ci, d]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cvids[ri], pa.int64()),
+                        pa.array(vids[ci], pa.int64()),
+                        pa.array(dotv, pa.float64()),
+                        pa.array(enrm[ri], pa.float64()),
+                        pa.array(nrm[ci], pa.float64()),
+                    ],
+                    ["vec_a", "vec_b", "dotv", "na", "nb"],
+                )
+
     pairs = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        sub.mapInArrow(
+            score_batches,
+            "vec_a bigint, vec_b bigint, dotv double, na double, nb double",
+        )
         .withColumn(
             "score",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ),
+            F.round(F.col("dotv") / (F.col("na") * F.col("nb")), 6),
         )
         .select("vec_a", "vec_b", "score")
         .orderBy(F.col("score").desc(), "vec_a", "vec_b")
