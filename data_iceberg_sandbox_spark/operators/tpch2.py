@@ -251,7 +251,15 @@ def q17_small_quantity(spark, sf_dir):
     ON the row: ONE exchange + one partition-local sort, and the
     arithmetic stays the oracle's — exact DECIMAL sum, one IEEE
     division. The avg never concentrates: parts are ~30 rows at every
-    scale factor, so the window runs in bounded per-group state."""
+    scale factor, so the window runs in bounded per-group state.
+
+    Residual (r12, measured 2.8 s at sf10 vs DuckDB 0.84 s): the cost
+    IS the single narrow fact exchange + partition sort — the
+    agg-then-broadcast-join alternative re-pays the same 60M-row
+    exchange to build the per-part averages (partkey partial agg
+    cannot reduce: ~30 rows/key spread across 32 partitions leaves ~1
+    row per key per partition) and adds a data-scaled 2M-row
+    broadcast. Single-exchange window is the floor of this shape."""
     li = load_table(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_partkey")
     avg_qty = (
@@ -488,7 +496,19 @@ FROM best JOIN supplier ON l_suppkey = s_suppkey
 def q20_volume_share_suppliers(spark, sf_dir):
     """Q20 shape: suppliers carrying an outsized share (>15%) of a
     part's shipped volume (threshold 15% — calibrated so the result is
-    non-empty at every SF) — per-group share via a windowed total."""
+    non-empty at every SF) — per-group share via a windowed total.
+
+    Residual note (r12, measured): 6.0 s at sf10 vs DuckDB 1.9 s is
+    the floor of this form on this data. (partkey, suppkey) is nearly
+    a key of lineitem (59.1M groups from 60M rows), so `vol` is
+    FACT-SIZED by construction — the one partkey exchange (3.6 s, the
+    irreducible fact shuffle) plus a 59M-row window sort (2.4 s) is
+    everything. Both alternatives measured worse: broadcast per-part
+    totals to skip the window sort = 8.3 s (the totals agg re-pays the
+    60M-row exchange because column pruning specializes each branch's
+    scan and defeats ReusedExchange; forcing identical projections
+    with a dummy agg still didn't match subplans, 9.0 s). The window
+    form with its single exchange stands."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     # one explicit partkey exchange serves both the (partkey,suppkey)
