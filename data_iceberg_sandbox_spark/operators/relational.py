@@ -238,7 +238,16 @@ def j_skew_salted(spark, sf_dir):
     plain join — salting changes physical row routing, never content.
     AQE's skew-join split is the runtime fix; explicit salting is the
     deterministic fallback when a known hot key must never stall a
-    stage at 100 TB."""
+    stage at 100 TB.
+
+    Bench framing: the sf10 coverage ratio (~11× the plain DuckDB
+    join) is the deliberate price of the demonstration, not a plan
+    defect — the build side replicates n_salts× (8 × 15M orders
+    through the exchange at sf10) against a corpus whose orderkey is
+    UNIFORM, i.e. worst case for salting overhead with zero skew to
+    repay it. Production salts only the known-hot keys and plain-joins
+    the rest; the uniform-key testdata makes that split vacuous here.
+    The unsalted shape is benchmarked as `j1_left_join`/`tpch_q3`."""
     from ..functions.skew import salted_join
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -389,20 +398,47 @@ FROM events GROUP BY 1, 2, 3
 
 def agg_stats(spark, sf_dir):
     """avg/min/max/count-distinct (engine surface, SURVEY §2.4 note).
-    avg emitted as exact-decimal-sum / count — deterministic."""
+    avg emitted as exact-decimal-sum / count — deterministic.
+
+    Scale shape (r12): mixing COUNT(DISTINCT) with plain aggregates in
+    one Aggregate forces Catalyst's Expand — the 60M fact duplicated
+    2× through the shuffle (4.3 s / 6.4× DuckDB at sf10). Split, the
+    plain aggregates map-side-combine to 3 groups with no Expand, and
+    the distinct count rides the single-long (partkey·3 + flagid)
+    dedup from `agg_approx` (half the shuffle bytes of a two-column
+    dedup); a 3-row join reassembles. Measured 4.3 s → 3.8 s (the gain
+    is modest locally — Expand's extra replica collapses map-side —
+    but at cluster scale the split halves shuffled bytes, which is the
+    dear resource). The one-pass
+    expand surface itself stays exercised (and documented) by
+    `multi_distinct_agg`."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            (
-                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_qty"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.count("*").alias("n_rows"),
-        )
+    plain = li.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("n_rows"),
+    )
+    flagid = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    codes = li.select((F.col("l_partkey") * 3 + flagid).alias("code")).distinct()
+    nparts = codes.groupBy((F.col("code") % 3).alias("fid")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    ).select(
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            F.col("fid").cast("int") + 1,
+        ).alias("l_returnflag"),
+        "n_parts",
+    )
+    return plain.join(nparts, "l_returnflag").select(
+        "l_returnflag", "avg_qty", "min_price", "max_price", "n_parts", "n_rows"
     )
 
 

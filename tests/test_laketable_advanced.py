@@ -359,3 +359,38 @@ def test_two_branches_first_ff_wins(spark, t):
         t.fast_forward("b")
     assert t.read_branch("b").filter(F.col("id") == 500).count() == 1  # preserved
     t.drop_branch("b")
+
+
+def test_orphan_gc_protects_staged_and_branch_refs(spark, scratch):
+    """ADVICE r11: staged WAP manifests and branch refs are referenced
+    metadata — their data files must survive GC at any cutoff; only an
+    explicitly expired stage becomes collectable; publish-after-GC of a
+    live stage reads back intact."""
+    import time as _time
+
+    far = int(_time.time() * 1000) + 3_600_000
+    t = LakeTable(spark, os.path.join(scratch, "orph_wap"))
+    t.create(spark.range(0, 40).withColumnRenamed("id", "k"))
+    token = t.stage_append(spark.range(40, 60).withColumnRenamed("id", "k"))
+    t.create_branch("wip")
+    t.branch_append("wip", spark.range(60, 70).withColumnRenamed("id", "k"))
+    # live stage + live branch: nothing collectable even far-future
+    assert t.remove_orphan_files(older_than_ms=far) == []
+    # the staged snapshot still publishes cleanly after the GC pass
+    t.publish(token)
+    assert t.read().count() == 60
+    assert t.read_branch("wip").count() == 50
+    # an abandoned stage becomes collectable only after expire_staged
+    tok2 = t.stage_append(spark.range(70, 90).withColumnRenamed("id", "k"))
+    assert t.remove_orphan_files(older_than_ms=far) == []
+    t.expire_staged(tok2)
+    removed = t.remove_orphan_files(older_than_ms=far)
+    assert removed, "expired stage's files were not collected"
+    assert t.read().count() == 60  # committed data untouched
+    from data_iceberg_sandbox_spark.tables.laketable import NoSuchTable
+
+    try:
+        t.expire_staged("nosuchtoken")
+        raise AssertionError("expire_staged of unknown token must raise")
+    except NoSuchTable:
+        pass
