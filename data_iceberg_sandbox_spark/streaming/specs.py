@@ -158,8 +158,17 @@ def stream_embedding_ivf_ingest(spark, sf_dir):
     )
 
     def ingest(batch_df, epoch):
+        # a 2-file micro-batch arrives with 2 input partitions, which
+        # caps the Arrow kernel at 2-way — measured 11-18 s/batch at
+        # sf10 vs 1.2 s for the same rows at full width. One cheap
+        # narrow-row shuffle fans the batch out to the session's
+        # parallelism before the matmul (a Kafka source would arrive
+        # pre-partitioned by topic partition).
+        fanned = batch_df.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism
+        )
         assigned = _assign_cells(
-            batch_df.select(
+            fanned.select(
                 "vec_id", as_double(F.col("embedding")).alias("emb")
             ),
             cents,
