@@ -157,10 +157,14 @@ def sessionize_events(spark, sf_dir, gap_minutes: int = 60):
     )
 
 
-SESSIONIZE_ORACLE = """
+def _sessionize_oracle(gap_minutes: int = 60) -> str:
+    """Oracle generated from the same gap the operator defaults to
+    (ANN-recall-oracle pattern, r12): a non-default gap cannot silently
+    break Spark/oracle parity."""
+    return f"""
 WITH flagged AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_minutes * 60}
                  THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -174,6 +178,9 @@ SELECT user_id, session_id,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, session_id
 """
+
+
+SESSIONIZE_ORACLE = _sessionize_oracle()
 
 
 # --- as-of join -----------------------------------------------------------
@@ -417,13 +424,19 @@ def range_followup_counts(spark, sf_dir, minutes: int = 5):
     )
 
 
-RANGE_ORACLE = """
+def _range_oracle(minutes: int = 5) -> str:
+    """Oracle generated from the operator's window length (same
+    pattern as _sessionize_oracle)."""
+    return f"""
 SELECT a.event_id, count(b.event_id) AS n_followups
 FROM events a LEFT JOIN events b
   ON a.user_id = b.user_id AND b.ts > a.ts
- AND b.ts <= a.ts + INTERVAL 5 MINUTE
+ AND b.ts <= a.ts + INTERVAL {minutes} MINUTE
 GROUP BY a.event_id
 """
+
+
+RANGE_ORACLE = _range_oracle()
 
 
 # --- percentiles / approx aggregates --------------------------------------
