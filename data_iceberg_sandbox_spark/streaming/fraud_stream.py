@@ -100,6 +100,31 @@ def bounded_shuffle(spark: SparkSession, n: int = 8):
             spark.conf.unset(key)
 
 
+def epoch_guarded_write(
+    table: LakeTable, df: DataFrame, epoch: int, stats_off: bool = True
+) -> None:
+    """Exactly-once foreachBatch append: the epoch id commits atomically
+    WITH the data (a table property on the same manifest), so a
+    micro-batch retried after a successful commit — the failure window
+    between table commit and checkpoint write — is detected
+    (epoch <= last applied) and skipped instead of double-applied.
+    ONE implementation for every streaming sink (r12 review: the guard
+    was copy-pasted in three runners and had already drifted).
+
+    ``stats_off`` keeps the ingest lane free of the per-commit stats
+    re-scan (a continuously-appended sink rewrites files every batch;
+    file skipping buys nothing until a terminal compaction)."""
+    marker = {"streaming.last_epoch": str(epoch)}
+    if not table.exists():
+        props = {**marker, "stats.enabled": "false"} if stats_off else marker
+        table.create(df, properties=props)
+        return
+    last = table.manifest().properties.get("streaming.last_epoch")
+    if last is not None and epoch <= int(last):
+        return  # already committed; this is a post-commit retry
+    table.append(df, extra_properties=marker)
+
+
 def stage_event_files(
     spark: SparkSession, sf_dir: str, name: str, n_files: int = 8,
     time_ordered: bool = False,
@@ -269,17 +294,7 @@ def run_append_stream(spark: SparkSession, sf_dir: str, table_root: str) -> Lake
     result = LakeTable(spark, table_root)
 
     def append_batch(batch_df: DataFrame, epoch: int) -> None:
-        marker = {"streaming.last_epoch": str(epoch)}
-        if not result.exists():
-            # ingest lane: skip the per-commit stats pass (same opt-out
-            # as the batch raw-load path; see _commit stats.enabled)
-            marker = {**marker, "stats.enabled": "false"}
-            result.create(batch_df, properties=marker)
-        else:
-            last = result.manifest().properties.get("streaming.last_epoch")
-            if last is not None and epoch <= int(last):
-                return  # already committed; this is a post-commit retry
-            result.append(batch_df, extra_properties=marker)
+        epoch_guarded_write(result, batch_df, epoch)
 
     ckpt = table_root + "_ckpt"
     if os.path.isdir(ckpt):
@@ -617,20 +632,10 @@ def _run_stream_stream_join(
     ).select("event_a", "event_b", F.col("user_a").alias("user_id"), "ts_a", "ts_b")
 
     def append_batch(batch_df: DataFrame, epoch: int) -> None:
-        # ingest lane: stats off (the per-commit stats pass re-scans the
-        # freshly written files — measured ~25% of each batch's sink
-        # cost) + the epoch-marker exactly-once guard shared with
-        # run_append_stream.
-        marker = {"streaming.last_epoch": str(epoch)}
-        if not result.exists():
-            result.create(
-                batch_df, properties={**marker, "stats.enabled": "false"}
-            )
-        else:
-            last = result.manifest().properties.get("streaming.last_epoch")
-            if last is not None and epoch <= int(last):
-                return  # already committed; post-commit retry
-            result.append(batch_df, extra_properties=marker)
+        # stats off inside the helper: the per-commit stats pass
+        # re-scans the freshly written files — measured ~25% of each
+        # batch's sink cost here
+        epoch_guarded_write(result, batch_df, epoch)
 
     ckpt = table_root + "_ckpt"
     if os.path.isdir(ckpt):

@@ -23,6 +23,7 @@ from ..operators.spec import QuerySpec
 from ..sources.registry import load_table
 from .fraud_stream import (
     SCRATCH,
+    epoch_guarded_write,
     repair_null_enrichment,
     run_append_stream,
     run_dedup_stream,
@@ -176,19 +177,11 @@ def stream_embedding_ivf_ingest(spark, sf_dir):
         counts = assigned.groupBy("cent_id").agg(
             F.count(F.lit(1)).alias("n_vecs")
         )
-        # Exactly-once: the epoch id commits atomically with the counts
-        # (same manifest-property guard as run_append_stream) so a
-        # micro-batch retried after a successful append — failure window
-        # between table commit and checkpoint write — is skipped, not
+        # Exactly-once: shared epoch-marker guard — a micro-batch
+        # retried after a successful append (failure window between
+        # table commit and checkpoint write) is skipped, not
         # double-counted.
-        marker = {"streaming.last_epoch": str(epoch)}
-        if not mv.exists():
-            mv.create(counts, properties=marker)
-        else:
-            last = mv.manifest().properties.get("streaming.last_epoch")
-            if last is not None and epoch <= int(last):
-                return  # already committed; post-commit retry
-            mv.append(counts, extra_properties=marker)
+        epoch_guarded_write(mv, counts, epoch)
 
     q = (
         stream.writeStream.outputMode("append")

@@ -504,10 +504,20 @@ class LakeTable:
         live = {f for m in mans for f in m.files}
         for fn in os.listdir(self._manifest_dir):
             if fn.startswith(("staged_", "branch_")) and fn.endswith(".json"):
-                with open(
-                    os.path.join(self._manifest_dir, fn), encoding="utf-8"
-                ) as fh:
-                    live.update(Manifest.from_json(fh.read()).files)
+                try:
+                    with open(
+                        os.path.join(self._manifest_dir, fn), encoding="utf-8"
+                    ) as fh:
+                        live.update(Manifest.from_json(fh.read()).files)
+                except (ValueError, OSError):
+                    # truncated/corrupt ref = crash debris from a writer
+                    # that never returned a token (stage/branch writes are
+                    # tmp+rename, so this file was not produced by this
+                    # code path completing). Its files can't be enumerated
+                    # and were never referenced by a completed operation —
+                    # skip it so GC keeps working; the age cutoff still
+                    # protects anything genuinely in flight.
+                    continue
         removed: list[str] = []
         data_dir = os.path.join(self.root, "data")
         if not os.path.isdir(data_dir):
@@ -1474,8 +1484,14 @@ class LakeTable:
             files=sorted(cur.files + new_files),
             properties=cur.properties,
         )
-        with open(self._staged_path(token), "w", encoding="utf-8") as f:
+        # Atomic token write (same discipline as branch refs / the main
+        # pointer): a crash mid-write must never leave a truncated
+        # staged manifest for GC or publish to choke on.
+        path = self._staged_path(token)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(staged.to_json())
+        os.replace(tmp, path)
         return token
 
     def _staged_manifest(self, token: str) -> Manifest:

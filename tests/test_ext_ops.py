@@ -514,11 +514,67 @@ def test_percentile_histogram_matches_exact_percentile(spark):
             )
 
 
-def test_neardup_kernel_edges(spark):
-    """r12 Arrow-kernel rework: degenerate inputs must not crash or
-    emit bogus pairs — zero-norm vectors (cosine undefined) never win,
-    a single-vector sample yields no pairs, and the kernel's top-pair
-    selection matches the naive JVM computation on a small slice."""
+def test_neardup_kernel_degenerate_inputs(spark, tmp_path):
+    """r12 Arrow-kernel rework, degenerate paths: a zero-norm vector
+    (cosine undefined → -inf in the kernel) never wins a pair, a
+    singleton sample yields no pairs, and top_pairs=0 returns empty
+    instead of crashing the kernel. Uses pin_table to swap the
+    embeddings registry entry for crafted corpora."""
+    from pyspark.sql import Row
+
+    from data_iceberg_sandbox_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from data_iceberg_sandbox_spark.sources.registry import pin_table
+
+    sf_fake = str(tmp_path / "fake_sf")
+    import os
+
+    os.makedirs(sf_fake, exist_ok=True)
+
+    def pin(rows):
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in rows],
+            "vec_id bigint, embedding array<float>",
+        )
+        pin_table(spark, sf_fake, "embeddings", df)
+        return df
+
+    # zero-norm vector present: it must appear in NO returned pair
+    pin([(0, [0.0, 0.0]), (10, [1.0, 0.0]), (20, [1.0, 0.1]), (30, [0.0, 1.0])])
+    got = embedding_neardup_pairs(spark, sf_fake, top_pairs=10).collect()
+    assert got, "expected pairs from the finite vectors"
+    assert all(0 not in (r["vec_a"], r["vec_b"]) for r in got)
+    import math
+
+    assert all(math.isfinite(r["score"]) for r in got)
+    # singleton sample: no pairs, no crash
+    pin([(0, [1.0, 2.0])])
+    assert embedding_neardup_pairs(spark, sf_fake, top_pairs=5).count() == 0
+    # top_pairs=0: empty result, kernel must not IndexError
+    pin([(0, [1.0, 0.0]), (10, [0.0, 1.0])])
+    assert embedding_neardup_pairs(spark, sf_fake, top_pairs=0).count() == 0
+
+
+def test_sessionize_and_range_oracles_parameterized():
+    """r12: oracle generators must follow their operator params (same
+    guard as test_ann_recall_oracle_parameterized)."""
+    from data_iceberg_sandbox_spark.operators.advanced import (
+        RANGE_ORACLE,
+        SESSIONIZE_ORACLE,
+        _range_oracle,
+        _sessionize_oracle,
+    )
+
+    assert "> 3600" in SESSIONIZE_ORACLE
+    assert "> 1800" in _sessionize_oracle(30)
+    assert "INTERVAL 5 MINUTE" in RANGE_ORACLE
+    assert "INTERVAL 7 MINUTE" in _range_oracle(7)
+
+
+def test_neardup_kernel_matches_naive_topk(spark):
+    """The kernel's top-pair selection matches the naive numpy pairwise
+    computation on the real oracle-SF sample."""
     import numpy as np
 
     from data_iceberg_sandbox_spark.operators.similarity import (
