@@ -57,6 +57,9 @@ from pyspark.sql import types as T
 # How long a tag writer waits for the tags lock before declaring a
 # conflict (module-level so tests can shrink it).
 TAGS_LOCK_TIMEOUT_SEC = 10.0
+# a manifest slot ahead of the pointer, untouched this long, is a dead
+# writer's debris and may be reclaimed by the next committer
+STALE_MANIFEST_GRACE_SEC = 60.0
 
 
 class CommitConflict(RuntimeError):
@@ -154,14 +157,24 @@ class LakeTable:
             return Manifest.from_json(f.read())
 
     def snapshots(self) -> list[Manifest]:
-        """D6 snapshot metadata (like Iceberg's `t.snapshots` table)."""
+        """D6 snapshot metadata (like Iceberg's `t.snapshots` table).
+
+        Only versions at or below the current pointer are snapshots: a
+        v(N+1).json with the pointer still at N is the debris of a
+        writer that crashed between the manifest write and the pointer
+        swing — it was never committed, must not be time-travel-visible,
+        and must not count toward expire_snapshots' retain window (r12
+        review; _commit reclaims the slot after a staleness grace)."""
         if not os.path.isdir(self._manifest_dir):
             return []
+        cur = self.current_version() if self.exists() else -1
         out = []
         for fn in sorted(os.listdir(self._manifest_dir)):
             if fn.startswith("v") and fn.endswith(".json"):
                 with open(os.path.join(self._manifest_dir, fn), encoding="utf-8") as f:
-                    out.append(Manifest.from_json(f.read()))
+                    m = Manifest.from_json(f.read())
+                if cur < 0 or m.version <= cur:
+                    out.append(m)
         return sorted(out, key=lambda m: m.version)
 
     def version_as_of_timestamp(self, ts_ms: int) -> int:
@@ -284,7 +297,12 @@ class LakeTable:
                     f"snapshot v{v} is a merge-on-read delete; "
                     "incremental read supports appends only"
                 )
-            if delta and man.operation not in ("create", "append"):
+            # publish_staged_append is an append by construction (the
+            # WAP publish promotes staged new files; changes_between
+            # already classifies it as insert-kind) — r12 review
+            if delta and man.operation not in (
+                "create", "append", "publish_staged_append"
+            ):
                 raise IncrementalReadError(
                     f"snapshot v{v} is a '{man.operation}' commit; "
                     "incremental read supports appends only"
@@ -368,8 +386,15 @@ class LakeTable:
             )
         if from_version == 0:
             # versions start at 1 (create); from=0 means "from the
-            # empty table", so the create commit itself is in range
-            first = self.manifest(min(1, to_v) or 1)
+            # empty table", so the create commit itself is in range.
+            # Schema/partitioning for the synthetic empty base come from
+            # the FIRST LIVE manifest ≤ to_v (v1 itself may be expired;
+            # r12 review — the old expression was an obfuscated
+            # manifest(1) that failed after expiry).
+            first = next(
+                (m for m in self.snapshots() if m.version <= to_v),
+                None,
+            ) or self.manifest(to_v)
             base = Manifest(
                 version=0,
                 parent=None,
@@ -501,23 +526,7 @@ class LakeTable:
             return []
         if older_than_ms is None:
             older_than_ms = mans[-1].timestamp_ms
-        live = {f for m in mans for f in m.files}
-        for fn in os.listdir(self._manifest_dir):
-            if fn.startswith(("staged_", "branch_")) and fn.endswith(".json"):
-                try:
-                    with open(
-                        os.path.join(self._manifest_dir, fn), encoding="utf-8"
-                    ) as fh:
-                        live.update(Manifest.from_json(fh.read()).files)
-                except (ValueError, OSError):
-                    # truncated/corrupt ref = crash debris from a writer
-                    # that never returned a token (stage/branch writes are
-                    # tmp+rename, so this file was not produced by this
-                    # code path completing). Its files can't be enumerated
-                    # and were never referenced by a completed operation —
-                    # skip it so GC keeps working; the age cutoff still
-                    # protects anything genuinely in flight.
-                    continue
+        live = self._referenced_files(mans)
         removed: list[str] = []
         data_dir = os.path.join(self.root, "data")
         if not os.path.isdir(data_dir):
@@ -534,17 +543,54 @@ class LakeTable:
                     continue  # possibly an in-flight commit's data
                 os.remove(full)
                 removed.append(rel)
-        for d in os.listdir(data_dir):
-            full = os.path.join(data_dir, d)
-            # a commit dir with no parquet left holds only write sidecars
-            # (_SUCCESS, .crc) — debris, same rule as expire_snapshots
-            if os.path.isdir(full) and not any(
-                fn.endswith(".parquet")
-                for _, _, fns in os.walk(full)
-                for fn in fns
-            ):
-                shutil.rmtree(full)
+        # a commit dir with no parquet left holds only write sidecars
+        # (_SUCCESS, .crc) — debris; age-guarded like the files above
+        self._prune_empty_commit_dirs(older_than_ms)
         return sorted(removed)
+
+    def _referenced_files(self, mans: list["Manifest"]) -> set:
+        """Every file any referenced metadata points at: committed
+        snapshots' data files AND merge-on-read delete sidecars, plus
+        the same for staged WAP manifests and branch refs (r12 review:
+        the first cut omitted delete sidecars, so GC could delete a
+        live MoR sidecar and every later read would crash — or, worse,
+        resurrect the deleted rows)."""
+        live: set = set()
+
+        def add(m: "Manifest") -> None:
+            live.update(m.files)
+            for d in m.delete_files:
+                # an equality-delete sidecar is a parquet DIRECTORY —
+                # expand it so the per-file GC walk sees its parts
+                full = os.path.join(self.root, d)
+                if os.path.isdir(full):
+                    for dp, _dn, fns in os.walk(full):
+                        for fn in fns:
+                            live.add(
+                                os.path.relpath(os.path.join(dp, fn), self.root)
+                            )
+                live.add(d)
+
+        for m in mans:
+            add(m)
+        for fn in os.listdir(self._manifest_dir):
+            if fn.startswith(("staged_", "branch_")) and fn.endswith(".json"):
+                try:
+                    with open(
+                        os.path.join(self._manifest_dir, fn), encoding="utf-8"
+                    ) as fh:
+                        add(Manifest.from_json(fh.read()))
+                except (ValueError, OSError):
+                    # truncated/corrupt ref = crash debris from a writer
+                    # that never returned a token (stage/branch writes
+                    # are tmp+rename, so this file was not produced by
+                    # this code path completing). Its files can't be
+                    # enumerated and were never referenced by a
+                    # completed operation — skip it so GC keeps working;
+                    # the age cutoff still protects anything genuinely
+                    # in flight.
+                    continue
+        return live
 
     def files_scanned(self, prune: list[tuple[str, str, object]]) -> int:
         """How many current files a pruned scan would touch (test/metrics
@@ -655,11 +701,17 @@ class LakeTable:
         for c in stat_cols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         rows = df.groupBy("_file").agg(*aggs).collect()
-        by_suffix = {f: f for f in files}
+        # O(1) uri→relpath: part filenames embed a per-task UUID and are
+        # unique, so a basename lookup (endswith-verified) replaces the
+        # old per-row linear suffix scan (r12 review: O(rows×files)
+        # driver work on large manifests)
+        by_name = {os.path.basename(f): f for f in files}
         out: dict[str, dict[str, list]] = {}
         for r in rows:
             uri = r["_file"]
-            rel = next((f for f in by_suffix if uri.endswith(f)), None)
+            rel = by_name.get(os.path.basename(uri))
+            if rel is not None and not uri.endswith(rel):
+                rel = next((f for f in files if uri.endswith(f)), None)
             if rel is None:
                 continue
             out[rel] = {
@@ -745,11 +797,34 @@ class LakeTable:
         # O_EXCL create: two racing writers with the same expected_parent
         # both want v(N+1); exactly one wins the manifest slot, the loser
         # gets FileExistsError → CommitConflict (true CAS, not
-        # check-then-write).
+        # check-then-write). One exception: if the occupying manifest's
+        # version is AHEAD of the pointer and stale (older than the
+        # grace window), it is the debris of a writer that died between
+        # manifest write and pointer swing — without reclaim the table
+        # is wedged forever (every retry conflicts on the same slot,
+        # r12 review). A LIVE racer is inside a milliseconds-wide window
+        # and younger than the grace; it is never reclaimed.
         try:
             fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         except FileExistsError:
-            raise CommitConflict(f"{mpath} already exists") from None
+            try:
+                stale = (
+                    time.time() - os.path.getmtime(mpath)
+                    > STALE_MANIFEST_GRACE_SEC
+                )
+                ahead = (
+                    expected_parent is not None
+                    and self.current_version() == expected_parent
+                )
+            except OSError:
+                stale = ahead = False
+            if not (stale and ahead):
+                raise CommitConflict(f"{mpath} already exists") from None
+            os.remove(mpath)  # reclaim the dead writer's slot
+            try:
+                fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                raise CommitConflict(f"{mpath} already exists") from None
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(man.to_json())
         # CAS on the pointer: re-check parent then atomic replace
@@ -1033,7 +1108,15 @@ class LakeTable:
                 .distinct()
                 .collect()  # bounded by the file count (manifest-grade)
             ]
-            matched = [f for f in cur.files if any(u.endswith(f) for u in hit_uris)]
+            # basename index (unique per-task UUID filenames) instead of
+            # the O(files×hits) suffix scan — same fix as
+            # _collect_file_stats (r12 review)
+            hit_by_name = {os.path.basename(u): u for u in hit_uris}
+            matched = [
+                f
+                for f in cur.files
+                if hit_by_name.get(os.path.basename(f), "").endswith(f)
+            ]
             kept = [f for f in cur.files if f not in set(matched)]
             if matched:
                 remaining = self._scan_file_subset(cur, matched).filter(~cond_true)
@@ -1306,11 +1389,19 @@ class LakeTable:
     def _tags_path(self) -> str:
         return os.path.join(self.root, "tags.json")
 
-    def tags(self) -> dict[str, int]:
+    def tags(self, strict: bool = False) -> dict[str, int]:
+        """Tag refs. ``strict=True`` (the expire_snapshots path) raises
+        on a corrupt/unreadable tags.json instead of returning {} —
+        failing open there would un-pin every tagged snapshot and let
+        expiry delete them (r12 review)."""
+        if not os.path.exists(self._tags_path):
+            return {}
         try:
             with open(self._tags_path, encoding="utf-8") as f:
                 return {k: int(v) for k, v in json.load(f).items()}
         except (OSError, ValueError):
+            if strict:
+                raise
             return {}
 
     @contextmanager
@@ -1327,6 +1418,20 @@ class LakeTable:
                 fd = os.open(lock, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
                 break
             except FileExistsError:
+                # stale-lock takeover: a holder killed between os.open
+                # and the finally-removal would otherwise disable
+                # tag()/expire_snapshots forever (r12 review). The
+                # critical sections are sub-second; a lock older than
+                # the grace window belongs to a dead process.
+                try:
+                    if (
+                        time.time() - os.path.getmtime(lock)
+                        > STALE_MANIFEST_GRACE_SEC
+                    ):
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue  # holder just released/raced — retry
                 if time.time() > deadline:
                     raise CommitConflict(f"tag lock held: {lock}") from None
                 time.sleep(0.01)
@@ -1380,14 +1485,27 @@ class LakeTable:
         # critical section, so a concurrent tag() cannot pin a manifest
         # this call is about to delete (ADVICE r2).
         with self._tags_lock():
-            tagged = set(self.tags().values())
+            # strict: a corrupt tags.json must abort expiry (fail-open
+            # would un-pin every tagged snapshot and delete it — r12
+            # review), unlike read paths where {} is a fine degrade
+            tagged = set(self.tags(strict=True).values())
+            # staged WAP / branch refs pin their PARENT manifests too:
+            # read_staged/read_branch need the fork point's manifest
+            # (delete sidecars, stats) until the ref lands or is dropped
+            pinned = self._ref_parent_versions()
             keep = mans[-retain_last:] + [
-                m for m in mans[:-retain_last] if m.version in tagged
+                m
+                for m in mans[:-retain_last]
+                if m.version in tagged or m.version in pinned
             ]
-            drop = [m for m in mans[:-retain_last] if m.version not in tagged]
-            live = {f for m in keep for f in m.files} | {
-                d for m in keep for d in m.delete_files
-            }
+            drop = [
+                m
+                for m in mans[:-retain_last]
+                if m.version not in tagged and m.version not in pinned
+            ]
+            # referenced set includes staged/branch files + delete
+            # sidecars — same rule as remove_orphan_files
+            live = self._referenced_files(keep)
             for m in drop:
                 for f in list(m.files) + list(m.delete_files):
                     if f not in live:
@@ -1398,18 +1516,47 @@ class LakeTable:
                             os.remove(p)
                 os.remove(self._manifest_path(m.version))
                 removed.append(m.version)
-        # prune empty commit dirs
-        data_dir = os.path.join(self.root, "data")
-        if os.path.isdir(data_dir):
-            for d in os.listdir(data_dir):
-                full = os.path.join(data_dir, d)
-                if os.path.isdir(full) and not any(
-                    fn.endswith(".parquet")
-                    for _, _, fns in os.walk(full)
-                    for fn in fns
-                ):
-                    shutil.rmtree(full)
+        # prune empty commit dirs (age-guarded: a dir newer than the
+        # newest kept snapshot may be another writer's in-flight output
+        # whose first part file hasn't landed yet — r12 review)
+        self._prune_empty_commit_dirs(mans[-1].timestamp_ms)
         return removed
+
+    def _ref_parent_versions(self) -> set:
+        """Versions that staged WAP tokens / branch refs fork from."""
+        pinned: set = set()
+        for fn in os.listdir(self._manifest_dir):
+            if fn.startswith(("staged_", "branch_")) and fn.endswith(".json"):
+                try:
+                    with open(
+                        os.path.join(self._manifest_dir, fn), encoding="utf-8"
+                    ) as fh:
+                        m = Manifest.from_json(fh.read())
+                except (ValueError, OSError):
+                    continue
+                if m.parent is not None:
+                    pinned.add(m.parent)
+        return pinned
+
+    def _prune_empty_commit_dirs(self, older_than_ms: int) -> None:
+        """Remove commit dirs holding zero parquet files — write debris
+        (_SUCCESS, .crc) — but only dirs older than the cutoff, so a
+        concurrent writer's just-created output dir is never deleted."""
+        data_dir = os.path.join(self.root, "data")
+        if not os.path.isdir(data_dir):
+            return
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            if not os.path.isdir(full):
+                continue
+            if os.path.getmtime(full) * 1000 >= older_than_ms:
+                continue
+            if not any(
+                fn.endswith(".parquet")
+                for _, _, fns in os.walk(full)
+                for fn in fns
+            ):
+                shutil.rmtree(full)
 
     # ---- metadata tables (D6: `t.snapshots` / `t.files` analogs) --------
     def snapshots_df(self) -> DataFrame:
@@ -1847,5 +1994,15 @@ class LakeCatalog:
 
     def drop_table(self, ident: str) -> None:
         path = self._path(ident)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
+        if not os.path.isdir(path):
+            return
+        # only ever delete a TABLE directory — an identifier that
+        # resolves to a namespace (no table pointer inside) would
+        # recursively destroy every table under it on a one-segment
+        # typo (r12 review)
+        if not os.path.exists(os.path.join(path, "_current")):
+            raise ValueError(
+                f"{ident!r} is not a table (no _current pointer at "
+                f"{path}); refusing to recursively delete a namespace"
+            )
+        shutil.rmtree(path)

@@ -394,3 +394,79 @@ def test_orphan_gc_protects_staged_and_branch_refs(spark, scratch):
         raise AssertionError("expire_staged of unknown token must raise")
     except NoSuchTable:
         pass
+
+
+def test_orphan_gc_protects_mor_delete_sidecars(spark, scratch):
+    """r12 review: GC's live set must include merge-on-read delete
+    sidecars — deleting one would crash every later read (or resurrect
+    the deleted rows)."""
+    import time as _time
+
+    far = int(_time.time() * 1000) + 3_600_000
+    t = LakeTable(spark, os.path.join(scratch, "orph_mor"))
+    t.create(spark.range(0, 100).withColumnRenamed("id", "k"))
+    t.delete_keys_mor(
+        spark.createDataFrame([(5,), (6,), (7,)], "k: long")
+    )
+    before = t.read().count()
+    assert before == 97
+    assert t.remove_orphan_files(older_than_ms=far) == []
+    assert t.read().count() == 97  # sidecar intact, rows stay deleted
+
+
+def test_commit_reclaims_dead_writer_manifest_slot(spark, scratch):
+    """r12 review: a v(N+1).json left by a writer that died between the
+    manifest write and the pointer swing must not wedge the table —
+    after the staleness grace it is reclaimed; meanwhile snapshots()
+    never lists the uncommitted debris."""
+    import data_iceberg_sandbox_spark.tables.laketable as lt
+
+    t = LakeTable(spark, os.path.join(scratch, "wedge"))
+    t.create(spark.range(0, 10).withColumnRenamed("id", "k"))
+    # simulate the dead writer: manifest slot v2 taken, pointer still v1
+    debris = t._manifest_path(2)
+    with open(t._manifest_path(1), encoding="utf-8") as f:
+        body = f.read()
+    with open(debris, "w", encoding="utf-8") as f:
+        f.write(body.replace('"version": 1', '"version": 2'))
+    assert [m.version for m in t.snapshots()] == [1]  # debris invisible
+    # young debris = possibly a live racer -> still conflicts
+    try:
+        t.append(spark.range(10, 20).withColumnRenamed("id", "k"))
+        raise AssertionError("young debris slot must conflict")
+    except CommitConflict:
+        pass
+    # age it past the grace window -> next commit reclaims the slot
+    old = __import__("time").time() - lt.STALE_MANIFEST_GRACE_SEC - 5
+    os.utime(debris, (old, old))
+    t.append(spark.range(10, 20).withColumnRenamed("id", "k"))
+    assert t.current_version() == 2
+    assert t.read().count() == 20
+
+
+def test_drop_table_refuses_namespace(spark, scratch):
+    from data_iceberg_sandbox_spark.tables.laketable import LakeCatalog
+
+    cat = LakeCatalog(spark, os.path.join(scratch, "wh"))
+    cat.create_namespace("fin")
+    cat.table("fin.tx").create(spark.range(0, 5).withColumnRenamed("id", "k"))
+    try:
+        cat.drop_table("fin")
+        raise AssertionError("dropping a namespace must raise")
+    except ValueError:
+        pass
+    assert cat.table_exists("fin.tx")
+    cat.drop_table("fin.tx")
+    assert not cat.table_exists("fin.tx")
+
+
+def test_read_incremental_accepts_wap_publish(spark, scratch):
+    """r12 review: publish_staged_append is appends-only by
+    construction and must flow through the incremental changelog."""
+    t = LakeTable(spark, os.path.join(scratch, "inc_wap"))
+    t.create(spark.range(0, 10).withColumnRenamed("id", "k"))
+    tok = t.stage_append(spark.range(10, 25).withColumnRenamed("id", "k"))
+    t.publish(tok)
+    inc = t.read_incremental(1)
+    assert inc.count() == 15
+    assert {r["k"] for r in inc.collect()} == set(range(10, 25))
