@@ -152,6 +152,8 @@ def stage_event_files(
     os.makedirs(out, exist_ok=True)
     sliced = events.repartitionByRange(n_files, F.col("ts"))
     tmp = out + ".tmp"
+    if os.path.isdir(tmp):  # debris of an interrupted prior staging run
+        shutil.rmtree(tmp)
     sliced.write.parquet(tmp)
     # re-commit each range slice as one sequentially-named file so the
     # file source's (mtime, path) ordering equals event-time ordering
@@ -274,7 +276,28 @@ def run_fraud_alerts_stream(
     )
     q.awaitTermination()
     if not result.exists():  # no alert crossed the threshold
-        result.create(spark.createDataFrame([], alerts.schema))
+        # the empty table must carry the SINK schema: with enrich=True
+        # that is the 7-column enriched shape, not alerts' 4 columns —
+        # otherwise repair_null_enrichment and the oracle comparison
+        # crash on the missing enrichment columns (r12 review)
+        schema = alerts.schema
+        if enrich:
+            schema = (
+                spark.createDataFrame([], alerts.schema)
+                .join(customer.limit(0), F.lit(False), "left")
+                .join(F.broadcast(nation.limit(0)), F.lit(False), "left")
+                .select(
+                    F.col("c_custkey").alias("client_id"),
+                    F.col("c_name").alias("client_name"),
+                    F.col("n_name").alias("client_nation"),
+                    "user_id",
+                    "window_start",
+                    "window_end",
+                    "total_amount",
+                )
+                .schema
+            )
+        result.create(spark.createDataFrame([], schema))
     return result
 
 
@@ -396,11 +419,11 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str, table_root: str) -> LakeT
         ["event_id"]
     )
 
-    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
-        if not result.exists():
-            result.create(batch_df)
-        else:
-            result.append(batch_df)
+    def append_batch(batch_df: DataFrame, epoch: int) -> None:
+        # dropDuplicates replays deterministically on restart, so a
+        # post-commit retry would double-append without the shared
+        # exactly-once guard (r12 review)
+        epoch_guarded_write(result, batch_df, epoch)
 
     ckpt = table_root + "_ckpt"
     if os.path.isdir(ckpt):
@@ -664,6 +687,11 @@ def repair_null_enrichment(
     orphans = cur.filter(F.col("client_id").isNull()).select(
         "user_id", "window_start", "window_end", "total_amount"
     )
+    if not orphans.take(1):
+        # nothing to repair: skip the O(MV size) copy-on-write MERGE
+        # rewrite and the spurious snapshot most scheduled repair
+        # cycles would otherwise commit (r12 review)
+        return result
     repaired = (
         orphans.join(customer, orphans.user_id == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")

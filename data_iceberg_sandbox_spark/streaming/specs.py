@@ -151,12 +151,9 @@ def stream_embedding_ivf_ingest(spark, sf_dir):
         shutil.rmtree(ckpt)
     mv = LakeTable(spark, table_root)
 
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(staged)
-    )
+    from .fraud_stream import events_stream
+
+    stream = events_stream(spark, staged, files_per_trigger=2)
 
     def ingest(batch_df, epoch):
         # a 2-file micro-batch arrives with 2 input partitions, which
@@ -248,6 +245,7 @@ SPECS: list[QuerySpec] = [
             spark, sf_dir, _root("sliding_mv", sf_dir)
         ).read(),
         SLIDING_ORACLE,  # converges to the batch sliding-window aggregate
+        memo=False,
     ),
     QuerySpec(
         "stream_mor_upsert_mv",
@@ -269,6 +267,7 @@ SPECS: list[QuerySpec] = [
             spark, sf_dir, _root("session_mv", sf_dir)
         ).read(),
         SESSION_NATIVE_ORACLE,  # converges to the batch session_window agg
+        memo=False,
     ),
     QuerySpec(
         "stream_embedding_ivf_ingest",
