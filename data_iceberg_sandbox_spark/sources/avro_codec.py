@@ -121,7 +121,17 @@ def _decimal_to_bytes(amount: Decimal, scale: int = AMOUNT_SCALE) -> bytes:
     unscaled = int(
         (amount * (10**scale)).to_integral_value(rounding="ROUND_HALF_UP")
     )
-    length = max(1, (unscaled.bit_length() + 8) // 8)
+    # minimal two's-complement length, exactly java.math.BigDecimal
+    # .toByteArray(): sign-magnitude bit count +1 sign bit, ceil to
+    # bytes. The old (bit_length+8)//8 overcounted for values of
+    # exactly -(2^(8k-1)) — e.g. -128 encoded as 0xFF80 instead of the
+    # minimal 0x80, breaking byte parity with JVM producers (r12
+    # review).
+    if unscaled < 0:
+        bits = (-unscaled - 1).bit_length() + 1
+    else:
+        bits = unscaled.bit_length() + 1
+    length = max(1, (bits + 7) // 8)
     return unscaled.to_bytes(length, "big", signed=True)
 
 
@@ -174,12 +184,20 @@ _DECODED_SCHEMA = (
 
 def decode_transactions(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Binary Avro payload column → typed transaction columns, the
-    ``from_avro(value)`` analog. mapInPandas: Arrow batches in/out."""
+    ``from_avro(value)`` analog. mapInPandas: Arrow batches in/out.
+
+    Null payloads (compacted-topic tombstones) are dropped rather than
+    crashing the stream (r12 review: ``bytes(None)`` raised inside the
+    worker and killed the query on the first tombstone). Timestamps are
+    exchanged as naive UTC wall-clock — the engine pins the session tz
+    to UTC (sources/registry.py); a non-UTC session would shift the
+    decoded instants."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            rows = [decode_transaction(bytes(v)) for v in pdf[value_col]]
+            vals = [v for v in pdf[value_col] if v is not None]
+            rows = [decode_transaction(bytes(v)) for v in vals]
             yield pd.DataFrame(
                 {
                     "card_id": [r[0] for r in rows],

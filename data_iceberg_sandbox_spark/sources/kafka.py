@@ -27,8 +27,15 @@ _AVRO_JARS = "org.apache.spark:spark-avro_2.13:<spark-version>"
 
 
 def _has_class(spark: SparkSession, cls: str) -> bool:
+    # Spark Connect sessions expose no _jvm: "cannot check" must not
+    # read as "jar absent" (r12 review — the gate would refuse on
+    # exactly the clusters it exists to serve). Report available and
+    # let Spark raise its own clear error if the jar truly is missing.
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        return True
     try:
-        spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False
@@ -64,18 +71,37 @@ def kafka_stream(
     )
 
 
-def decode_avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
-    """Registry-style Avro decode of the Kafka `value` column."""
+def decode_avro_values(
+    df: DataFrame, avro_schema_json: str, confluent_framed: bool = True
+) -> DataFrame:
+    """Registry-style Avro decode of the Kafka `value` column.
+
+    ``confluent_framed`` (the default — the reference producer and this
+    repo's codec both write the Confluent wire format) strips the
+    5-byte header (0x00 magic + big-endian schema id) before
+    ``from_avro``: JVM from_avro consumes the BARE Avro body, and
+    feeding it the framed payload mis-parses every record (the magic
+    byte reads as an empty string, the id bytes as a length varint —
+    r12 review). Null values (compacted-topic tombstones) are dropped,
+    matching the pure-Python decoder."""
     if not avro_available(df.sparkSession):
         raise ConnectorUnavailable(
             f"spark-avro not on classpath; add {_AVRO_JARS}"
         )
+    from pyspark.sql import functions as F
     from pyspark.sql.avro.functions import from_avro
 
-    return df.select(
-        df["key"].cast("string").alias("key"),
-        from_avro(df["value"], avro_schema_json).alias("v"),
-    ).select("key", "v.*")
+    body = F.col("value")
+    if confluent_framed:
+        body = F.expr("substring(value, 6, length(value) - 5)")
+    return (
+        df.filter(F.col("value").isNotNull())
+        .select(
+            df["key"].cast("string").alias("key"),
+            from_avro(body, avro_schema_json).alias("v"),
+        )
+        .select("key", "v.*")
+    )
 
 
 def kafka_sink(
@@ -100,7 +126,21 @@ def kafka_sink(
         from pyspark.sql import functions as F
         from pyspark.sql.avro.functions import to_avro
 
-        out = df.select(to_avro(F.struct(*df.columns)).alias("value"))
+        # preserve Kafka keying (a `key` column keeps per-key partition
+        # ordering — the reference pipeline partitions by card) and emit
+        # the Confluent frame (magic 0x00 + schema id 1) so this sink's
+        # payloads round-trip through the repo's own decoder and any
+        # registry-aware consumer (r12 review: the old form dropped the
+        # key and wrote unframed bodies)
+        payload_cols = [c for c in df.columns if c != "key"]
+        value = F.concat(
+            F.lit(bytes([0, 0, 0, 0, 1])),
+            to_avro(F.struct(*payload_cols)),
+        ).alias("value")
+        if "key" in df.columns:
+            out = df.select(F.col("key").cast("binary").alias("key"), value)
+        else:
+            out = df.select(value)
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

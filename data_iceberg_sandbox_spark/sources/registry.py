@@ -79,8 +79,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dt = df.schema[c].dataType
         if isinstance(dt, T.LongType):
             # legacy driver stamp: INT64 TIMESTAMP(NANOS) read as long.
-            # integer `div` — float division would lose sub-µs exactness
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # FLOOR division in integer arithmetic (float division would
+            # lose sub-µs exactness; bare `div` truncates toward zero,
+            # which disagrees with floor for pre-epoch nanos — r12
+            # review): subtract the positive remainder first, then the
+            # division is exact.
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(
+                    F.expr(
+                        f"(`{c}` - ((`{c}` % 1000) + 1000) % 1000) div 1000"
+                    )
+                ),
+            )
         elif isinstance(dt, T.TimestampNTZType):
             # current driver stamp: Timestamp(isAdjustedToUTC=false, micros)
             # arrives as TIMESTAMP_NTZ. The engine's event-time contract is
@@ -111,7 +122,18 @@ def pin_table(
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     per_session = _LT_CACHE.setdefault(spark, {})
-    per_session[(os.path.abspath(sf_dir), name)] = df
+    key = (os.path.abspath(sf_dir), name)
+    old = per_session.get(key)
+    if old is not None and old is not df:
+        try:
+            # a re-pin must release the previous pinned cache — the old
+            # relation becomes unreachable through the registry and its
+            # executor memory would leak per re-pin (r12 review);
+            # unpersist on an uncached frame is a no-op
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — releasing is best-effort
+            pass
+    per_session[key] = df
     return df
 
 
@@ -171,7 +193,10 @@ def pin_balanced(
     for t in TABLES:
         try:
             raws[t] = load_table(spark, sf_dir, t)
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — degrade per table, loudly
+            # silent swallowing hid a mistyped sf_dir as an empty pin
+            # and benchmarks ran on the skewed raw layout (r12 review)
+            print(f"pin_balanced: cannot load {t}: {type(e).__name__}: {e}")
             continue
     co_k = max(
         (natural_k(raws[t]) for t in _CO_PARTITION if t in raws), default=1
