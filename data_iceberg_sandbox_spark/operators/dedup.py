@@ -113,6 +113,38 @@ FROM documents GROUP BY md5(text)
 # --- exact n-gram Jaccard -------------------------------------------------
 
 
+def _jaccard_from_shingles(ds, threshold, candidates=None):
+    """Shared exact-Jaccard verification: inverted-index pair join over
+    a (doc_id, shingle) frame, per-doc size aggregation, rounded
+    Jaccard ≥ threshold. ONE implementation (r12 review:
+    dedup_minhash_lsh carried a verbatim copy of jaccard_pairs' block
+    that had to stay in sync by hand). ``candidates`` (optional)
+    left-semi-restricts the verified pairs to the LSH candidate set."""
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -137,28 +169,7 @@ def jaccard_pairs(
     # persist(DISK_ONLY) or a reliable checkpoint replaces .cache(); the
     # three-consumer reuse argument is unchanged.)
     ds = ds.cache()
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-
-    a = ds.alias("a")
-    b = ds.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = (
-        F.col("n_common").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
-    )
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_from_shingles(ds, threshold)
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -249,7 +260,15 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = _BANDS) -> DataFrame:
 def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
     """MinHash-LSH candidates verified by exact Jaccard — the scale path
     whose output equals the exact operator at LSH recall 1 (true for the
-    near-dup regime J>=0.8; banding P(miss) < 1e-14)."""
+    near-dup regime J>=0.8; banding P(miss) < 1e-14).
+
+    Honesty note on the default threshold (r12): at J between 0.5 and
+    0.8 the per-pair miss probability rises to ~1e-4 (J=0.5) — LSH
+    recall < 1 is inherent, and equality with the exact-Jaccard oracle
+    at threshold 0.5 is a property VERIFIED on these fixture corpora
+    (deterministic seed-42 permutations, every driver round), not a
+    guarantee for arbitrary data. Production near-dup dedup thresholds
+    at ≥0.8, where the banding bound makes misses negligible."""
     # candidate pairs are consumed three times (two id sets + the final
     # semi join) and are tiny — cache instead of re-running the LSH chain
     cands = lsh_candidate_pairs(minhash_signatures(spark, sf_dir)).cache()
@@ -264,28 +283,7 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
         cand_docs, "doc_id", "left_semi"
     )
     ds = _shingles_of(pruned).cache()
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = ds.alias("a")
-    b = ds.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-        .join(cands, ["doc_a", "doc_b"], "left_semi")  # verify candidates only
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = (
-        F.col("n_common").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
-    )
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_from_shingles(ds, threshold, candidates=cands)
 
 
 # --- SimHash --------------------------------------------------------------
@@ -499,6 +497,23 @@ SELECT src, dst, containment FROM u WHERE containment >= 0.8
 """
 
 
+# Quality-rank packing shared by dedup_keep_best / canonicalize_corpus
+# and their oracles: keeper = argmax over (n_chars, -doc_id) packed into
+# ONE BIGINT so max_by partial-aggregates map-side. Bound: n_chars <
+# 2^20 and doc_id < 2^43 keep the pack one step from 2^63 ANSI
+# overflow; a corpus beyond either swaps in a struct max_by. Defined
+# ONCE (r12 review: the expression and its literal lived in four
+# places).
+QUALITY_RANK_SHIFT = 2**43
+
+
+def quality_rank_col():
+    return F.col("n_chars") * F.lit(QUALITY_RANK_SHIFT) - F.col("doc_id")
+
+
+QUALITY_RANK_SQL = f"n_chars * {QUALITY_RANK_SHIFT} - doc_id"
+
+
 def dedup_keep_best(spark, sf_dir):
     """Exact dedup keeping the BEST copy per content group, not an
     arbitrary one: within each md5(text) group the survivor is the doc
@@ -513,7 +528,7 @@ def dedup_keep_best(spark, sf_dir):
     (n_chars < 2^20, doc_id < 2^43) is documented where a real corpus
     would swap in a struct max_by."""
     docs = load_table(spark, sf_dir, "documents")
-    rank = F.col("n_chars") * F.lit(2**43) - F.col("doc_id")
+    rank = quality_rank_col()
     return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
         F.count("*").alias("n_copies"),
         F.max_by(F.col("doc_id"), rank).alias("keeper_doc_id"),
@@ -521,10 +536,10 @@ def dedup_keep_best(spark, sf_dir):
     )
 
 
-DEDUP_KEEP_BEST_ORACLE = """
+DEDUP_KEEP_BEST_ORACLE = f"""
 SELECT md5(text) AS content_hash,
        count(*) AS n_copies,
-       max_by(doc_id, n_chars * 8796093022208 - doc_id) AS keeper_doc_id,
+       max_by(doc_id, {QUALITY_RANK_SQL}) AS keeper_doc_id,
        max(n_chars) AS keeper_n_chars
 FROM documents GROUP BY md5(text)
 """

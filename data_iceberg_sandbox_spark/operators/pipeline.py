@@ -385,7 +385,10 @@ def corpus_decontaminate(
     from .dedup import _shingles_of
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles_of(docs, n=n)
+    # both the eval side and the training side consume this frame — the
+    # cache saves the second full shingle pass (r12 review; same
+    # convention as every other multi-consumer shingle frame here)
+    sh = _shingles_of(docs, n=n).cache()
     eval_sh = (
         sh.filter(F.col("doc_id") < n_eval_docs).select("shingle").distinct()
     )
@@ -437,7 +440,7 @@ def duplicate_clusters(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.5,
-    max_iter: int = 10,
+    max_iter: int = 25,
     driver_edge_limit: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in a
@@ -471,8 +474,14 @@ def duplicate_clusters(
                 x = parent[x]
             return x
 
-        for r in pairs.collect():
-            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        # Arrow path: two int64 numpy columns (~16 B/edge) instead of
+        # 5M pickled Row objects (>100 B each — gigabytes of driver
+        # heap at the limit; r12 review)
+        edges = pairs.toPandas()
+        for a, b in zip(
+            edges["doc_a"].to_numpy(), edges["doc_b"].to_numpy()
+        ):
+            ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(x, find(x)) for x in parent]
@@ -481,7 +490,7 @@ def duplicate_clusters(
             "is_keeper", F.col("doc_id") == F.col("cluster_keeper")
         )
 
-    labels = _cc_large_small_star(pairs, max_rounds=max(max_iter, 25))
+    labels = _cc_large_small_star(pairs, max_rounds=max_iter)
     return labels.select(
         "doc_id", F.col("label").alias("cluster_keeper")
     ).withColumn("is_keeper", F.col("doc_id") == F.col("cluster_keeper"))
@@ -637,7 +646,12 @@ def embedding_dim_stats(spark, sf_dir):
     n_d = F.col("n").cast("double")
     s_d = F.col("s").cast("double")
     sq_d = F.col("sq").cast("double")
-    var = (n_d * sq_d - s_d * s_d) / (n_d * n_d) / F.lit(1e12)
+    # clamp: past ~2^53 the double casts can round n·sq − s² to a tiny
+    # negative for a constant dimension (true var 0) — sqrt would emit
+    # NaN (r12 review; same guard as embedding_outlier_scores)
+    var = F.greatest(
+        (n_d * sq_d - s_d * s_d) / (n_d * n_d) / F.lit(1e12), F.lit(0.0)
+    )
     return agg.select(
         "dim",
         "n",
@@ -751,7 +765,9 @@ def canonicalize_corpus(spark, sf_dir):
         "doc_id", F.col("cluster_keeper").alias("cluster")
     )
     mem = labels.join(docs, "doc_id")
-    rank = F.col("n_chars") * F.lit(2**43) - F.col("doc_id")
+    from .dedup import quality_rank_col
+
+    rank = quality_rank_col()
     best = mem.groupBy("cluster").agg(
         F.max_by(F.col("doc_id"), rank).alias("keeper")
     )
@@ -772,6 +788,8 @@ def canonicalize_corpus(spark, sf_dir):
 
 
 def _canonicalize_oracle_sql(threshold: float = 0.5, n: int = 5) -> str:
+    from .dedup import QUALITY_RANK_SQL
+
     return f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -798,7 +816,7 @@ cl AS (SELECT node AS doc_id, min(label) AS cluster FROM walk GROUP BY node),
 mem AS (SELECT cl.doc_id, cl.cluster, d.n_chars
         FROM cl JOIN documents d USING (doc_id)),
 best AS (SELECT cluster,
-                max_by(doc_id, n_chars * 8796093022208 - doc_id) AS keeper
+                max_by(doc_id, {QUALITY_RANK_SQL}) AS keeper
          FROM mem GROUP BY 1),
 clustered AS (SELECT mem.doc_id, best.keeper AS keeper_doc_id
               FROM mem JOIN best USING (cluster)),
@@ -869,7 +887,7 @@ def vocab_coverage(spark, sf_dir, topk: int = 30):
         .agg(F.count(F.lit(1)).alias("n"))
         .cache()
     )
-    total = counts.agg(F.sum("n")).collect()[0][0]
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0  # empty corpus
     w = W.orderBy(F.col("n").desc(), "word").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
