@@ -46,9 +46,12 @@ def _tokens_col():
     return F.expr(f"regexp_extract_all(lower(text), '{_TOK}', 0)")
 
 
-def _corpus_stats(docs):
-    """1-row (n_docs, avgdl) frame — broadcast, never collected."""
-    return docs.select(F.size(_tokens_col()).alias("dl")).agg(
+def _corpus_stats(dl):
+    """1-row (n_docs, avgdl) frame — broadcast, never collected.
+    Takes the per-doc length frame bm25_rank already builds, so the
+    stats aggregate that projection instead of re-running the
+    tokenizing regex over the corpus a third time (r12 review)."""
+    return dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         # exact integer sum; ONE double division, same on both sides
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -73,7 +76,7 @@ def bm25_rank(spark, sf_dir):
     scored = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(_corpus_stats(docs)))
+        .crossJoin(F.broadcast(_corpus_stats(dl)))
         .withColumn(
             "s",
             F.log(
@@ -274,23 +277,21 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     JVM zip_with fold, no Python). RRF works on RANKS, not scores, so
     float-fusion nondeterminism cannot arise; only the final
     1/(k+r) sum is floating point, two terms in fixed order."""
+    from ..functions.vector import as_double, dot
+
+    # explicit RRF_CAND bound on the lex side too: today BM25_TOPK ==
+    # RRF_CAND so this is a no-op, but the fusion contract is "RRF_CAND
+    # candidates from EACH ranker" and must not silently drift if
+    # BM25_TOPK is deepened (r12 review)
     lex = bm25_rank(spark, sf_dir).select(
         F.col("doc_id").alias("id"),
         F.row_number()
         .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
         .alias("r_lex"),
-    )
+    ).filter(F.col("r_lex") <= RRF_CAND)
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     # the query norm is a per-QUERY constant: computed once in the 1-row
     # broadcast frame, not re-folded per candidate row (sqrt of the same
     # exact dot → the same double the per-row form produced)
@@ -298,7 +299,12 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         F.col("emb").alias("q_emb"),
         F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("qn"),
     )
-    sem = (
+    # top-RRF_CAND via orderBy+limit FIRST (TakeOrderedAndProject — a
+    # distributed partial top-k), then the rank window runs over only
+    # the survivors: identical rows, but the old unpartitioned
+    # row_number window funneled the whole scored corpus through ONE
+    # task before its filter (r12 review)
+    sem_scored = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
@@ -309,13 +315,14 @@ def hybrid_rrf_retrieval(spark, sf_dir):
                 6,
             ).alias("score"),
         )
-        .select(
-            F.col("vec_id").alias("id"),
-            F.row_number()
-            .over(W.orderBy(F.col("score").desc(), "vec_id"))
-            .alias("r_sem"),
-        )
-        .filter(F.col("r_sem") <= RRF_CAND)
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(RRF_CAND)
+    )
+    sem = sem_scored.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "vec_id"))
+        .alias("r_sem"),
     )
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0)
@@ -475,13 +482,11 @@ def corpus_zipf_fit(spark, sf_dir):
     VOCABULARY frame (bounded by the language's word inventory, not
     the corpus — the accepted domain-grain single-partition class);
     the fit is a 1-row reduce."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .tokenbase import token_frame
+
     vocab = (
-        docs.select(
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-            ).alias("w")
-        )
+        token_frame(spark, sf_dir)
+        .select(F.explode("arr").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -553,14 +558,11 @@ def corpus_word_burstiness(spark, sf_dir):
     sums/counts of that frame at word grain; no countDistinct expand,
     no second corpus pass. Output is vocabulary-sized; burstiness is
     one exact-integer division."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .tokenbase import token_frame
+
     dw = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-            ).alias("w"),
-        )
+        token_frame(spark, sf_dir)
+        .select("doc_id", F.explode("arr").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -590,15 +592,12 @@ def corpus_simpson_diversity(spark, sf_dir):
     nothing), and the single double division of two exact integers is
     correctly rounded on both engines. Scale shape: one (source, word)
     shuffle with map-side combine, then a source-grain fold."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .tokenbase import token_frame
+
     dec = "decimal(38,0)"
     wc = (
-        docs.select(
-            "source",
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-            ).alias("w"),
-        )
+        token_frame(spark, sf_dir)
+        .select("source", F.explode("arr").alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -706,14 +705,11 @@ def corpus_source_jsd(spark, sf_dir):
     (union of the two sources' words per pair via two anti-joins) has
     the same algebra — the dense form is kept while grids stay far
     below fact size."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .tokenbase import token_frame
+
     sw = (
-        docs.select(
-            "source",
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-            ).alias("w"),
-        )
+        token_frame(spark, sf_dir)
+        .select("source", F.explode("arr").alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     ).cache()

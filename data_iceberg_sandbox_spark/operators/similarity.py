@@ -102,6 +102,13 @@ def ann_cosine_topk(spark, sf_dir, k: int = 10):
         "vec_id", F.col("embedding").alias("emb")
     )
     qrows = sorted(_queries(spark, sf_dir).collect(), key=lambda r: r["query_id"])
+    if not qrows:  # empty corpus → no queries, no rows (oracle: empty)
+        return emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
     qids = np.array([r["query_id"] for r in qrows])
     qmat = np.array([r["q_emb"] for r in qrows])  # nq × d
     qn2 = np.zeros(len(qids))
@@ -136,7 +143,13 @@ def ann_cosine_topk(spark, sf_dir, k: int = 10):
                 col_s = s[:, j]
                 if n > k:
                     kth = np.partition(col_s, n - k)[n - k]
-                    idx = np.nonzero(col_s >= kth - (2e-6 + 1e-9))[0]
+                    # `> -inf` guards the degenerate batch with FEWER
+                    # than k finite candidates (kth = -inf would
+                    # re-admit the masked self/zero-norm rows and
+                    # corrupt the top-k — r12 review)
+                    idx = np.nonzero(
+                        (col_s >= kth - (2e-6 + 1e-9)) & (col_s > -np.inf)
+                    )[0]
                 else:
                     idx = np.nonzero(col_s > -np.inf)[0]
                 keep_r.append(idx)
@@ -235,6 +248,12 @@ def embedding_neardup_pairs(spark, sf_dir, top_pairs: int = 20):
         .select("vec_id", as_double(F.col("embedding")).alias("emb"))
     )
     rows = sorted(sub.collect(), key=lambda r: r["vec_id"])
+    if not rows:  # empty sample → no pairs (oracle: empty)
+        return sub.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
     vids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     M = np.array([r["emb"] for r in rows], dtype=np.float64)
     n2 = np.zeros(len(rows))
@@ -309,16 +328,25 @@ def embedding_neardup_pairs(spark, sf_dir, top_pairs: int = 20):
     return pairs
 
 
-NEARDUP_PAIRS_ORACLE = """
+def _neardup_pairs_oracle(top_pairs: int = 20) -> str:
+    """Oracle generated from the SAME constants the operator filters on
+    (r12 review: the cap and limit were duplicated literals — bumping
+    NEARDUP_SAMPLE_CAP or the top_pairs default would silently
+    desynchronize the two sides)."""
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb
-           FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 200000)
+           FROM embeddings
+           WHERE vec_id % 10 = 0 AND vec_id < {NEARDUP_SAMPLE_CAP})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_inner_product(a.emb, b.emb) /
              (sqrt(list_inner_product(a.emb, a.emb)) *
               sqrt(list_inner_product(b.emb, b.emb))), 6) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-ORDER BY score DESC, vec_a, vec_b LIMIT 20
+ORDER BY score DESC, vec_a, vec_b LIMIT {top_pairs}
 """
+
+
+NEARDUP_PAIRS_ORACLE = _neardup_pairs_oracle()
 
 
 def _bucket_bits(emb_col) -> "F.Column":
@@ -924,6 +952,8 @@ def embedding_pca_power_iteration(spark, sf_dir, iters: int = 3):
             .collect()
         )
         w = {r["dim"]: int(r["w"]) for r in w_rows}
+        if not w:  # empty corpus → no dims to iterate (oracle: empty)
+            break
         mx = float(max(abs(x) for x in w.values()))
         v = [_round_half_away(float(w[j]) / mx * 1e6) for j in range(DIM)]
     return spark.createDataFrame(
