@@ -135,17 +135,10 @@ def sessionize_events(spark, sf_dir, gap_minutes: int = 60):
     """Sessionization (gap > 60 min starts a new session): the classic
     lag → gap-flag → running-sum islands construction. One shuffle on
     user_id; both window passes reuse the same partitioning."""
+    from ..functions.sessions import with_session_ids
+
     ev = load_table(spark, sf_dir, "events")
-    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
-    flagged = ev.withColumn(
-        "is_new",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("is_new").over(w_user.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    sess = with_session_ids(ev, gap_minutes)
     return (
         sess.groupBy("user_id", "session_id")
         .agg(

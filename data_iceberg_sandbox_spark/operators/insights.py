@@ -107,6 +107,18 @@ def audience_overlap_matrix(spark, sf_dir):
     int64 mask counts carry any scale."""
     ev = load_table(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
+    # domain guard (r12 review — the attribution_shapley convention): a
+    # 6th/renamed event type would NULL out of the bit CASE on BOTH
+    # engines, silently dropping those memberships while the hash
+    # comparison stays green. One tiny distinct over 5 groups.
+    actual = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    if actual != types:
+        raise ValueError(
+            f"audience_overlap_matrix: event_type domain {actual} != the "
+            f"registered bitmask domain {types}; regenerate both sides"
+        )
     bit = F.when(F.col("event_type") == types[0], 1)
     for i, t in enumerate(types[1:], start=1):
         bit = bit.when(F.col("event_type") == t, 2**i)

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.money import fixed
 from ..sources.registry import load_table
 from .spec import QuerySpec
 
@@ -50,7 +51,7 @@ def _value_grain_counts(spark, sf_dir, type_a: str, type_b: str):
     )
     return (
         ev.select(
-            F.round(F.col("value") * 100).cast("bigint").alias("v_fp"),
+            fixed("value").alias("v_fp"),
             F.when(F.col("event_type") == type_a, 1).otherwise(0).alias("t1"),
         )
         .groupBy("v_fp")
@@ -447,7 +448,7 @@ def events_percentile_rank(spark, sf_dir):
     to the feature resolution — the transform is defined on quantized
     values either way."""
     ev = load_table(spark, sf_dir, "events")
-    vfp = F.round(F.col("value") * 100).cast("bigint")
+    vfp = fixed("value")
     vg = (
         ev.select("event_type", vfp.alias("v_fp"))
         .groupBy("event_type", "v_fp")
@@ -632,11 +633,14 @@ def lm_kneser_ney_bigrams(spark, sf_dir):
     statistics (c(w1·), N1+(w1·), N1+(·w2), N1+(··)) are vocabulary-
     grain reductions of THAT frame — the corpus is never re-scanned —
     joined back on w1/w2 at bigram-vocabulary grain."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .tokenbase import token_frame
+
+    # the memoized corpus token frame (tokenbase) — re-running the
+    # tokenizing regex here re-paid the LM family's dominant measured
+    # cost per call (r12 review)
     cb = (
-        docs.select(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("arr")
-        )
+        token_frame(spark, sf_dir)
+        .select("arr")
         .filter(F.size("arr") >= 2)
         .select(
             F.explode(
@@ -685,10 +689,14 @@ cw1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ct, count(*) AS n1w1
 cw2 AS (SELECT w2, count(*) AS n1w2 FROM cb GROUP BY 1),
 n1 AS (SELECT count(*) AS n1all FROM cb)
 SELECT cb.w1, cb.w2, cb.c,
-       round(CAST((4 * cb.c - 3) * n1all + 3 * n1w1 * n1w2 AS DOUBLE)
-             / CAST(4 * ct * n1all AS DOUBLE), 6) AS p_kn
+       round(CAST((4 * CAST(cb.c AS HUGEINT) - 3) * n1all
+                  + 3 * CAST(n1w1 AS HUGEINT) * n1w2 AS DOUBLE)
+             / CAST(4 * CAST(ct AS HUGEINT) * n1all AS DOUBLE), 6) AS p_kn
 FROM cb JOIN cw1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN n1
 """
+# ^ HUGEINT mirrors the Spark side's decimal(38,0) operands: at the
+# ~1e9-bigram scale the decimal cast defends, DuckDB's overflow-checked
+# BIGINT products would raise while Spark succeeded (r12 review)
 
 
 def events_user_fano_dispersion(spark, sf_dir):

@@ -154,7 +154,7 @@ def events_dyadic_wma(spark, sf_dir, k: int = 8):
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     base = ev.select(
-        "user_id", "ts", "event_id", "event_type", fixed("value").alias("vfp")
+        "user_id", "ts", "event_id", fixed("value").alias("vfp")
     )
     num = sum(
         (F.lag("vfp", j).over(w) if j else F.col("vfp")) * (2 ** (k - 1 - j))
@@ -174,7 +174,17 @@ def events_dyadic_wma(spark, sf_dir, k: int = 8):
     )
 
 
-DYADIC_WMA_ORACLE = """
+def _dyadic_wma_oracle(k: int = 8) -> str:
+    """Oracle generated from the same k the operator uses (the
+    _sessionize_oracle pattern, r12): weights, denominator and the
+    n_events floor all derive from one place."""
+    terms = " + ".join(
+        (f"vfp * {2 ** (k - 1)}" if j == 0
+         else f"lag(vfp, {j}) OVER w * {2 ** (k - 1 - j)}" if k - 1 - j > 0
+         else f"lag(vfp, {j}) OVER w")
+        for j in range(k)
+    )
+    return f"""
 WITH base AS (
   SELECT user_id, ts, event_id,
          CAST(round(value * 100) AS BIGINT) AS vfp
@@ -183,15 +193,15 @@ seq AS (
   SELECT user_id,
          row_number() OVER w AS rn,
          count(*) OVER (PARTITION BY user_id) AS n_events,
-         vfp * 128 + lag(vfp, 1) OVER w * 64 + lag(vfp, 2) OVER w * 32
-           + lag(vfp, 3) OVER w * 16 + lag(vfp, 4) OVER w * 8
-           + lag(vfp, 5) OVER w * 4 + lag(vfp, 6) OVER w * 2
-           + lag(vfp, 7) OVER w AS num
+         {terms} AS num
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-SELECT user_id, n_events, CAST(num AS DOUBLE) / 25500.0 AS wma
-FROM seq WHERE rn = n_events AND n_events >= 8
+SELECT user_id, n_events, CAST(num AS DOUBLE) / {float((2 ** k - 1) * 100)} AS wma
+FROM seq WHERE rn = n_events AND n_events >= {k}
 """
+
+
+DYADIC_WMA_ORACLE = _dyadic_wma_oracle()
 
 
 # Value tiers for the interval join: arbitrary-width, half-open [lo, hi).
@@ -741,18 +751,11 @@ def session_length_quantiles(spark, sf_dir, gap_minutes: int = 60):
     frame. Scale shape: one user shuffle to build sessions, one
     histogram shuffle per metric (map-side combined), domain-grain
     everything after."""
+    from ..functions.sessions import with_session_ids
+
     ev = load_table(spark, sf_dir, "events")
-    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
     sess = (
-        ev.withColumn(
-            "is_new",
-            F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
-        )
-        .withColumn(
-            "session_id",
-            F.sum("is_new").over(w_user.rowsBetween(W.unboundedPreceding, 0)),
-        )
+        with_session_ids(ev, gap_minutes)
         .groupBy("user_id", "session_id")
         .agg(
             (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
@@ -761,8 +764,7 @@ def session_length_quantiles(spark, sf_dir, gap_minutes: int = 60):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    qs = [(25, 4), (50, 2), (75, 4), (90, 10), (99, 100)]  # (pct, den where
-    # r·den is integral: r = (n-1)·pct/100)
+    qs = [25, 50, 75, 90, 99]
 
     def metric_quantiles(col, label):
         hist = sess.groupBy(F.col(col).alias("v")).agg(
@@ -774,9 +776,7 @@ def session_length_quantiles(spark, sf_dir, gap_minutes: int = 60):
             F.sum("cnt").over(cum).alias("c"),
             F.sum("cnt").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
         )
-        quants = spark.createDataFrame(
-            [(p,) for p, _ in qs], "pct int"
-        )
+        quants = spark.createDataFrame([(p,) for p in qs], "pct int")
         j = h.crossJoin(F.broadcast(quants))
         # rank r = (n-1)*pct/100; lo = value at floor(r)+1-th row,
         # hi = value at ceil(r)+1-th row (0-indexed ranks over sorted rows)
@@ -791,7 +791,10 @@ def session_length_quantiles(spark, sf_dir, gap_minutes: int = 60):
         hi = j.filter(F.col("c") >= hi_rank + 1).groupBy("pct").agg(
             F.min("v").alias("v_hi")
         )
-        nn = sess.agg(F.count(F.lit(1)).alias("n"))
+        # session count rides on every h row (the frame-wide window sum)
+        # — aggregating it avoids a SECOND full sessionization pass just
+        # for the count (r12 review)
+        nn = h.agg(F.max("n").alias("n"))
         frac = (
             ((F.col("n") - 1) * F.col("pct") % 100).cast("double") / F.lit(100.0)
         )
@@ -815,12 +818,15 @@ def session_length_quantiles(spark, sf_dir, gap_minutes: int = 60):
     )
 
 
-SESSION_QUANTILES_ORACLE = """
+def _session_quantiles_oracle(gap_minutes: int = 60) -> str:
+    """Oracle generated from the operator's gap (r12 — the
+    _sessionize_oracle pattern)."""
+    return f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) // 1000000
-                   - epoch_us(lag(ts) OVER w) // 1000000 > 3600
+                   - epoch_us(lag(ts) OVER w) // 1000000 > {gap_minutes * 60}
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -861,6 +867,9 @@ FROM lo
 JOIN hi ON lo.metric = hi.metric AND lo.pct = hi.pct
 JOIN nn ON lo.metric = nn.metric
 """
+
+
+SESSION_QUANTILES_ORACLE = _session_quantiles_oracle()
 
 
 def orders_seasonality_decomposition(spark, sf_dir):
