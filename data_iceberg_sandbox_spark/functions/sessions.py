@@ -13,17 +13,23 @@ from pyspark.sql import functions as F
 def with_session_ids(ev: DataFrame, gap_minutes: int = 60) -> DataFrame:
     """Gap-based sessionization: a gap STRICTLY GREATER than
     ``gap_minutes`` starts a new session (merge-on-equal semantics —
-    the `> 3600` the oracles replay). Adds ``is_new`` and a per-user
+    the exact-micros `> gap` comparison the oracles replay). Adds ``is_new`` and a per-user
     ``session_id`` (1-based) via the classic lag → flag → running-sum
     islands construction: ONE user_id shuffle, both window passes
     reuse the same partitioning."""
     w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
-        w_user
-    )
+    # EXACT integer microseconds (r12 review): the old whole-second
+    # truncation (ts.cast long) disagreed with the oracle's fractional
+    # epoch() for gaps inside (3600, 3601)s — parity on µs-grain data
+    # held only by luck. Both engines now compare epoch micros.
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w_user)
     return ev.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        F.when(
+            gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
+        ).otherwise(0),
     ).withColumn(
         "session_id",
         F.sum("is_new").over(w_user.rowsBetween(W.unboundedPreceding, 0)),

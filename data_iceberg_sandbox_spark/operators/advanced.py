@@ -157,7 +157,8 @@ def _sessionize_oracle(gap_minutes: int = 60) -> str:
     return f"""
 WITH flagged AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_minutes * 60}
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {gap_minutes * 60 * 1_000_000}
                  THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -438,6 +439,21 @@ RANGE_ORACLE = _range_oracle()
 _PCTL_QS = (("p50", "0.5"), ("p90", "0.9"), ("p99", "0.99"))
 
 
+def _price_histogram_cum(li):
+    """(flag, price) value histogram with running and total counts —
+    the shared base of percentile_prices and agg_approx's IQR bounds
+    (r12 review: character-identical blocks in both)."""
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return hist.withColumn(
+        "cum_end",
+        F.sum("cnt").over(
+            W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        ),
+    ).withColumn("n", F.sum("cnt").over(W.partitionBy("l_returnflag")))
+
+
 def percentile_prices(spark, sf_dir):
     """Exact interpolated percentiles per group from the VALUE HISTOGRAM
     — the scale-safe formulation (reworked r11: `F.percentile` buffers
@@ -452,13 +468,7 @@ def percentile_prices(spark, sf_dir):
     row whose running count reaches the rank): identical IEEE ops in
     identical order → bit-identical before the shared round(4)."""
     li = load_table(spark, sf_dir, "lineitem")
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    cum = hist.withColumn(
-        "cum_end",
-        F.sum("cnt").over(W.partitionBy("l_returnflag").orderBy("l_extendedprice")),
-    ).withColumn("n", F.sum("cnt").over(W.partitionBy("l_returnflag")))
+    cum = _price_histogram_cum(li)
     v = F.col("l_extendedprice").cast("double")
     aggs, outs = [], ["l_returnflag"]
     for tag, q in _PCTL_QS:
@@ -551,13 +561,7 @@ def agg_approx(spark, sf_dir):
     # buffers each group's 20M values and stalled the sf10 sweep; the
     # histogram is bounded by distinct cents (r11 rework, same lesson
     # as percentile_prices).
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    cum = hist.withColumn(
-        "cum_end",
-        F.sum("cnt").over(W.partitionBy("l_returnflag").orderBy("l_extendedprice")),
-    ).withColumn("n", F.sum("cnt").over(W.partitionBy("l_returnflag")))
+    cum = _price_histogram_cum(li)
     pv = F.col("l_extendedprice").cast("double")
     bounds = cum.groupBy("l_returnflag").agg(
         F.min(
@@ -934,7 +938,7 @@ SESSION_NATIVE_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) >= 3600
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -1176,7 +1180,7 @@ def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
     return est
 
 
-def _cms_oracle_sql() -> str:
+def _cms_oracle_sql(topk: int = 20) -> str:
     cases = " ".join(
         f"WHEN i.i = {i} THEN {_cms_bucket_sql('user_id', i)}"
         for i in range(_CMS_D)
@@ -1192,7 +1196,7 @@ WITH rows_ AS (
 sketch AS (SELECT i, bucket, count(*) AS c FROM rows_ GROUP BY 1, 2),
 top AS (
   SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
-  ORDER BY exact_n DESC, user_id LIMIT 20),
+  ORDER BY exact_n DESC, user_id LIMIT {topk}),
 probes AS (
   SELECT t.user_id, t.exact_n, i.i AS i, CASE {cases_p} END AS bucket
   FROM top t, LATERAL (SELECT unnest(range({_CMS_D})) AS i) i)
@@ -1396,15 +1400,38 @@ def diagnose_join_skew(spark, sf_dir, topn: int = 15, target_rows: int = 5000):
     )
 
 
-DIAGNOSE_SKEW_ORACLE = """
+def _diagnose_skew_oracle(topn: int = 15, target_rows: int = 5000) -> str:
+    """Oracle generated from the operator's (topn, target_rows)."""
+    return f"""
 WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
 t AS (SELECT count(*) AS total FROM lineitem)
 SELECT l_orderkey, n,
        round(CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE), 9) AS share,
-       CAST(ceil(CAST(n AS DOUBLE) / 5000.0) AS BIGINT) AS suggested_salt
+       CAST(ceil(CAST(n AS DOUBLE) / {float(target_rows)}) AS BIGINT)
+         AS suggested_salt
 FROM c, t
-ORDER BY n DESC, l_orderkey LIMIT 15
+ORDER BY n DESC, l_orderkey LIMIT {topn}
 """
+
+
+DIAGNOSE_SKEW_ORACLE = _diagnose_skew_oracle()
+
+
+def _transition_pairs(ev):
+    """Per-user time-ordered (event_type → next_type) transition counts
+    — ONE implementation shared by events_transition_matrix and
+    events_markov_stationary (r12 review: verbatim copies), and the
+    frame both of their oracles replay."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def events_transition_matrix(spark, sf_dir):
@@ -1420,16 +1447,7 @@ def events_transition_matrix(spark, sf_dir):
     window sum over that tiny frame. The behavioral-analytics
     complement to `events_funnel` (which pins a fixed path)."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            "event_type",
-            F.lead("event_type").over(w).alias("next_type"),
-        )
-        .filter(F.col("next_type").isNotNull())
-        .groupBy("event_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    pairs = _transition_pairs(ev)
     row_total = F.sum("n").over(W.partitionBy("event_type"))
     return pairs.select(
         "event_type",
@@ -1480,16 +1498,7 @@ def events_markov_stationary(spark, sf_dir, iters: int = 8):
     import math as _math
 
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            "event_type",
-            F.lead("event_type").over(w).alias("next_type"),
-        )
-        .filter(F.col("next_type").isNotNull())
-        .groupBy("event_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    pairs = _transition_pairs(ev)
     tot = F.sum("n").over(W.partitionBy("event_type"))
     m = pairs.select(
         F.col("event_type").alias("f"),
@@ -1969,21 +1978,28 @@ def histogram_rollup(spark, sf_dir, bins: int = 10, width: float = 10.0):
     return out
 
 
-HISTOGRAM_ROLLUP_ORACLE = """
+def _histogram_rollup_oracle(bins: int = 10, width: float = 10.0) -> str:
+    """Oracle generated from the operator's (bins, width) — the
+    _sessionize_oracle pattern (r12)."""
+    return f"""
 WITH f AS (
   SELECT CAST(ts AS DATE) AS day,
-         least(9, greatest(0, CAST(floor(value / 10) AS INT))) AS bin
+         least({bins - 1}, greatest(0,
+               CAST(floor(value / {width}) AS INT))) AS bin
   FROM events),
 counts AS (SELECT day, bin, count(*) AS n FROM f GROUP BY 1, 2),
 grid AS (
   SELECT d.day, u.bin
   FROM (SELECT DISTINCT day FROM f) d,
-       LATERAL (SELECT unnest(range(10)) AS bin) u)
+       LATERAL (SELECT unnest(range({bins})) AS bin) u)
 SELECT strftime(grid.day, '%Y-%m-%d') AS day,
        grid.bin AS bin,
        coalesce(counts.n, 0) AS n
 FROM grid LEFT JOIN counts ON grid.day = counts.day AND grid.bin = counts.bin
 """
+
+
+HISTOGRAM_ROLLUP_ORACLE = _histogram_rollup_oracle()
 
 
 def sketch_rollup_distinct_users(spark, sf_dir):
@@ -2014,9 +2030,6 @@ def sketch_rollup_distinct_users(spark, sf_dir):
     )
     per_day = daily.groupBy("day").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        # exact re-agg must rescan the fact — kept here only to verify
-        # the sketch path; real rollups drop it
-        F.sum("exact_users").alias("_sum_typed"),
     )
     exact_day = ev.groupBy("day").agg(
         F.countDistinct("user_id").alias("exact_users")
@@ -2242,7 +2255,10 @@ def revenue_gini(spark, sf_dir):
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("t"),
-        F.sum((F.col("rn") * F.col("rev")).cast("decimal(38,0)")).alias("s"),
+        # widen BEFORE the multiply: an int64 rn·rev product overflows
+        # at exactly the rank·cents scale the decimal sum is here to
+        # survive (r12 review)
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("rev")).alias("s"),
     )
     n_d = F.col("n").cast("double")
     return agg.select(

@@ -236,7 +236,8 @@ def d_wap_audit_publish(spark, sf_dir):
         ).count()
 
     good = t.stage_append(orders.filter(F.col("o_orderkey") % 3 == 1))
-    assert audit_violations(t.read_staged(good)) == 0
+    if audit_violations(t.read_staged(good)) != 0:
+        raise AssertionError("good-batch WAP audit found violations")
     t.publish(good)
 
     poisoned = orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
@@ -417,8 +418,10 @@ def d_rollback_restore(spark, sf_dir):
     t.rollback(2)
     # the rollback is itself a commit: the poisoned v3 must remain in
     # history (time-travel-auditable), HEAD must be v4
-    assert t.current_version() == 4, t.current_version()
-    assert t.read(version=3).limit(1).count() == 1
+    if t.current_version() != 4:
+        raise AssertionError(f"rollback HEAD {t.current_version()} != 4")
+    if t.read(version=3).limit(1).count() != 1:
+        raise AssertionError("poisoned v3 lost from time-travel history")
     return t.read()
 
 
@@ -442,15 +445,21 @@ def d_orphan_cleanup(spark, sf_dir):
     token = t.stage_append(orders.filter(F.col("o_orderkey") % 2 == 1))
     # (1) live stage = referenced → never an orphan, any cutoff
     # (fixed far-future epoch: 2100-01-01, deterministic)
-    assert t.remove_orphan_files(older_than_ms=4102444800000) == []
+    # explicit raises, not asserts: under python -O a bare assert would
+    # skip the side-effectful GC calls under test entirely (r12 review;
+    # the d_branch_fast_forward convention)
+    if t.remove_orphan_files(older_than_ms=4102444800000) != []:
+        raise AssertionError("GC collected files of a LIVE staged append")
     # (2) abandon the stage (crash/lost-CAS case modeled explicitly)
     t.expire_staged(token)
     # default cutoff = newest snapshot's ts → the younger orphaned files
     # must be treated as possibly-in-flight and kept
-    assert t.remove_orphan_files() == []
+    if t.remove_orphan_files() != []:
+        raise AssertionError("default cutoff collected young orphans")
     # (3) far-future cutoff collects the abandoned stage's files
     removed = t.remove_orphan_files(older_than_ms=4102444800000)
-    assert removed, "abandoned stage left no orphan data files"
+    if not removed:
+        raise AssertionError("abandoned stage left no orphan data files")
     return t.read()
 
 
@@ -516,9 +525,15 @@ def scd2_apply(
 
     t, s = target.alias("t"), source.alias("s")
     key_cond = [FF.col(f"t.{k}") == FF.col(f"s.{k}") for k in keys]
+    # NULL-SAFE change detection (r12 review): with a bare `!=`, a NULL
+    # tracked column makes the condition NULL, which excludes the row
+    # from closed AND untouched AND opened — the dimension row would
+    # silently vanish from the SCD2 output.
     changed_cond = FF.lit(False)
     for c in tracked:
-        changed_cond = changed_cond | (FF.col(f"t.{c}") != FF.col(f"s.{c}"))
+        changed_cond = changed_cond | ~FF.col(f"t.{c}").eqNullSafe(
+            FF.col(f"s.{c}")
+        )
     cur = FF.col("t.is_current")
     joined = t.join(s, key_cond, "left")
     src_cols = source.columns
@@ -1045,6 +1060,30 @@ GROUP BY 1
 """
 
 
+def _cdc_history(spark, sf_dir, name: str):
+    """The shared 6-commit CDC fixture history (create / append / COW
+    delete / MoR equality delete / merge rename / compact) — ONE
+    builder for d_cdc_changelog and d_cdc_replicate (r12 review: the
+    two carried verbatim copies that had to stay in lockstep with both
+    oracles by hand)."""
+    c = load_table(spark, sf_dir, "customer")
+    t = _fresh_table(spark, name, sf_dir)
+    t.create(c.filter(F.col("c_custkey") % 2 == 0))  # v1
+    t.append(c.filter(F.col("c_custkey") % 2 == 1))  # v2
+    t.delete_where(F.col("c_acctbal") < 0)  # v3
+    t.delete_keys_mor(
+        c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    )  # v4
+    src = (
+        t.read()
+        .filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_name", F.concat(F.lit("CDC_"), F.col("c_name")))
+    )
+    t.merge(src, on=["c_custkey"], assume_unique_source=True)  # v5
+    t.compact()  # v6
+    return t
+
+
 def d_cdc_changelog(spark, sf_dir):
     """Row-level CDC changelog across every commit kind (D6-adjacent;
     Iceberg ``create_changelog_view`` / Delta Change Data Feed analog —
@@ -1067,21 +1106,7 @@ def d_cdc_changelog(spark, sf_dir):
 
     ``changes_between(1)`` replays v2..v6; the emitted multiset is the
     driver-checked oracle, reproduced in SQL from the base table."""
-    c = load_table(spark, sf_dir, "customer")
-    t = _fresh_table(spark, "d_cdc", sf_dir)
-    t.create(c.filter(F.col("c_custkey") % 2 == 0))  # v1
-    t.append(c.filter(F.col("c_custkey") % 2 == 1))  # v2
-    t.delete_where(F.col("c_acctbal") < 0)  # v3
-    t.delete_keys_mor(
-        c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
-    )  # v4
-    src = (
-        t.read()
-        .filter(F.col("c_custkey") % 5 == 0)
-        .withColumn("c_name", F.concat(F.lit("CDC_"), F.col("c_name")))
-    )
-    t.merge(src, on=["c_custkey"], assume_unique_source=True)  # v5
-    t.compact()  # v6
+    t = _cdc_history(spark, sf_dir, "d_cdc")
     # the changelog frame is consumed twice (the compact-emits-nothing
     # verify count, then the returned result) — materialize once
     ch = t.changes_between(1).localCheckpoint(eager=True)
@@ -1130,21 +1155,7 @@ def d_cdc_replicate(spark, sf_dir):
     At 100 TB the replica side is a keyed MERGE per version window
     instead of a frame fold, but the contract proven here is the one
     that matters: apply(changelog) ∘ snapshot(v0) == snapshot(head)."""
-    c = load_table(spark, sf_dir, "customer")
-    t = _fresh_table(spark, "d_cdc_rep", sf_dir)
-    t.create(c.filter(F.col("c_custkey") % 2 == 0))  # v1
-    t.append(c.filter(F.col("c_custkey") % 2 == 1))  # v2
-    t.delete_where(F.col("c_acctbal") < 0)  # v3
-    t.delete_keys_mor(
-        c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
-    )  # v4
-    upd = (
-        t.read()
-        .filter(F.col("c_custkey") % 5 == 0)
-        .withColumn("c_name", F.concat(F.lit("CDC_"), F.col("c_name")))
-    )
-    t.merge(upd, on=["c_custkey"], assume_unique_source=True)  # v5
-    t.compact()  # v6
+    t = _cdc_history(spark, sf_dir, "d_cdc_rep")
     head_df = t.read()
     cols = head_df.columns
     replica = spark.createDataFrame([], head_df.schema)

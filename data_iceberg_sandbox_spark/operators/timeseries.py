@@ -825,8 +825,8 @@ def _session_quantiles_oracle(gap_minutes: int = 60) -> str:
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) // 1000000
-                   - epoch_us(lag(ts) OVER w) // 1000000 > {gap_minutes * 60}
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {gap_minutes * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
