@@ -33,7 +33,12 @@ def per_flag_distinct(
     for i, v in enumerate(flags[1:], 1):
         fid = fid.when(F.col(flag_col) == v, i)
     codes = df.select((F.col(key_col) * m + fid).alias("code")).distinct()
-    counted = codes.groupBy((F.col("code") % m).alias("fid")).agg(
+    # pmod, not %: (k, f) → k·m+f is a bijection for f ∈ [0, m) over ALL
+    # integer keys, but Spark's % carries the dividend's sign — a
+    # negative key would decode to a negative fid and silently land in
+    # the wrong flag bucket (or crash element_at). pmod recovers f
+    # exactly for any key sign (r12 review).
+    counted = codes.groupBy(F.pmod(F.col("code"), F.lit(m)).alias("fid")).agg(
         F.count(F.lit(1)).alias(out)
     )
     decode = F.element_at(

@@ -30,6 +30,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _nullsafe_pickup(d: DataFrame, offs: DataFrame, keys: list[str]) -> DataFrame:
+    """Broadcast offset pickup with NULL-SAFE key equality: a name-list
+    equi-join is null-rejecting, so a NULL partition value (a perfectly
+    legal group for the window semantics being reproduced) would
+    silently DROP its rows from the output (r12 review)."""
+    renamed = offs.select(
+        *[F.col(c).alias(f"__o_{c}") for c in keys],
+        *[c for c in offs.columns if c not in keys],
+    )
+    cond = None
+    for c in keys:
+        e = d[c].eqNullSafe(F.col(f"__o_{c}"))
+        cond = e if cond is None else (cond & e)
+    return d.join(F.broadcast(renamed), cond).drop(
+        *[f"__o_{c}" for c in keys]
+    )
+
+
 def histogram_rank(
     df: DataFrame,
     key: Column,
@@ -132,7 +150,7 @@ def histogram_prefix_sum(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return (
-        d.join(F.broadcast(offs), [*pcols, "__cell"])
+        _nullsafe_pickup(d, offs, [*pcols, "__cell"])
         .withColumn(out, (F.col("__off") + intra).cast("long"))
         .drop("__key", "__val", "__cell", "__off", *pcols)
     )

@@ -20,7 +20,12 @@ RATE = "decimal(4,3)"
 
 def _dir_bytes(sf_dir, name):
     """On-disk size of a testdata table (file or directory parquet) —
-    cheap driver-side stat used to gate data-scaled broadcast hints."""
+    cheap driver-side stat used to gate data-scaled broadcast hints.
+    Fails CLOSED: a path this probe can't stat (layout drift from
+    sources/registry's `{name}.parquet` convention) reports +inf, so
+    the size gate declines the broadcast in exactly the unknown-size
+    case it exists to guard (r12 review — returning 0 force-applied
+    the hint on a mis-stat)."""
     import os
 
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -32,7 +37,7 @@ def _dir_bytes(sf_dir, name):
             for dp, _dns, fns in os.walk(path)
             for fn in fns
         )
-    return 0
+    return float("inf")
 
 
 def _rev(price, disc):
@@ -47,7 +52,7 @@ def q7_volume_shipping(spark, sf_dir):
     pair filter pushes onto the customer/supplier scans as key IN-lists,
     two broadcast-build jobs disappear, result bit-exact vs the
     join-form oracle."""
-    from .tpch import _inline_nations
+    from .tpch import _inline_nations, _sum_rev
 
     _, names, nmap = _inline_nations(spark, sf_dir)
     key_of = {v: k for k, v in names.items()}
@@ -83,15 +88,10 @@ def q7_volume_shipping(spark, sf_dir):
             "s_nationkey", "c_nationkey", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            # exact fixed-point sum (functions/money.py; headline-hot —
-            # bit-equal to the decimal oracle, ~2× faster agg)
-            unscale(
-                F.sum(
-                    fixed(F.col("l_extendedprice"), 2)
-                    * (F.lit(1000) - fixed(F.col("l_discount"), 3))
-                ),
-                5,
-            ).alias("revenue")
+            # exact fixed-point sum (tpch._sum_rev — one definition of
+            # the scale-5 revenue algebra; headline-hot, bit-equal to
+            # the decimal oracle, ~2× faster agg)
+            _sum_rev("revenue")
         )
         .select(
             F.element_at(nmap, F.col("s_nationkey")).alias("supp_nation"),
@@ -219,8 +219,11 @@ def q15_top_supplier(spark, sf_dir):
             F.sum(_rev(F.col("l_extendedprice"), F.col("l_discount"))).alias("_r")
         )
     )
-    w = W.orderBy(F.col("_r").desc(), F.col("l_suppkey"))
-    top = rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    # total-order top-1 via orderBy+limit (TakeOrderedAndProject — a
+    # partition-parallel partial top-k): identical to the old
+    # un-partitioned row_number window, which funneled the whole
+    # supplier-grain frame through ONE sort task (r12 review)
+    top = rev.orderBy(F.col("_r").desc(), F.col("l_suppkey")).limit(1)
     return top.join(s, top.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", F.col("_r").cast("double").alias("total_revenue")
     )
@@ -385,7 +388,7 @@ def q12_priority_shipping(spark, sf_dir):
     joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return joined.groupBy(
@@ -617,16 +620,15 @@ def q11_important_stock(spark, sf_dir):
     HAVING gate is bit-deterministic on both engines."""
     from .tpch import _inline_nations
 
+    from .tpch import _disc_price_fixed
+
     keys, _, _ = _inline_nations(spark, sf_dir, region_name="EUROPE")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(keys)
     )
-    contrib = fixed(F.col("l_extendedprice"), 2) * (
-        F.lit(1000) - fixed(F.col("l_discount"), 3)
-    )
     f = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
-        "l_partkey", contrib.alias("v")
+        "l_partkey", _disc_price_fixed().alias("v")
     )
     per_part = f.groupBy("l_partkey").agg(F.sum("v").alias("val_fp"))
     # derive (total, part count) from the grouped frame, not the fact:
@@ -854,7 +856,9 @@ def q4_order_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
         .select("o_orderkey", "o_orderpriority")
         .distinct()
         .groupBy("o_orderpriority")
