@@ -34,6 +34,16 @@ def _register_warehouse(spark, warehouse: str) -> list[str]:
         for t in cat.list_tables(ns):
             ident = f"{ns}.{t}" if ns else t
             view = ident.replace(".", "_")
+            # distinct identifiers can flatten to one view name
+            # ('a.b_c' vs 'a_b.c'), and a lake table could silently
+            # shadow a just-registered testdata view — refuse instead
+            # of last-writer-wins (r12 review)
+            if view in names or spark.catalog.tableExists(view):
+                raise ValueError(
+                    f"warehouse table {ident!r} flattens to view "
+                    f"{view!r}, which is already registered — rename "
+                    "the table or mount it manually"
+                )
             cat.table(ident).read().createOrReplaceTempView(view)
             names.append(view)
     return names
@@ -72,15 +82,21 @@ def main(argv: list[str] | None = None) -> int:
 
     print("engine SQL console — end statements with ';', exit with Ctrl-D")
     buf: list[str] = []
+    ok = True
     try:
         for line in sys.stdin:
             buf.append(line)
             if line.rstrip().endswith(";"):
-                run(" ".join(buf))
+                ok = run(" ".join(buf)) and ok
                 buf = []
     except KeyboardInterrupt:
         pass
-    return 0
+    # flush a final un-';'-terminated statement instead of silently
+    # dropping it and exiting 0 (r12 review: piped input without a
+    # trailing semicolon never ran)
+    if "".join(buf).strip():
+        ok = run(" ".join(buf)) and ok
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

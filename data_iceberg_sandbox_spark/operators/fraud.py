@@ -44,7 +44,13 @@ def fraud_alerts(
     # the DECIMAL(18,4) formulation the oracle runs, on the codegen long
     # fast path. The threshold comparison happens at the same scale-4
     # quantization as the decimal domain.
-    thr4 = int(round(threshold * 10_000))
+    # floor, not round (r12 review): group sums land exactly on the
+    # 1e-4 grid, so `sum > t` ⟺ `sum_4 > floor(t·10^4)`. Rounding UP an
+    # off-grid threshold would exclude a group the oracle's unquantized
+    # `> threshold` keeps.
+    import math
+
+    thr4 = math.floor(threshold * 10_000)
     return (
         events.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
         .agg(F.sum(fixed(F.col("value"), 4)).alias("_t4"))

@@ -115,12 +115,22 @@ def decode_features(
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for whole in batches:
             if real_decode:
                 raise NotImplementedError(
                     "codec decode requires image/audio libraries not present "
                     "in this container; wire PIL/pyav here"
                 )
+            # chunk the incoming Arrow batch to `batch_rows` so peak
+            # processing/output memory is bounded by batch_rows ×
+            # payload size regardless of the session's
+            # maxRecordsPerBatch (r12 review: the parameter was dead
+            # and the documented bound a no-op)
+            for lo in range(0, len(whole), batch_rows):
+                pdf = whole.iloc[lo : lo + batch_rows]
+                yield _extract_one(pdf)
+
+    def _extract_one(pdf: pd.DataFrame) -> pd.DataFrame:
             payloads = pdf["payload"]
             n = payloads.str.len()
 
@@ -135,7 +145,7 @@ def decode_features(
                 s, ln = sum(b), len(b)
                 return (2 * s * 1_000_000 + ln) // (2 * ln) / 1e6
 
-            yield pd.DataFrame(
+            return pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
@@ -154,8 +164,11 @@ def decode_features(
 
 
 def mm_decode_features(spark, sf_dir):
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-    return decode_features(synth_media(spark, sf_dir))
+    # memory bounding now happens INSIDE the kernel (decode_features
+    # chunks to batch_rows) — the old session-global
+    # maxRecordsPerBatch=256 mutation leaked into every later Arrow
+    # path in the session (r12 review)
+    return decode_features(synth_media(spark, sf_dir), batch_rows=256)
 
 
 # The shipped fake is DETERMINISTIC (payload = utf-8 bytes of text), so

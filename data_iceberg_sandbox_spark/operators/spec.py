@@ -50,6 +50,9 @@ _PLAN_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 def _memoized(spec: QuerySpec) -> Callable[[SparkSession, str], DataFrame]:
     def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources.registry import evict_stopped_sessions
+
+        evict_stopped_sessions(_PLAN_MEMO)
         per_session = _PLAN_MEMO.get(spark)
         if per_session is None:
             per_session = {}

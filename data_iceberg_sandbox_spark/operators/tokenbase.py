@@ -38,6 +38,9 @@ _MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 
 def token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, arr) with arr = lowercase '[a-z]+' tokens."""
+    from ..sources.registry import evict_stopped_sessions
+
+    evict_stopped_sessions(_MEMO)
     per_session = _MEMO.setdefault(spark, {})
     key = os.path.abspath(sf_dir)
     df = per_session.get(key)

@@ -42,9 +42,6 @@ def _shm_local_dir() -> str | None:
         return None
 
 
-_SHM_DIR = _shm_local_dir()
-
-
 def _cpus() -> int:
     try:
         return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -79,6 +76,10 @@ def get_spark_session(
     builder → getOrCreate — with cluster-safe defaults.
     """
     cpus = _cpus()
+    # resolved lazily per call (r12 review: the old import-time constant
+    # mkdir'd /dev/shm on mere import and ignored later
+    # SPARK_GRAFT_LOCAL_DIR changes)
+    shm = _shm_local_dir()
     conf: dict[str, str] = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
         "spark.default.parallelism": str(cpus),
@@ -98,8 +99,8 @@ def get_spark_session(
         # real cluster the cluster manager sets local dirs (typically
         # instance NVMe) and this default is ignored.
         **(
-            {"spark.local.dir": _SHM_DIR}
-            if _SHM_DIR
+            {"spark.local.dir": shm}
+            if shm
             and (master or os.environ.get("SPARK_GRAFT_MASTER", "local")).startswith(
                 "local"
             )

@@ -60,6 +60,24 @@ _LT_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFr
 )
 
 
+def evict_stopped_sessions(memo) -> None:
+    """Drop memo entries whose SparkSession was stopped. The WeakKey
+    memos' DataFrame VALUES strongly reference their session KEY, so
+    weakref alone never collects an entry (the classic value→key cycle,
+    r12 review) — a long-lived process that restarts sessions would
+    leak every dead session's cached plans. SparkContext.stop() sets
+    _jsc to None, which is the liveness probe."""
+    dead = []
+    for k in list(memo.keys()):
+        try:
+            if getattr(k.sparkContext, "_jsc", None) is None:
+                dead.append(k)
+        except Exception:  # session half-torn-down — treat as dead
+            dead.append(k)
+    for k in dead:
+        memo.pop(k, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -69,6 +87,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # — the pin is the invariant, the memo only skips plan re-building.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    evict_stopped_sessions(_LT_CACHE)
     per_session = _LT_CACHE.setdefault(spark, {})
     key = (os.path.abspath(sf_dir), name)
     hit = per_session.get(key)

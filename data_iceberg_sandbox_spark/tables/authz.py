@@ -56,8 +56,15 @@ class AccessController:
         if pol.row_filter is not None:
             out = out.filter(pol.row_filter)
         for col, mask in pol.masks.items():
-            if col in out.columns:
-                out = out.withColumn(col, mask)
+            # fail CLOSED (r12 review): a typo'd mask column must raise,
+            # not silently leave the real column unmasked — the same
+            # loud contract pol.columns already has below
+            if col not in out.columns:
+                raise PermissionDenied(
+                    f"policy for {principal}@{table} masks absent "
+                    f"column {col!r}"
+                )
+            out = out.withColumn(col, mask)
         if pol.columns is not None:
             missing = [c for c in pol.columns if c not in out.columns]
             if missing:
