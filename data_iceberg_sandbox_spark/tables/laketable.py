@@ -112,6 +112,13 @@ class Manifest:
     # data file → sequence (the version that first added it); files from
     # manifests predating this field default to their manifest's version
     file_seq: dict[str, int] = field(default_factory=dict)
+    # per-commit writer fence (r13): a uuid stamped by the committing
+    # writer, making every manifest payload unique. The stale-slot
+    # reclaim in `_commit` is a LEASE, and leases need fencing — a
+    # slow-but-alive writer whose slot was reclaimed must not delete
+    # the competitor's committed manifest nor swing the pointer onto
+    # it. Old manifests (pre-field) parse with the "" default.
+    writer: str = ""
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -792,8 +799,19 @@ class LakeTable:
             file_stats=stats,
             delete_files=delete_files,
             file_seq=file_seq,
+            writer=uuid.uuid4().hex,
         )
+        payload = man.to_json()
         mpath = self._manifest_path(new_version)
+
+        def _owns_slot() -> bool:
+            # Fence check: the slot is ours only if it still holds the
+            # exact bytes we wrote (writer uuid makes them unique).
+            try:
+                with open(mpath, encoding="utf-8") as f:
+                    return f.read() == payload
+            except OSError:
+                return False
         # O_EXCL create: two racing writers with the same expected_parent
         # both want v(N+1); exactly one wins the manifest slot, the loser
         # gets FileExistsError → CommitConflict (true CAS, not
@@ -826,14 +844,25 @@ class LakeTable:
             except FileExistsError:
                 raise CommitConflict(f"{mpath} already exists") from None
         with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(man.to_json())
-        # CAS on the pointer: re-check parent then atomic replace
+            f.write(payload)
+        # CAS on the pointer: re-check parent then atomic replace.
+        # Both the cleanup delete and the swing are FENCED on slot
+        # ownership (r13, ADVICE): if this writer stalled past the
+        # grace window its slot may have been reclaimed by a competitor
+        # — deleting then would destroy the competitor's committed
+        # manifest, and swinging would acknowledge a commit whose files
+        # the slot's manifest does not reference (lost commit).
         if expected_parent is not None:
             if self.current_version() != expected_parent:
-                os.remove(mpath)
+                if _owns_slot():
+                    os.remove(mpath)
                 raise CommitConflict(
                     f"{self.root}: expected parent v{expected_parent}"
                 )
+        if not _owns_slot():
+            raise CommitConflict(
+                f"{mpath}: slot reclaimed by a competing writer"
+            )
         tmp = self._current_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(str(new_version))
@@ -1412,10 +1441,12 @@ class LakeTable:
         lose an update, and a tag() racing expire_snapshots() can no
         longer pin a just-deleted manifest."""
         lock = self._tags_path + ".lock"
+        token = uuid.uuid4().hex  # fence: only the owner removes (r13)
         deadline = time.time() + TAGS_LOCK_TIMEOUT_SEC
         while True:
             try:
                 fd = os.open(lock, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                os.write(fd, token.encode())
                 break
             except FileExistsError:
                 # stale-lock takeover: a holder killed between os.open
@@ -1439,7 +1470,16 @@ class LakeTable:
             yield
         finally:
             os.close(fd)
-            os.remove(lock)
+            # Fenced release: if we stalled past the grace window the
+            # lock may have been taken over — removing it then would
+            # free a lock a competitor is still holding (r13, same
+            # lease-fencing discipline as `_commit`).
+            try:
+                with open(lock, encoding="utf-8") as lf:
+                    if lf.read() == token:
+                        os.remove(lock)
+            except OSError:
+                pass
 
     def _write_tags(self, t: dict[str, int]) -> None:
         tmp = self._tags_path + f".tmp.{uuid.uuid4().hex[:8]}"

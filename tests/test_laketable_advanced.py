@@ -470,3 +470,113 @@ def test_read_incremental_accepts_wap_publish(spark, scratch):
     inc = t.read_incremental(1)
     assert inc.count() == 15
     assert {r["k"] for r in inc.collect()} == set(range(10, 25))
+
+
+def test_reclaimed_slot_fence_competitor_swung(spark, scratch):
+    """r13 ADVICE (high): a slow writer whose v(N+1) slot was reclaimed
+    by a competitor must NOT delete the competitor's committed manifest
+    on CAS failure — the old unfenced cleanup corrupted the table."""
+    import json as _json
+
+    from data_iceberg_sandbox_spark.tables.laketable import Manifest
+
+    t = LakeTable(spark, os.path.join(scratch, "fence_a"))
+    t.create(spark.range(0, 5).withColumnRenamed("id", "k"))
+    cur = t.manifest()
+    mpath = t._manifest_path(2)
+    competitor = Manifest(
+        version=2,
+        parent=1,
+        operation="append",
+        timestamp_ms=cur.timestamp_ms + 1,
+        schema_json=cur.schema_json,
+        partition_by=cur.partition_by,
+        files=cur.files,
+        properties=cur.properties,
+        file_stats=cur.file_stats,
+        delete_files={},
+        file_seq={f: 1 for f in cur.files},
+        writer="competitor",
+    ).to_json()
+
+    real_cv = LakeTable.current_version
+
+    def hijack(self):
+        # simulate the competitor reclaiming our slot and swinging
+        # the pointer, exactly between our manifest write and CAS
+        if os.path.exists(mpath):
+            with open(mpath, "w", encoding="utf-8") as f:
+                f.write(competitor)
+            with open(self._current_path, "w", encoding="utf-8") as f:
+                f.write("2")
+            t.current_version = real_cv.__get__(t)
+        return real_cv(self)
+
+    t.current_version = hijack.__get__(t)
+    with pytest.raises(CommitConflict):
+        t.append(spark.range(5, 9).withColumnRenamed("id", "k"))
+    # competitor's committed manifest survives; table reads fine
+    assert os.path.exists(mpath)
+    with open(mpath, encoding="utf-8") as f:
+        assert _json.loads(f.read())["writer"] == "competitor"
+    assert t.current_version() == 2
+    assert t.read().count() == 5
+
+
+def test_reclaimed_slot_fence_competitor_not_swung(spark, scratch):
+    """r13 ADVICE (high), lost-commit half: if the competitor reclaimed
+    the slot but has not swung yet, the slow writer must raise instead
+    of acknowledging a commit whose files the slot does not reference."""
+    from data_iceberg_sandbox_spark.tables.laketable import Manifest
+
+    t = LakeTable(spark, os.path.join(scratch, "fence_b"))
+    t.create(spark.range(0, 5).withColumnRenamed("id", "k"))
+    cur = t.manifest()
+    mpath = t._manifest_path(2)
+    competitor = Manifest(
+        version=2,
+        parent=1,
+        operation="append",
+        timestamp_ms=cur.timestamp_ms + 1,
+        schema_json=cur.schema_json,
+        partition_by=cur.partition_by,
+        files=cur.files,
+        properties=cur.properties,
+        file_stats=cur.file_stats,
+        delete_files={},
+        file_seq={f: 1 for f in cur.files},
+        writer="competitor",
+    ).to_json()
+
+    real_cv = LakeTable.current_version
+
+    def hijack(self):
+        if os.path.exists(mpath):
+            with open(mpath, "w", encoding="utf-8") as f:
+                f.write(competitor)  # slot reclaimed, pointer NOT swung
+            t.current_version = real_cv.__get__(t)
+        return real_cv(self)
+
+    t.current_version = hijack.__get__(t)
+    with pytest.raises(CommitConflict):
+        t.append(spark.range(5, 9).withColumnRenamed("id", "k"))
+    # pointer untouched — the slow writer did not swing onto the
+    # competitor's manifest
+    assert t.current_version() == 1
+    assert t.read().count() == 5
+
+
+def test_tags_lock_fenced_release(spark, scratch):
+    """r13: a lock taken over mid-hold must not be removed by the
+    original (stalled) holder's release."""
+    t = LakeTable(spark, os.path.join(scratch, "fence_lock"))
+    t.create(spark.range(0, 3).withColumnRenamed("id", "k"))
+    lock = t._tags_path + ".lock"
+    with t._tags_lock():
+        with open(lock, "w", encoding="utf-8") as f:
+            f.write("foreign-holder")  # competitor took the lock over
+    assert os.path.exists(lock)  # fenced release left it alone
+    os.remove(lock)
+    with t._tags_lock():  # lock still usable afterwards
+        pass
+    assert not os.path.exists(lock)
