@@ -89,9 +89,25 @@ def cube_counts(spark, sf_dir):
     frame — one fact-sized shuffle instead of four, bit-identical
     because integer/decimal re-summation is order-exact (measured
     4.0 s → 1.9 s at sf10). The native grouping-set surface stays exercised by
-    `a_rollup`."""
+    `a_rollup`.
+
+    NULL domain (r13, ADVICE): genuine NULL grouping values are
+    sentinel-encoded before the fine-grain aggregate so they survive as
+    their own groups through the rollup re-aggregations and decode back
+    to NULL at the end — the output multiset matches native ``.cube``
+    on any domain, not just the non-null TPC-H one (plain-column cube
+    output conflates detail-NULL with subtotal-NULL for the CONSUMER
+    either way; what matters is the multisets agree). Empty input:
+    ``coalesce(sum(n), 0)`` makes the grand row count 0 — the
+    SQL-standard / DuckDB-oracle shape (Spark's native .cube returns
+    zero rows on empty input; the oracle is the gate)."""
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+    # sentinel outside any plausible value domain (flags are 1-char)
+    SENT = "\x00\x00__cube_null__"
+    base = li.groupBy(
+        F.coalesce(F.col("l_returnflag"), F.lit(SENT)).alias("l_returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit(SENT)).alias("l_linestatus"),
+    ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
     )
@@ -104,17 +120,25 @@ def cube_counts(spark, sf_dir):
     ).select(
         null_s.alias("l_returnflag"), "l_linestatus", "n", "sq"
     )
-    grand = base.agg(F.sum("n").alias("n"), F.sum("sq").alias("sq")).select(
+    grand = base.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n"),
+        F.sum("sq").alias("sq"),
+    ).select(
         null_s.alias("l_returnflag"), null_s.alias("l_linestatus"), "n", "sq"
     )
+
+    def _dec(c: str):
+        # sentinel → NULL; a NULL subtotal marker falls through unchanged
+        return F.when(F.col(c) == SENT, null_s).otherwise(F.col(c)).alias(c)
+
     return (
         base.select("l_returnflag", "l_linestatus", "n", "sq")
         .unionByName(by_f)
         .unionByName(by_s)
         .unionByName(grand)
         .select(
-            "l_returnflag",
-            "l_linestatus",
+            _dec("l_returnflag"),
+            _dec("l_linestatus"),
             "n",
             F.col("sq").cast("double").alias("sum_qty"),
         )

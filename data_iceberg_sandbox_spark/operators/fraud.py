@@ -45,12 +45,21 @@ def fraud_alerts(
     # fast path. The threshold comparison happens at the same scale-4
     # quantization as the decimal domain.
     # floor, not round (r12 review): group sums land exactly on the
-    # 1e-4 grid, so `sum > t` ⟺ `sum_4 > floor(t·10^4)`. Rounding UP an
-    # off-grid threshold would exclude a group the oracle's unquantized
-    # `> threshold` keeps.
-    import math
+    # 1e-4 grid, so `sum > t` ⟺ `sum_4 > floor(t·10^4)`. Floor of the
+    # DECIMAL rendering, not of the float product (r13 ADVICE): the
+    # oracle embeds str(threshold) as a decimal literal, and for
+    # grid-aligned thresholds whose float product lands just below the
+    # integer (0.0003 * 1e4 = 2.9999…) float-floor would include a
+    # group whose sum equals the threshold while the oracle's
+    # `> threshold` excludes it. Decimal(str(t)) quantizes on exactly
+    # the grid the oracle compares against.
+    from decimal import ROUND_FLOOR, Decimal
 
-    thr4 = math.floor(threshold * 10_000)
+    thr4 = int(
+        (Decimal(str(threshold)) * 10_000).to_integral_value(
+            rounding=ROUND_FLOOR
+        )
+    )
     return (
         events.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
         .agg(F.sum(fixed(F.col("value"), 4)).alias("_t4"))

@@ -66,14 +66,22 @@ def evict_stopped_sessions(memo) -> None:
     weakref alone never collects an entry (the classic value→key cycle,
     r12 review) — a long-lived process that restarts sessions would
     leak every dead session's cached plans. SparkContext.stop() sets
-    _jsc to None, which is the liveness probe."""
+    _jsc to None, which is the liveness probe. Evict ONLY on that
+    positive stopped signal (r13 ADVICE): Spark Connect sessions raise
+    on .sparkContext, and treating the probe exception as "dead" would
+    evict the live Connect session's entries — including pin_table
+    pins, silently falling back to sf_dir parquet. An entry whose
+    liveness cannot be determined is kept — a dead Connect session's
+    entry can then outlive it, but a wrongly-evicted live pin returns
+    wrong DATA, and classic sessions (every local/cluster harness path)
+    still get the leak fix."""
     dead = []
     for k in list(memo.keys()):
         try:
             if getattr(k.sparkContext, "_jsc", None) is None:
                 dead.append(k)
-        except Exception:  # session half-torn-down — treat as dead
-            dead.append(k)
+        except Exception:
+            pass  # liveness unknowable (e.g. Connect) — keep the entry
     for k in dead:
         memo.pop(k, None)
 

@@ -1,0 +1,134 @@
+"""r13 ADVICE regression tests: cube NULL/empty domains, fraud
+threshold quantization on the oracle's decimal grid, and
+keep-on-unknown liveness in the scan-layer memo eviction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from data_iceberg_sandbox_spark.sources.registry import (
+    evict_stopped_sessions,
+    pin_table,
+)
+
+
+def _native_cube(li):
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sq"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def _multiset(df):
+    rows = [
+        (r["l_returnflag"], r["l_linestatus"], r["n"], r["sum_qty"])
+        for r in df.collect()
+    ]
+    return sorted(rows, key=lambda t: tuple(("", x) if x is None else ("v", x) for x in t))
+
+
+def test_cube_counts_null_domain_matches_native(spark, tmp_path):
+    """Genuine NULL grouping values must survive the one-shuffle rewrite
+    as their own groups — output multiset equals native .cube."""
+    from data_iceberg_sandbox_spark.operators.advanced import cube_counts
+
+    sf_fake = str(tmp_path / "sf_cube_null")
+    os.makedirs(sf_fake, exist_ok=True)
+    li = spark.createDataFrame(
+        [
+            Row(l_returnflag="A", l_linestatus="F", l_quantity=1.0),
+            Row(l_returnflag="A", l_linestatus=None, l_quantity=2.0),
+            Row(l_returnflag=None, l_linestatus="F", l_quantity=4.0),
+            Row(l_returnflag=None, l_linestatus=None, l_quantity=8.0),
+            Row(l_returnflag="R", l_linestatus="O", l_quantity=16.0),
+        ],
+        "l_returnflag string, l_linestatus string, l_quantity double",
+    )
+    pin_table(spark, sf_fake, "lineitem", li)
+    assert _multiset(cube_counts(spark, sf_fake)) == _multiset(_native_cube(li))
+
+
+def test_cube_counts_empty_input_matches_native(spark, tmp_path):
+    """Empty input → one grand-total row with n=0, the SQL-standard /
+    DuckDB-oracle shape, not (NULL, NULL, NULL, NULL). (Spark's native
+    .cube returns ZERO rows on empty input — a known divergence from
+    the standard; the oracle is the gate, so we match DuckDB.)"""
+    from data_iceberg_sandbox_spark.operators.advanced import cube_counts
+
+    sf_fake = str(tmp_path / "sf_cube_empty")
+    os.makedirs(sf_fake, exist_ok=True)
+    li = spark.createDataFrame(
+        [], "l_returnflag string, l_linestatus string, l_quantity double"
+    )
+    pin_table(spark, sf_fake, "lineitem", li)
+    got = cube_counts(spark, sf_fake).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (
+        r["l_returnflag"] is None
+        and r["l_linestatus"] is None
+        and r["n"] == 0
+        and r["sum_qty"] is None
+    )
+
+
+def test_fraud_threshold_grid_aligned_decimal(spark, tmp_path):
+    """thr quantization must floor the DECIMAL rendering, not the float
+    product: at threshold=0.0003 (float*1e4 = 2.9999…) a group summing
+    exactly 0.0003 must be EXCLUDED (strict >), matching the oracle's
+    `> 0.0003` decimal literal; 0.0004 must be included."""
+    from datetime import datetime
+
+    from data_iceberg_sandbox_spark.operators.fraud import fraud_alerts
+
+    sf_fake = str(tmp_path / "sf_fraud_grid")
+    os.makedirs(sf_fake, exist_ok=True)
+    ts = datetime(2026, 1, 1, 0, 0, 30)
+    ev = spark.createDataFrame(
+        [
+            Row(ts=ts, user_id=1, value=0.0003),  # == threshold: excluded
+            Row(ts=ts, user_id=2, value=0.0004),  # > threshold: included
+        ],
+        "ts timestamp, user_id bigint, value double",
+    )
+    pin_table(spark, sf_fake, "events", ev)
+    got = {r["user_id"] for r in fraud_alerts(spark, sf_fake, 0.0003).collect()}
+    assert got == {2}
+    # off-grid threshold still floors down (r12 behavior preserved)
+    got = {r["user_id"] for r in fraud_alerts(spark, sf_fake, 0.00025).collect()}
+    assert got == {1, 2}
+
+
+def test_evict_keeps_entries_with_unknowable_liveness():
+    """A key whose .sparkContext RAISES (Spark Connect) must be kept;
+    only a positive stopped signal (_jsc is None) evicts."""
+
+    class _Ctx:
+        def __init__(self, jsc):
+            self._jsc = jsc
+
+    class _Classic:
+        def __init__(self, jsc):
+            self.sparkContext = _Ctx(jsc)
+
+    class _Connect:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("sparkContext is not supported in Connect")
+
+    live, stopped, connect = _Classic(object()), _Classic(None), _Connect()
+    memo = {live: {"a": 1}, stopped: {"b": 2}, connect: {"c": 3}}
+    evict_stopped_sessions(memo)
+    assert live in memo and connect in memo
+    assert stopped not in memo
