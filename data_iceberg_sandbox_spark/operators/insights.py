@@ -242,8 +242,11 @@ def basket_brand_lift(spark, sf_dir):
     p = part.select("p_partkey", "p_brand").join(
         F.broadcast(brand_bits), "p_brand"
     ).select("p_partkey", "bit")
+    from .tpch import _bcast_if_small
+
     masks = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part is data-scaled → size-gated hint (r13, the q8 fix class)
+        li.join(_bcast_if_small(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.expr("bit_or(bit)").alias("mask"))
         .groupBy("mask")

@@ -34,6 +34,46 @@ from .spec import QuerySpec
 PRICE = "decimal(12,2)"
 RATE = "decimal(4,3)"
 
+# Data-scaled broadcast hints (customer/supplier/part subsets, which
+# GROW with SF — unlike the reference-fixed nation/region folds) are
+# valid only while the dim fits comfortably under driver/broadcast
+# capacity. 512 MB on disk ≈ SF~200 customer ≈ well under the 8 GB
+# spark broadcast-table ceiling after projection.
+BROADCAST_DIM_CAP_BYTES = 512 << 20
+
+
+def _dir_bytes(sf_dir, name):
+    """On-disk size of a testdata table (file or directory parquet) —
+    cheap driver-side stat used to gate data-scaled broadcast hints.
+    Fails CLOSED: a path this probe can't stat (layout drift from
+    sources/registry's `{name}.parquet` convention) reports +inf, so
+    the size gate declines the broadcast in exactly the unknown-size
+    case it exists to guard (r12 review — returning 0 force-applied
+    the hint on a mis-stat)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _dns, fns in os.walk(path)
+            for fn in fns
+        )
+    return float("inf")
+
+
+def _bcast_if_small(df, sf_dir, table, cap_bytes=BROADCAST_DIM_CAP_BYTES):
+    """Apply `F.broadcast` to a data-scaled dim subset ONLY while its
+    base table's on-disk size is under the cap (r13, the generalized q8
+    fix — r11 flagged one forced customer broadcast; the same class sat
+    at every q3/q5/q7/q9 dim site). Past the cap the join is left
+    unhinted so AQE can pick a shuffle join instead of blowing the
+    driver/broadcast limit at SF100+. The base-table size upper-bounds
+    any filtered projection of it, so the gate is conservative."""
+    return F.broadcast(df) if _dir_bytes(sf_dir, table) <= cap_bytes else df
+
 
 def _disc_price_fixed():
     """Per-row revenue in exact scale-5 fixed point: cents × (1000 −
@@ -144,7 +184,11 @@ def q3_shipping_priority(spark, sf_dir):
     # Broadcast the segment-filtered customer dim into orders BEFORE the
     # orderkey shuffle: the exchange then carries ~1/5 of orders (and
     # only the three columns the agg needs) instead of the whole table.
-    o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # Size-gated (r13): customer is data-scaled, so past the cap the
+    # hint drops and AQE picks the join strategy.
+    o_f = o.join(
+        _bcast_if_small(c, sf_dir, "customer"), o.o_custkey == c.c_custkey
+    ).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     # Group by l_orderkey ALONE: o_orderdate/o_orderpriority are
@@ -234,10 +278,15 @@ def q5_local_supplier_volume(spark, sf_dir):
     # same-nation predicate riding on the join. Inner equi-joins
     # commute, so the result is unchanged; the orderkey exchange moves
     # ~10x fewer bytes.
-    li_f = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+    # Both dims are data-scaled → size-gated hints (r13).
+    li_f = li.join(
+        _bcast_if_small(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey
+    ).select(
         "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey"
     )
-    o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    o_f = o.join(
+        _bcast_if_small(c, sf_dir, "customer"), o.o_custkey == c.c_custkey
+    ).select(
         "o_orderkey", "c_nationkey"
     )
     return (

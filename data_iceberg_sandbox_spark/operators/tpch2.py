@@ -18,26 +18,10 @@ PRICE = "decimal(12,2)"
 RATE = "decimal(4,3)"
 
 
-def _dir_bytes(sf_dir, name):
-    """On-disk size of a testdata table (file or directory parquet) —
-    cheap driver-side stat used to gate data-scaled broadcast hints.
-    Fails CLOSED: a path this probe can't stat (layout drift from
-    sources/registry's `{name}.parquet` convention) reports +inf, so
-    the size gate declines the broadcast in exactly the unknown-size
-    case it exists to guard (r12 review — returning 0 force-applied
-    the hint on a mis-stat)."""
-    import os
-
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isfile(path):
-        return os.path.getsize(path)
-    if os.path.isdir(path):
-        return sum(
-            os.path.getsize(os.path.join(dp, fn))
-            for dp, _dns, fns in os.walk(path)
-            for fn in fns
-        )
-    return float("inf")
+# shared data-scaled broadcast gate (r13: moved to tpch.py so both
+# TPC-H batches and insights use ONE implementation; re-exported here
+# for existing importers)
+from .tpch import _bcast_if_small, _dir_bytes  # noqa: E402,F401
 
 
 def _rev(price, disc):
@@ -74,11 +58,15 @@ def q7_volume_shipping(spark, sf_dir):
     # ~12x less shuffle volume than lineitem><orders-first, and the
     # width of the exchange is trimmed to the five columns the agg
     # needs. Inner equi-joins commute, so the result is unchanged.
-    li_f = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+    li_f = li.join(
+        _bcast_if_small(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey
+    ).select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount",
         "s_nationkey",
     )
-    o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    o_f = o.join(
+        _bcast_if_small(c, sf_dir, "customer"), o.o_custkey == c.c_custkey
+    ).select(
         "o_orderkey", "c_nationkey"
     )
     return (
@@ -153,7 +141,7 @@ def q8_market_share(spark, sf_dir):
     # keyset ≤~6M keys ≈ 50 MB in-memory); past that, leave the join
     # unhinted so AQE (on in the production session config) can demote
     # it to a shuffle join instead of blowing the broadcast limit.
-    c_hint = F.broadcast(c_f) if _dir_bytes(sf_dir, "customer") <= 512 << 20 else c_f
+    c_hint = _bcast_if_small(c_f, sf_dir, "customer")
     o_f = o.join(c_hint, o.o_custkey == c_f.c_custkey).select(
         "o_orderkey", F.year("o_orderdate").alias("o_year")
     )
@@ -161,8 +149,14 @@ def q8_market_share(spark, sf_dir):
         "s_suppkey", F.element_at(nmap_all, F.col("s_nationkey")).alias("supp_nation")
     )
     li_f = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s_map), li.l_suppkey == s_map.s_suppkey)
+        li.join(
+            _bcast_if_small(p.select("p_partkey"), sf_dir, "part"),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(
+            _bcast_if_small(s_map, sf_dir, "supplier"),
+            li.l_suppkey == s_map.s_suppkey,
+        )
         .select(
             "l_orderkey",
             _rev(F.col("l_extendedprice"), F.col("l_discount")).alias("volume"),
@@ -357,8 +351,8 @@ def q9_product_profit(spark, sf_dir):
         "bigint"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(_bcast_if_small(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(_bcast_if_small(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
         .agg(unscale(F.sum(profit_fp), 5).alias("sum_profit"))
@@ -470,7 +464,9 @@ def q2_cheapest_supplier(spark, sf_dir):
             F.min("min_price").cast("double").alias("min_price"),
         )
     )
-    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+    return best.join(
+        _bcast_if_small(s, sf_dir, "supplier"), best.l_suppkey == s.s_suppkey
+    ).select(
         F.col("l_partkey").alias("p_partkey"),
         F.col("s_suppkey"),
         "s_name",
@@ -527,7 +523,9 @@ def q20_volume_share_suppliers(spark, sf_dir):
     big = vol.withColumn("share", F.round(share, 6)).filter(
         F.col("share") > 0.15
     )
-    return big.join(F.broadcast(s), big.l_suppkey == s.s_suppkey).select(
+    return big.join(
+        _bcast_if_small(s, sf_dir, "supplier"), big.l_suppkey == s.s_suppkey
+    ).select(
         F.col("l_partkey").alias("p_partkey"),
         "s_suppkey",
         "s_name",
@@ -627,7 +625,9 @@ def q11_important_stock(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey").isin(keys)
     )
-    f = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+    f = li.join(
+        _bcast_if_small(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey
+    ).select(
         "l_partkey", _disc_price_fixed().alias("v")
     )
     per_part = f.groupBy("l_partkey").agg(F.sum("v").alias("val_fp"))
@@ -734,10 +734,13 @@ def q16_supplier_part_counts(spark, sf_dir):
         # no stats, so with AQE off the planner would sort-merge-join the
         # 60M-row fact on partkey (measured 2.7-4.4 s and box-sensitive;
         # hinted: ~1.6 s stable)
-        li.join(F.broadcast(p_packed), li.l_partkey == p_packed.p_partkey)
+        li.join(
+            _bcast_if_small(p_packed, sf_dir, "part"),
+            li.l_partkey == p_packed.p_partkey,
+        )
         .select("gk", "l_suppkey")
         .join(
-            F.broadcast(bad),
+            _bcast_if_small(bad, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )

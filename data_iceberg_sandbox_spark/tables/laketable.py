@@ -262,8 +262,28 @@ class LakeTable:
                         f"column(s) {missing}; compact() before dropping "
                         "delete-key columns"
                     )
+                # Size-gated hint (r13, q8 fix class): a sidecar is
+                # usually tiny, but a bulk delete/upsert can write a
+                # huge one — past the cap leave the anti-join unhinted
+                # so AQE picks a shuffle join instead of blowing the
+                # broadcast limit.
+                dpath = os.path.join(self.root, d)
+                try:
+                    dsize = (
+                        os.path.getsize(dpath)
+                        if os.path.isfile(dpath)
+                        else sum(
+                            os.path.getsize(os.path.join(dp, fn))
+                            for dp, _dns, fns in os.walk(dpath)
+                            for fn in fns
+                        )
+                    )
+                except OSError:
+                    dsize = float("inf")  # fail closed: no hint
+                if dsize <= 512 << 20:
+                    keys = F.broadcast(keys)
                 df = df.join(
-                    F.broadcast(keys), on=list(keys.columns), how="left_anti"
+                    keys, on=list(keys.columns), how="left_anti"
                 )
             parts.append(df)
         out = parts[0]
