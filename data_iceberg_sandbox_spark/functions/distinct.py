@@ -14,34 +14,38 @@ def per_flag_distinct(
     df: DataFrame,
     flag_col: str,
     key_col: str,
-    flags: Sequence[str],
+    flags: Sequence[str] | None = None,
     out: str = "n_distinct",
 ) -> DataFrame:
-    """Exact per-flag COUNT(DISTINCT key) as a SINGLE-LONG dedup:
-    (flag, key) packs into ``key·m + flagid`` (collision-free for a
-    closed m-value flag domain), so the dedup shuffles one 8-byte
-    column — measured half the wall of the two-column groupBy dedup at
-    sf10 (1.8 s vs 3.8 s on 60M lineitem rows).
+    """Exact per-flag COUNT(DISTINCT key) as a TWO-LEVEL BITMAP
+    aggregate (r13 rework): rows reduce map-side to one 4 KB bitmap per
+    (flag, 32768-key bucket) via ``bitmap_construct_agg``, bitmaps OR
+    together in the shuffle, and ``bitmap_count`` sums exact
+    cardinalities per flag. The shuffle carries ~(flags × key_range /
+    32768) bitmap rows instead of one row per distinct (flag, key) —
+    at sf10 that is ~180 rows vs ~6M packed longs, measured 1.9 s →
+    1.3 s locally; at cluster scale the ~1000× shuffle-byte cut is the
+    real win. Exactness: a bitmap is a set, so the count is exact for
+    ANY long key including negatives (bucket/bit round-trip verified);
+    memory is bounded at 4 KB per resident group.
 
-    ``flags`` must enumerate the column's whole domain (e.g. TPC-H
-    l_returnflag ∈ A/N/R). A value outside it codes to NULL rather than
-    silently merging into the last bucket: the decoded row carries a
-    NULL flag, so any downstream join/oracle comparison fails loudly
-    instead of under-counting quietly."""
-    m = len(flags)
-    fid = F.when(F.col(flag_col) == flags[0], 0)
-    for i, v in enumerate(flags[1:], 1):
-        fid = fid.when(F.col(flag_col) == v, i)
-    codes = df.select((F.col(key_col) * m + fid).alias("code")).distinct()
-    # pmod, not %: (k, f) → k·m+f is a bijection for f ∈ [0, m) over ALL
-    # integer keys, but Spark's % carries the dividend's sign — a
-    # negative key would decode to a negative fid and silently land in
-    # the wrong flag bucket (or crash element_at). pmod recovers f
-    # exactly for any key sign (r12 review).
-    counted = codes.groupBy(F.pmod(F.col("code"), F.lit(m)).alias("fid")).agg(
-        F.count(F.lit(1)).alias(out)
+    History: the r11/r12 shape packed (flag, key) into key·m+flagid and
+    deduped single longs (1.8 s vs 3.8 s two-column dedup at sf10);
+    the bitmap form beats it on both wall and shuffle bytes and drops
+    the closed-flag-domain requirement entirely. ``flags`` is retained
+    for caller compatibility but no longer consulted — grouping is on
+    the actual column values, so an unexpected flag shows up as its own
+    (loud) output row rather than needing a domain check."""
+    del flags  # kept for API compatibility; no domain assumption left
+    b = (
+        df.select(
+            flag_col,
+            F.expr(f"bitmap_bucket_number({key_col})").alias("__bkt"),
+            F.expr(f"bitmap_bit_position({key_col})").alias("__pos"),
+        )
+        .groupBy(flag_col, "__bkt")
+        .agg(F.expr("bitmap_construct_agg(__pos)").alias("__bm"))
     )
-    decode = F.element_at(
-        F.array(*[F.lit(v) for v in flags]), F.col("fid").cast("int") + 1
+    return b.groupBy(flag_col).agg(
+        F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias(out)
     )
-    return counted.select(decode.alias(flag_col), out)

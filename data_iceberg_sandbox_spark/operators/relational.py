@@ -400,34 +400,41 @@ def agg_stats(spark, sf_dir):
     """avg/min/max/count-distinct (engine surface, SURVEY §2.4 note).
     avg emitted as exact-decimal-sum / count — deterministic.
 
-    Scale shape (r12): mixing COUNT(DISTINCT) with plain aggregates in
-    one Aggregate forces Catalyst's Expand — the 60M fact duplicated
-    2× through the shuffle (4.3 s / 6.4× DuckDB at sf10). Split, the
-    plain aggregates map-side-combine to 3 groups with no Expand, and
-    the distinct count rides the single-long (partkey·3 + flagid)
-    dedup from `agg_approx` (half the shuffle bytes of a two-column
-    dedup); a 3-row join reassembles. Measured 4.3 s → 3.8 s (the gain
-    is modest locally — Expand's extra replica collapses map-side —
-    but at cluster scale the split halves shuffled bytes, which is the
-    dear resource). The one-pass
-    expand surface itself stays exercised (and documented) by
-    `multi_distinct_agg`."""
-    from ..functions.distinct import per_flag_distinct
-
+    Scale shape — the measured ladder (all sf10, 60M rows, DuckDB
+    0.60 s): (a) native mixed agg plans Catalyst's Expand, fact
+    duplicated 2× through the shuffle — 4.3 s (r12); (b) split with
+    packed-long distinct — 3.8 s (r12); (c) split with the bitmap
+    distinct helper — 3.15 s (r13); (d) THIS shape, one pass at
+    (flag, 32k-key-bucket) grain where the exact distinct is a
+    ``bitmap_construct_agg`` and every other aggregate is algebraic,
+    so no Expand and ONE fact scan — 2.47 s (r13). The bitmap leg
+    forces ObjectHashAggregate (off whole-stage codegen) whichever
+    side it sits on, which is why one pass beats codegen-split two:
+    the scan, not codegen, is the dear term. Remaining ~4× vs DuckDB
+    is the interpreted ObjectAgg update rate (~24M rows/s) — floor
+    recorded with the four alternatives above. Shuffle: ~186 rows
+    (3 flags × ~62 buckets), each a 4 KB bitmap. The one-pass Expand
+    surface stays exercised by `multi_distinct_agg`."""
     li = load_table(spark, sf_dir, "lineitem")
-    plain = li.groupBy("l_returnflag").agg(
-        (
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-        F.count("*").alias("n_rows"),
+    lvl1 = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("__bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias(
+            "__bm"
+        ),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
     )
-    nparts = per_flag_distinct(
-        li, "l_returnflag", "l_partkey", ("A", "N", "R"), out="n_parts"
-    )
-    return plain.join(nparts, "l_returnflag").select(
+    return lvl1.groupBy("l_returnflag").agg(
+        (F.sum("sq").cast("double") / F.sum("n")).alias("avg_qty"),
+        F.min("mn").alias("min_price"),
+        F.max("mx").alias("max_price"),
+        F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("n_parts"),
+        F.sum("n").cast("long").alias("n_rows"),
+    ).select(
         "l_returnflag", "avg_qty", "min_price", "max_price", "n_parts", "n_rows"
     )
 

@@ -562,8 +562,18 @@ def orders_open_backlog_daily(spark, sf_dir):
     One
     l_orderkey shuffle (map-side combined), two day-grain histograms,
     and the only ordered scan runs over the bounded ~2500-day grid.
-    Measured sf10: 79 s (join form, contended box) → 5.4 s median
-    (idle). Exactness: counts only; the backlog is an integer cumsum."""
+
+    Measured ladder (sf10, DuckDB 1.03 s): join form 79 s (r11) →
+    difference-array 4.85 s → 3.46 s after deduplicating the span
+    scalar (r13, below). The residual ~3 s is the per-order max — ONE
+    exchange of 15M (orderkey, partial-max) rows — for which two more
+    alternatives were measured and rejected (r13): max-over-window +
+    distinct 7.2 s (sorts the fact); int-day projection before the agg
+    2.8–3.0 s (within noise of the timestamp form — the exchange row
+    count, not width, is the term). That exchange is the floor: the
+    histogram needs each order's global max, and 15M groups cannot
+    partially collapse further than map-side combine already does.
+    Exactness: counts only; the backlog is an integer cumsum."""
     o = load_table(spark, sf_dir, "orders").select(
         F.to_date("o_orderdate").alias("d0")
     )
@@ -591,9 +601,17 @@ def orders_open_backlog_daily(spark, sf_dir):
         )
         .withColumn("net", F.col("opened") - F.col("closed"))
     )
+    # max(per-order max) == global max shipdate — read it off the raw
+    # fact (a stats-answerable scan agg) instead of re-running the
+    # 15M-group orderkey aggregate a second time for one scalar (r13:
+    # the last_ship subtree appeared twice; AQE exchange reuse does not
+    # always catch it across the crossJoin boundary)
+    mxs = load_table(spark, sf_dir, "lineitem").agg(
+        F.to_date(F.max("l_shipdate")).alias("mxs")
+    )
     span = o.agg(
         F.min("d0").alias("mn"), F.max("d0").alias("mxo")
-    ).crossJoin(last_ship.agg(F.max("d1").alias("mxs"))).select(
+    ).crossJoin(mxs).select(
         "mn", F.greatest("mxo", "mxs").alias("mx")
     )
     grid = span.select(F.explode(F.expr("sequence(mn, mx)")).alias("day"))

@@ -132,3 +132,32 @@ def test_evict_keeps_entries_with_unknowable_liveness():
     evict_stopped_sessions(memo)
     assert live in memo and connect in memo
     assert stopped not in memo
+
+
+def test_per_flag_distinct_bitmap_exact(spark):
+    """r13 bitmap rework of the shared exact-distinct helper: exact on
+    negative/boundary keys, and an unexpected flag value shows up as
+    its own row (loud) instead of requiring a closed domain."""
+    from pyspark.sql import functions as F
+
+    from data_iceberg_sandbox_spark.functions.distinct import (
+        per_flag_distinct,
+    )
+
+    rows = [
+        ("A", -70000), ("A", -32769), ("A", -32768), ("A", -1), ("A", -1),
+        ("A", 0), ("A", 32768), ("N", 0), ("N", 0), ("N", 7),
+        ("ZZ", 1), ("ZZ", 1), ("ZZ", 2),
+    ]
+    df = spark.createDataFrame(rows, "flag string, k long")
+    got = {
+        r["flag"]: r["n"]
+        for r in per_flag_distinct(df, "flag", "k", ("A", "N"), out="n").collect()
+    }
+    want = {
+        r["flag"]: r["n"]
+        for r in df.groupBy("flag")
+        .agg(F.countDistinct("k").alias("n"))
+        .collect()
+    }
+    assert got == want == {"A": 6, "N": 2, "ZZ": 2}
