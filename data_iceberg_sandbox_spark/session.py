@@ -63,18 +63,20 @@ def iceberg_runtime_jar() -> str | None:
         return None
 
 
-def get_spark_session(
-    app_name: str = _DEF_APP,
+def build_session_conf(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
     extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or get) the engine SparkSession.
-
-    Mirrors the reference entry shape (spark_utils.py:37-42) — conf dict →
-    builder → getOrCreate — with cluster-safe defaults.
-    """
+    jar: str | None = None,
+) -> dict[str, str]:
+    """The engine session conf as a pure dict (split from
+    get_spark_session r13 so the iceberg-jar branch is testable:
+    getOrCreate on a live session silently ignores new confs, so the
+    branch could never be asserted through a built session; see
+    tests/test_advice_r13.py). ``jar`` is the detected
+    iceberg-spark-runtime jar path (None → laketable serves the
+    lifecycle)."""
     cpus = _cpus()
     # resolved lazily per call (r12 review: the old import-time constant
     # mkdir'd /dev/shm on mere import and ignored later
@@ -110,7 +112,6 @@ def get_spark_session(
         # measured: raising it to 64 MB made q3/q5 broadcast a fact-sized
         # table and cost 4-6× on the bench suite.
     }
-    jar = iceberg_runtime_jar()
     if jar:
         wh = warehouse_dir or os.path.join(os.getcwd(), "spark-warehouse", "iceberg")
         conf.update(
@@ -125,7 +126,29 @@ def get_spark_session(
         )
     if extra_conf:
         conf.update(extra_conf)
+    return conf
 
+
+def get_spark_session(
+    app_name: str = _DEF_APP,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine SparkSession.
+
+    Mirrors the reference entry shape (spark_utils.py:37-42) — conf dict →
+    builder → getOrCreate — with cluster-safe defaults.
+    """
+    cpus = _cpus()
+    conf = build_session_conf(
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        warehouse_dir=warehouse_dir,
+        extra_conf=extra_conf,
+        jar=iceberg_runtime_jar(),
+    )
     builder = SparkSession.builder.appName(app_name).master(
         master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     )

@@ -161,3 +161,37 @@ def test_per_flag_distinct_bitmap_exact(spark):
         .collect()
     }
     assert got == want == {"A": 6, "N": 2, "ZZ": 2}
+
+
+def test_iceberg_jar_branch_selected_when_jar_present(tmp_path, monkeypatch):
+    """r13 (VERDICT #7): the real-Iceberg session branch has no jar in
+    this image, so assert it at the conf layer — a detected
+    iceberg-spark-runtime jar must wire SparkCatalog + extensions, and
+    its absence must leave the conf clean (laketable serves the
+    lifecycle)."""
+    import glob as glob_mod
+
+    from data_iceberg_sandbox_spark import session as sess
+
+    with_jar = sess.build_session_conf(jar="/x/iceberg-spark-runtime-3.5_2.12.jar")
+    assert (
+        with_jar["spark.sql.catalog.lake"]
+        == "org.apache.iceberg.spark.SparkCatalog"
+    )
+    assert "IcebergSparkSessionExtensions" in with_jar["spark.sql.extensions"]
+    assert with_jar["spark.sql.catalog.lake.type"] == "hadoop"
+    assert with_jar["spark.sql.catalog.lake.warehouse"]
+
+    without = sess.build_session_conf(jar=None)
+    assert not any(k.startswith("spark.sql.catalog.") for k in without)
+    assert "spark.sql.extensions" not in without
+
+    # detector: picks up an iceberg-spark-runtime*.jar on the pyspark
+    # jars path (glob mocked — no jar ships in this image)
+    fake = str(tmp_path / "iceberg-spark-runtime-3.5_2.12-1.6.0.jar")
+    monkeypatch.setattr(
+        glob_mod, "glob", lambda pat: [fake] if "iceberg-spark-runtime" in pat else []
+    )
+    assert sess.iceberg_runtime_jar() == fake
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [])
+    assert sess.iceberg_runtime_jar() is None
