@@ -151,14 +151,27 @@ def stage_event_files(
     # the testdata events table is immutable, so the count is a
     # sufficient signature. Saved ~15 s of a ~60 s sf10 drain.
     marker = out + ".staged"
-    n_events = events.count()
-    sig = f"{n_events}:{n_files}:{int(time_ordered)}"
+    # Signature includes the SOURCE parquet's (size, mtime), not just
+    # the row count: the driver regenerates testdata between rounds at
+    # the same SF (same count, different content), and a count-only
+    # memo would serve stale slices against a fresh oracle. A missing
+    # source file (pin_table'd in-memory frame — tests) disables the
+    # memo entirely: there is nothing stat-able to fingerprint.
+    src = os.path.join(sf_dir, "events.parquet")
     try:
-        with open(marker, encoding="utf-8") as mf:
-            if mf.read() == sig and os.path.isdir(out):
-                return out
+        st = os.stat(src)
+        src_sig = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
-        pass
+        src_sig = None
+    n_events = events.count()
+    sig = f"{n_events}:{n_files}:{int(time_ordered)}:{src_sig}"
+    if src_sig is not None:
+        try:
+            with open(marker, encoding="utf-8") as mf:
+                if mf.read() == sig and os.path.isdir(out):
+                    return out
+        except OSError:
+            pass
     if os.path.exists(marker):
         os.remove(marker)
     if os.path.isdir(out):

@@ -135,3 +135,78 @@ def test_streaming_ingest_into_branch_then_fast_forward(spark, scratch):
     # exactly-once content, not just counts: branch landing == batch read
     assert t.read().exceptAll(batch_events).count() == 0
     assert batch_events.exceptAll(t.read()).count() == 0
+
+
+def test_stream_stream_join_bucket_boundaries(spark, scratch):
+    """r13 bucketed state keys: pairs landing exactly ON the 5-minute
+    range edge, straddling a bucket boundary, or sharing a second-
+    truncated timestamp must all match the batch range self-join —
+    the adversarial cases for the floor(ts/300) key + previous-bucket
+    replication."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from data_iceberg_sandbox_spark.sources.registry import pin_table
+    from data_iceberg_sandbox_spark.streaming.fraud_stream import (
+        run_stream_stream_join,
+    )
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, sec, micro=0):
+        return Row(
+            event_id=eid,
+            ts=base + timedelta(seconds=sec, microseconds=micro),
+            user_id=uid,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    rows = [
+        # exactly +300.000000s: included (<=); same bucket edge
+        ev(1, 1, 0), ev(2, 1, 300),
+        # +300s from a microsecond offset: 0.5 -> 300.5 (included),
+        # buckets 0 -> 1 (previous-bucket replica must catch it)
+        ev(3, 2, 0, 500000), ev(4, 2, 300, 500000),
+        # one microsecond past the range: excluded
+        ev(5, 3, 0), ev(6, 3, 300, 1),
+        # equal timestamps: ts_b > ts_a strict, no pair either way
+        ev(7, 4, 100), ev(8, 4, 100),
+        # bucket straddle: 299s -> 301s (buckets 0 -> 1, gap 2s)
+        ev(9, 5, 299), ev(10, 5, 301),
+        # chain within one user across three buckets
+        ev(11, 6, 250), ev(12, 6, 550), ev(13, 6, 850),
+    ]
+    sf_fake = os.path.join(scratch, "ssj_edges")
+    os.makedirs(sf_fake, exist_ok=True)
+    df = spark.createDataFrame(rows)
+    pin_table(spark, sf_fake, "events", df)
+
+    t = run_stream_stream_join(
+        spark, sf_fake, os.path.join(scratch, "ssj_edges_tbl")
+    )
+    got = {(r["event_a"], r["event_b"]) for r in t.read().collect()}
+
+    a = df.select(
+        F.col("event_id").alias("ea"), "user_id", F.col("ts").alias("ta")
+    )
+    b = df.select(
+        F.col("event_id").alias("eb"),
+        F.col("user_id").alias("ub"),
+        F.col("ts").alias("tb"),
+    )
+    want = {
+        (r["ea"], r["eb"])
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 5 MINUTES")),
+        ).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and (3, 4) in got and (9, 10) in got
+    assert (11, 12) in got and (12, 13) in got and (11, 13) not in got
+    assert (5, 6) not in got and (7, 8) not in got
