@@ -568,11 +568,8 @@ def agg_approx(spark, sf_dir):
     the bound asserted is the sketch's 3σ envelope (10%), and the
     measured deterministic error on this corpus is ≤4.4% at every SF
     (0.6% sf0.01, 4.4% sf0.1, 3.2% sf10 on 2M distinct). The exact
-    count rides a single-long (partkey·3+flagid) distinct — half the
-    shuffle of a two-column dedup (1.8 s vs 3.8 s at sf10) — and the
-    approx median asserts against the exact value-histogram IQR
-    (percentile_prices recipe; accuracy=1000 ≈ 0.1% rank error is
-    orders of magnitude finer than an IQR-width band).
+    count rides the shared bitmap two-level distinct
+    (functions/distinct.py, r13 — history and measurements there).
 
     IQR grading (r13 rework — was a third fact pass): the p25/p75 band
     that grades the approx median comes from the SAME percentile_approx
