@@ -104,12 +104,19 @@ def cube_counts(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     # sentinel outside any plausible value domain (flags are 1-char)
     SENT = "\x00\x00__cube_null__"
+    # scale-4 fixed-point BIGINT sum (functions/money.py), unscaled to
+    # double at the end — bit-equal to the DECIMAL(18,4) formulation
+    # (verified at sf10) and measured 1.9 s → 0.65 s for the fact agg
+    # (r13): the decimal sum leaves the primitive codegen fast path.
+    # Headroom: grand total ≈ qty·1e4·rows ≈ 1.5e15 at 6e9 rows.
+    from ..functions.money import fixed, unscale
+
     base = li.groupBy(
         F.coalesce(F.col("l_returnflag"), F.lit(SENT)).alias("l_returnflag"),
         F.coalesce(F.col("l_linestatus"), F.lit(SENT)).alias("l_linestatus"),
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+        F.sum(fixed(F.col("l_quantity"), 4)).alias("sq"),
     )
     null_s = F.lit(None).cast("string")
     by_f = base.groupBy("l_returnflag").agg(
@@ -140,7 +147,7 @@ def cube_counts(spark, sf_dir):
             _dec("l_returnflag"),
             _dec("l_linestatus"),
             "n",
-            F.col("sq").cast("double").alias("sum_qty"),
+            unscale(F.col("sq"), 4).cast("double").alias("sum_qty"),
         )
     )
 
