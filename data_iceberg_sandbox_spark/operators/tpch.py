@@ -290,6 +290,14 @@ def q5_local_supplier_volume(spark, sf_dir):
         "o_orderkey", "c_nationkey"
     )
     return (
+        # Measured-and-rejected alternative (r13): joining on orderkey
+        # ALONE with the same-nation equality as a post-join filter —
+        # meant to let the pin's orderkey co-partitioning skip the
+        # exchange — ran 1.9 s vs 1.3 s pinned at sf10: the exchange
+        # was not eliminated either way, and the single-key join's
+        # larger pre-filter output (~3.6M rows) made it strictly worse.
+        # The two-key form below stands; its floor is the reduced-fact
+        # orderkey SMJ itself.
         li_f.join(
             o_f,
             (li_f.l_orderkey == o_f.o_orderkey)
