@@ -407,7 +407,8 @@ def agg_stats(spark, sf_dir):
     distinct helper — 3.15 s (r13); (d) THIS shape, one pass at
     (flag, 32k-key-bucket) grain where the exact distinct is a
     ``bitmap_construct_agg`` and every other aggregate is algebraic,
-    so no Expand and ONE fact scan — 2.47 s (r13). The bitmap leg
+    so no Expand and ONE fact scan — 2.47 s, then 1.9 s with the
+    scale-4 fixed-point quantity sum (r13). The bitmap leg
     forces ObjectHashAggregate (off whole-stage codegen) whichever
     side it sits on, which is why one pass beats codegen-split two:
     the scan, not codegen, is the dear term. Remaining ~4× vs DuckDB
@@ -415,6 +416,8 @@ def agg_stats(spark, sf_dir):
     recorded with the four alternatives above. Shuffle: ~186 rows
     (3 flags × ~62 buckets), each a 4 KB bitmap. The one-pass Expand
     surface stays exercised by `multi_distinct_agg`."""
+    from ..functions.money import fixed, unscale
+
     li = load_table(spark, sf_dir, "lineitem")
     lvl1 = li.groupBy(
         "l_returnflag",
@@ -423,13 +426,17 @@ def agg_stats(spark, sf_dir):
         F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias(
             "__bm"
         ),
-        F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+        # scale-4 fixed-point BIGINT (money.py): 3.0 s → 1.85 s at sf10
+        # even off-codegen — long adds beat BigDecimal state either way
+        F.sum(fixed(F.col("l_quantity"), 4)).alias("sq"),
         F.min("l_extendedprice").alias("mn"),
         F.max("l_extendedprice").alias("mx"),
         F.count(F.lit(1)).alias("n"),
     )
     return lvl1.groupBy("l_returnflag").agg(
-        (F.sum("sq").cast("double") / F.sum("n")).alias("avg_qty"),
+        (unscale(F.sum("sq"), 4).cast("double") / F.sum("n")).alias(
+            "avg_qty"
+        ),
         F.min("mn").alias("min_price"),
         F.max("mx").alias("max_price"),
         F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("n_parts"),
