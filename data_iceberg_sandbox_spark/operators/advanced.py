@@ -578,14 +578,17 @@ def agg_approx(spark, sf_dir):
     count rides the shared bitmap two-level distinct
     (functions/distinct.py, r13 — history and measurements there).
 
-    IQR grading (r13 rework — was a third fact pass): the p25/p75 band
-    that grades the approx median comes from the SAME percentile_approx
-    evaluation (a 3-quantile array, one sketch build), not from the
-    exact value histogram. Grading a sketch with a band whose edges
-    carry ≤0.1% rank error (accuracy=1000) against a 50%-wide IQR is
-    methodologically sound — the instrument is 500× finer than the
-    tolerance — and it deletes the 2.2 s histogram+cum pass outright.
-    Measured at sf10: 4.45 s → 3.27 s fresh-plan.
+    Median grading (r13 rework — was a third fact pass): the approx
+    median is graded against the exact [mean − σ, mean + σ] band,
+    whose moments ride the exact-distinct pass as free algebraic
+    doubles. |mean − median| ≤ σ for every finite-variance
+    distribution, so the band always contains the true median; a
+    sketch with ≤0.1% rank error sits well inside while garbage
+    values fail. This replaced, in order: the r11 histogram+cum IQR
+    (a 2.2 s third fact pass) and an intermediate same-sketch
+    p25/p75 band that the r13 review caught as a tautology (quantile
+    arrays are monotone by construction — the assertion could never
+    fire). Measured at sf10: 4.45 s → ~2.4 s fresh-plan.
 
     The remaining ~6× DuckDB gap is a measured floor of honest
     work-inequality, with the alternatives on record: the oracle emits
@@ -608,22 +611,47 @@ def agg_approx(spark, sf_dir):
     # ObjectAggregationIterator.createNewAggregationBuffer — the
     # sweep's 600 s "freeze". Split, the sketch agg holds exactly 3
     # buffers and stays whole-stage codegen (buffer ≤ maxFields).
-    # Exact distinct: the (flag, partkey) pair packs into one long so
-    # the dedup shuffles single-long rows — measured 1.8 s vs 3.8 s for
-    # the two-column groupBy dedup at sf10 (shared helper:
-    # functions/distinct.per_flag_distinct).
-    from ..functions.distinct import per_flag_distinct
-
-    g_exact = per_flag_distinct(
-        li, "l_returnflag", "l_partkey", ("A", "N", "R"), out="exact_parts"
+    # Exact pass: the bitmap two-level distinct (functions/distinct.py
+    # recipe) EXTENDED in place with the exact first/second price
+    # moments — algebraic doubles that ride the same (flag, 32k-bucket)
+    # ObjectHashAggregate for free. The moments grade the median
+    # sketch against an INDEPENDENT instrument (r13 review: a first
+    # rework graded the sketch median against p25/p75 from the SAME
+    # sketch evaluation — q25 ≤ q50 ≤ q75 is monotone by construction,
+    # so that assertion was a tautology): |mean − median| ≤ σ holds
+    # for every finite-variance distribution, so the exact
+    # [mean − σ, mean + σ] band always contains the true median, and a
+    # sketch value with ≤0.1% rank error sits well inside it while any
+    # garbage value fails. Double accumulation is partition-order
+    # dependent only at ~1e-15 relative — twelve orders of magnitude
+    # under the band's slack — and the doubles feed only the boolean,
+    # never a hash-compared column.
+    pd_ = F.col("l_extendedprice").cast("double")
+    lvl1 = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("__bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias(
+            "__bm"
+        ),
+        F.sum(pd_).alias("s1"),
+        F.sum(pd_ * pd_).alias("s2"),
+        F.count(pd_).alias("np"),
+    )
+    g_exact = lvl1.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("exact_parts"),
+        (F.sum("s1") / F.sum("np")).alias("mean_p"),
+        F.sqrt(
+            F.greatest(
+                F.sum("s2") / F.sum("np")
+                - (F.sum("s1") / F.sum("np")) * (F.sum("s1") / F.sum("np")),
+                F.lit(0.0),
+            )
+        ).alias("sd_p"),
     )
     g_sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.0325).alias("ap"),
-        F.percentile_approx(
-            "l_extendedprice",
-            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
-            1000,
-        ).alias("q"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("ap50"),
     )
     g = g_exact.join(g_sketch, "l_returnflag")
     return g.select(
@@ -635,8 +663,9 @@ def agg_approx(spark, sf_dir):
             <= 0.10  # 3σ for rsd≈0.0325; measured ≤4.4% on this corpus
         ).alias("hll_within_3sigma"),
         (
-            (F.col("q")[1] >= F.col("q")[0]) & (F.col("q")[1] <= F.col("q")[2])
-        ).alias("p50_within_iqr"),
+            (F.col("ap50") >= F.col("mean_p") - F.col("sd_p"))
+            & (F.col("ap50") <= F.col("mean_p") + F.col("sd_p"))
+        ).alias("p50_within_mean_sd"),
     )
 
 
@@ -644,7 +673,7 @@ AGG_APPROX_ORACLE = """
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS exact_parts,
        TRUE AS hll_within_3sigma,
-       TRUE AS p50_within_iqr
+       TRUE AS p50_within_mean_sd
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -37,31 +37,22 @@ RATE = "decimal(4,3)"
 # Data-scaled broadcast hints (customer/supplier/part subsets, which
 # GROW with SF — unlike the reference-fixed nation/region folds) are
 # valid only while the dim fits comfortably under driver/broadcast
-# capacity. 512 MB on disk ≈ SF~200 customer ≈ well under the 8 GB
-# spark broadcast-table ceiling after projection.
-BROADCAST_DIM_CAP_BYTES = 512 << 20
+# capacity. Shared probe + cap: functions/sizing.py (fail-closed).
+from ..functions.sizing import BROADCAST_DIM_CAP_BYTES, path_bytes
 
 
 def _dir_bytes(sf_dir, name):
     """On-disk size of a testdata table (file or directory parquet) —
     cheap driver-side stat used to gate data-scaled broadcast hints.
-    Fails CLOSED: a path this probe can't stat (layout drift from
-    sources/registry's `{name}.parquet` convention) reports +inf, so
-    the size gate declines the broadcast in exactly the unknown-size
-    case it exists to guard (r12 review — returning 0 force-applied
-    the hint on a mis-stat)."""
+    Fails CLOSED via functions/sizing.path_bytes: a path the probe
+    can't stat or walk (layout drift from sources/registry's
+    `{name}.parquet` convention) reports +inf, so the size gate
+    declines the broadcast in exactly the unknown-size case it exists
+    to guard (r12 review — returning 0 force-applied the hint on a
+    mis-stat)."""
     import os
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isfile(path):
-        return os.path.getsize(path)
-    if os.path.isdir(path):
-        return sum(
-            os.path.getsize(os.path.join(dp, fn))
-            for dp, _dns, fns in os.walk(path)
-            for fn in fns
-        )
-    return float("inf")
+    return path_bytes(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _bcast_if_small(df, sf_dir, table, cap_bytes=BROADCAST_DIM_CAP_BYTES):

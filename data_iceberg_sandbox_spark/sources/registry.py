@@ -161,7 +161,26 @@ def pin_table(
         except Exception:  # noqa: BLE001 — releasing is best-effort
             pass
     per_session[key] = df
+    _PINNED.setdefault(spark, set()).add(key)
     return df
+
+
+# keys whose memo entry is a caller-supplied OVERLAY (pin_table), not a
+# scan of the on-disk file — consumers that fingerprint the disk file
+# for caching (streaming.stage_event_files) must not trust that
+# fingerprint when the frame actually served diverges from disk
+# (r13 review: a re-pin with an unchanged disk file matched the stale
+# staging signature).
+_PINNED: "weakref.WeakKeyDictionary[SparkSession, set]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def is_pinned(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """True if load_table(spark, sf_dir, name) would return a
+    pin_table overlay rather than the on-disk parquet scan."""
+    key = (os.path.abspath(sf_dir), name)
+    return key in _PINNED.get(spark, set())
 
 
 # Canonical hash-partitioning key per fact table — the storage analog

@@ -154,13 +154,20 @@ def stage_event_files(
     # Signature includes the SOURCE parquet's (size, mtime), not just
     # the row count: the driver regenerates testdata between rounds at
     # the same SF (same count, different content), and a count-only
-    # memo would serve stale slices against a fresh oracle. A missing
-    # source file (pin_table'd in-memory frame — tests) disables the
-    # memo entirely: there is nothing stat-able to fingerprint.
+    # memo would serve stale slices against a fresh oracle. The memo is
+    # disabled entirely when the file can't be statted OR the registry
+    # entry is a pin_table overlay (r13 review): a pinned frame serves
+    # data the disk fingerprint does not describe, so a re-pin with an
+    # unchanged disk file would otherwise match a stale staging.
+    from ..sources.registry import is_pinned
+
     src = os.path.join(sf_dir, "events.parquet")
     try:
-        st = os.stat(src)
-        src_sig = f"{st.st_size}:{st.st_mtime_ns}"
+        if is_pinned(spark, sf_dir, "events"):
+            src_sig = None
+        else:
+            st = os.stat(src)
+            src_sig = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         src_sig = None
     n_events = events.count()

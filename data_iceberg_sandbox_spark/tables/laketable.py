@@ -266,21 +266,18 @@ class LakeTable:
                 # usually tiny, but a bulk delete/upsert can write a
                 # huge one — past the cap leave the anti-join unhinted
                 # so AQE picks a shuffle join instead of blowing the
-                # broadcast limit.
-                dpath = os.path.join(self.root, d)
-                try:
-                    dsize = (
-                        os.path.getsize(dpath)
-                        if os.path.isfile(dpath)
-                        else sum(
-                            os.path.getsize(os.path.join(dp, fn))
-                            for dp, _dns, fns in os.walk(dpath)
-                            for fn in fns
-                        )
-                    )
-                except OSError:
-                    dsize = float("inf")  # fail closed: no hint
-                if dsize <= 512 << 20:
+                # broadcast limit. path_bytes fails CLOSED (+inf) on
+                # anything unstatable (r13 review: a hand-rolled walk
+                # here returned 0 for a vanished dir — fail-open).
+                from ..functions.sizing import (
+                    BROADCAST_DIM_CAP_BYTES,
+                    path_bytes,
+                )
+
+                if (
+                    path_bytes(os.path.join(self.root, d))
+                    <= BROADCAST_DIM_CAP_BYTES
+                ):
                     keys = F.broadcast(keys)
                 df = df.join(
                     keys, on=list(keys.columns), how="left_anti"
@@ -858,7 +855,22 @@ class LakeTable:
                 stale = ahead = False
             if not (stale and ahead):
                 raise CommitConflict(f"{mpath} already exists") from None
-            os.remove(mpath)  # reclaim the dead writer's slot
+            # reclaim the dead writer's slot — two reclaimers can race
+            # here (r13 review): the loser's remove must surface as
+            # CommitConflict, not FileNotFoundError, and a re-check of
+            # staleness right before the remove keeps a racer from
+            # deleting the winner's FRESH manifest (the residual µs
+            # TOCTOU window is made safe — conflict, never corruption —
+            # by the writer fence below).
+            try:
+                if (
+                    time.time() - os.path.getmtime(mpath)
+                    <= STALE_MANIFEST_GRACE_SEC
+                ):
+                    raise CommitConflict(f"{mpath} already exists")
+                os.remove(mpath)
+            except FileNotFoundError:
+                raise CommitConflict(f"{mpath} already exists") from None
             try:
                 fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
             except FileExistsError:
@@ -1473,13 +1485,34 @@ class LakeTable:
                 # and the finally-removal would otherwise disable
                 # tag()/expire_snapshots forever (r12 review). The
                 # critical sections are sub-second; a lock older than
-                # the grace window belongs to a dead process.
+                # the grace window belongs to a dead process. The
+                # takeover itself is serialized by an flock'd guard
+                # file (r13 review): two waiters that both observed a
+                # stale lock could otherwise both remove-and-acquire —
+                # the second remove deleting the first's FRESH lock and
+                # putting two holders inside the critical section. The
+                # guard file is never removed, so there is no race on
+                # the guard itself; flock is process-scoped and the
+                # table layer is local-FS by design.
                 try:
                     if (
                         time.time() - os.path.getmtime(lock)
                         > STALE_MANIFEST_GRACE_SEC
                     ):
-                        os.remove(lock)
+                        import fcntl
+
+                        gfd = os.open(lock + ".guard", os.O_CREAT | os.O_RDWR)
+                        try:
+                            fcntl.flock(gfd, fcntl.LOCK_EX)
+                            # re-check under the guard: only the first
+                            # waiter sees it still stale
+                            if (
+                                time.time() - os.path.getmtime(lock)
+                                > STALE_MANIFEST_GRACE_SEC
+                            ):
+                                os.remove(lock)
+                        finally:
+                            os.close(gfd)  # releases the flock
                         continue
                 except OSError:
                     continue  # holder just released/raced — retry

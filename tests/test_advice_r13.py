@@ -195,3 +195,54 @@ def test_iceberg_jar_branch_selected_when_jar_present(tmp_path, monkeypatch):
     assert sess.iceberg_runtime_jar() == fake
     monkeypatch.setattr(glob_mod, "glob", lambda pat: [])
     assert sess.iceberg_runtime_jar() is None
+
+
+def test_is_pinned_flags_overlays(spark, tmp_path):
+    """r13 review: consumers that fingerprint the on-disk file must be
+    able to detect pin_table overlays."""
+    import os as _os
+
+    from data_iceberg_sandbox_spark.sources.registry import (
+        is_pinned,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    load_table(spark, sf, "region")
+    assert not is_pinned(spark, sf, "region")
+    sf_fake = str(tmp_path / "pin_sf")
+    _os.makedirs(sf_fake, exist_ok=True)
+    pin_table(spark, sf_fake, "events", spark.range(3).withColumnRenamed("id", "x"))
+    assert is_pinned(spark, sf_fake, "events")
+    assert not is_pinned(spark, sf_fake, "lineitem")
+
+
+def test_agg_approx_band_is_a_real_instrument(spark):
+    """r13 review follow-up: the mean±sd band that grades the median
+    sketch must actually be able to FAIL — a garbage 'median' value
+    outside the band yields False (the replaced same-sketch IQR check
+    was monotone-by-construction and could never fire)."""
+    from pyspark.sql import functions as F
+
+    from data_iceberg_sandbox_spark.sources.registry import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    pd_ = F.col("l_extendedprice").cast("double")
+    m = li.groupBy("l_returnflag").agg(
+        (F.sum(pd_) / F.count(pd_)).alias("mean_p"),
+        F.sqrt(
+            F.greatest(
+                F.sum(pd_ * pd_) / F.count(pd_)
+                - (F.sum(pd_) / F.count(pd_)) * (F.sum(pd_) / F.count(pd_)),
+                F.lit(0.0),
+            )
+        ).alias("sd_p"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("ap50"),
+    )
+    rows = m.collect()
+    assert rows
+    for r in rows:
+        lo, hi = r["mean_p"] - r["sd_p"], r["mean_p"] + r["sd_p"]
+        assert lo <= r["ap50"] <= hi  # real sketch passes
+        assert not (lo <= 0.0 <= hi)  # garbage value fails
+        assert not (lo <= 10 * r["mean_p"] <= hi)
