@@ -175,3 +175,102 @@ def test_histogram_rank_family_equals_window_forms(spark, rows, n):
     got = got_r.join(got_b, "tid").join(got_p, "tid")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R", None]),
+            st.sampled_from(["F", "O", None]),
+            st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_cube_rewrite_equals_native_cube_property(spark, tmp_path, rows):
+    """r13 sentinel rewrite: on arbitrary (incl. NULL-heavy / empty)
+    domains, cube_counts' multiset equals native .cube — except the
+    empty input, where the rewrite follows the SQL standard (one n=0
+    grand row) and native Spark emits nothing."""
+    from pyspark.sql import functions as F
+
+    from data_iceberg_sandbox_spark.operators.advanced import cube_counts
+    from data_iceberg_sandbox_spark.sources.registry import pin_table
+
+    _ix[0] += 1
+    sf_fake = os.path.join(str(tmp_path), f"cube_prop_{_ix[0]}")
+    os.makedirs(sf_fake, exist_ok=True)
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string, l_quantity double"
+    )
+    pin_table(spark, sf_fake, "lineitem", li)
+    got = sorted(
+        (
+            (r["l_returnflag"], r["l_linestatus"], r["n"], r["sum_qty"])
+            for r in cube_counts(spark, sf_fake).collect()
+        ),
+        key=str,
+    )
+    if not rows:
+        assert got == [(None, None, 0, None)]
+        return
+    want = sorted(
+        (
+            (r["l_returnflag"], r["l_linestatus"], r["n"], r["sum_qty"])
+            for r in li.cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .collect()
+        ),
+        key=str,
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**40), max_value=2**40),
+            ),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_bitmap_distinct_equals_count_distinct_property(spark, rows):
+    """r13 bitmap helper: exact on arbitrary long keys (wide range,
+    negatives, NULLs) for every flag group."""
+    from pyspark.sql import functions as F
+
+    from data_iceberg_sandbox_spark.functions.distinct import (
+        per_flag_distinct,
+    )
+
+    df = spark.createDataFrame(rows, "flag string, k long")
+    got = {
+        r["flag"]: r["n"]
+        for r in per_flag_distinct(df, "flag", "k", out="n").collect()
+    }
+    want = {
+        r["flag"]: r["n"]
+        for r in df.groupBy("flag").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    assert got == want
