@@ -125,6 +125,30 @@ def epoch_guarded_write(
     table.append(df, extra_properties=marker)
 
 
+def staging_sig(
+    spark: SparkSession, sf_dir: str, table: str, extra: str
+) -> str | None:
+    """Reuse signature for a staged copy of ``table``: the source
+    parquet's (size, mtime_ns) plus caller params. None DISABLES the
+    memo — when the source can't be statted, or when the registry
+    entry is a pin_table overlay (r13 review: a pinned frame serves
+    data the disk fingerprint does not describe, so a re-pin with an
+    unchanged disk file would otherwise match a stale staging). The
+    (size, mtime) term — not a row count — is what protects against
+    driver testdata regeneration at the same SF (same count, different
+    content)."""
+    from ..sources.registry import is_pinned
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if is_pinned(spark, sf_dir, table):
+            return None
+        st = os.stat(src)
+    except OSError:
+        return None
+    return f"{extra}:{st.st_size}:{st.st_mtime_ns}"
+
+
 def stage_event_files(
     spark: SparkSession, sf_dir: str, name: str, n_files: int = 8,
     time_ordered: bool = False,
@@ -146,33 +170,12 @@ def stage_event_files(
     events = load_table(spark, sf_dir, "events")
     # Staging memo (r13): the backlog is the analog of a Kafka topic
     # that already HOLDS its data — re-producing it on every run is
-    # not part of the consumer's work. Reuse a prior staging iff its
-    # marker matches (same source row count, slice count, ordering);
-    # the testdata events table is immutable, so the count is a
-    # sufficient signature. Saved ~15 s of a ~60 s sf10 drain.
+    # not part of the consumer's work (~15 s of a ~60 s sf10 drain).
     marker = out + ".staged"
-    # Signature includes the SOURCE parquet's (size, mtime), not just
-    # the row count: the driver regenerates testdata between rounds at
-    # the same SF (same count, different content), and a count-only
-    # memo would serve stale slices against a fresh oracle. The memo is
-    # disabled entirely when the file can't be statted OR the registry
-    # entry is a pin_table overlay (r13 review): a pinned frame serves
-    # data the disk fingerprint does not describe, so a re-pin with an
-    # unchanged disk file would otherwise match a stale staging.
-    from ..sources.registry import is_pinned
-
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        if is_pinned(spark, sf_dir, "events"):
-            src_sig = None
-        else:
-            st = os.stat(src)
-            src_sig = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        src_sig = None
-    n_events = events.count()
-    sig = f"{n_events}:{n_files}:{int(time_ordered)}:{src_sig}"
-    if src_sig is not None:
+    sig = staging_sig(
+        spark, sf_dir, "events", f"{n_files}:{int(time_ordered)}"
+    )
+    if sig is not None:
         try:
             with open(marker, encoding="utf-8") as mf:
                 if mf.read() == sig and os.path.isdir(out):
@@ -185,8 +188,9 @@ def stage_event_files(
         shutil.rmtree(out)
     if not time_ordered:
         events.repartition(n_files).write.parquet(out)
-        with open(marker, "w", encoding="utf-8") as mf:
-            mf.write(sig)
+        if sig is not None:
+            with open(marker, "w", encoding="utf-8") as mf:
+                mf.write(sig)
         return out
     os.makedirs(out, exist_ok=True)
     sliced = events.repartitionByRange(n_files, F.col("ts"))
@@ -205,8 +209,9 @@ def stage_event_files(
         os.replace(os.path.join(tmp, f), dst)
         os.utime(dst, (now + i, now + i))  # strictly increasing mtime
     shutil.rmtree(tmp)
-    with open(marker, "w", encoding="utf-8") as mf:
-        mf.write(sig)
+    if sig is not None:
+        with open(marker, "w", encoding="utf-8") as mf:
+            mf.write(sig)
     return out
 
 

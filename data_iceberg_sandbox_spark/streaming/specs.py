@@ -138,10 +138,30 @@ def stream_embedding_ivf_ingest(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir).cache()
 
+    # staged-backlog memo (r13, same discipline as stage_event_files:
+    # the embedding log is the immutable topic; signature = source
+    # size+mtime, disabled for pin_table overlays)
+    from .fraud_stream import staging_sig
+
     staged = _root("staged_emb_ivf", sf_dir)
-    if os.path.isdir(staged):
-        shutil.rmtree(staged)
-    emb.repartition(6, F.col("vec_id")).write.parquet(staged)
+    marker = staged + ".staged"
+    sig = staging_sig(spark, sf_dir, "embeddings", "6")
+    fresh = True
+    if sig is not None:
+        try:
+            with open(marker, encoding="utf-8") as mf:
+                fresh = not (mf.read() == sig and os.path.isdir(staged))
+        except OSError:
+            pass
+    if fresh:
+        if os.path.exists(marker):
+            os.remove(marker)
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        emb.repartition(6, F.col("vec_id")).write.parquet(staged)
+        if sig is not None:
+            with open(marker, "w", encoding="utf-8") as mf:
+                mf.write(sig)
 
     table_root = _root("emb_ivf_mv", sf_dir)
     if os.path.isdir(table_root):
