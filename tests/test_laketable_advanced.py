@@ -580,3 +580,61 @@ def test_tags_lock_fenced_release(spark, scratch):
     with t._tags_lock():  # lock still usable afterwards
         pass
     assert not os.path.exists(lock)
+
+
+def test_concurrent_appends_lose_nothing(spark, scratch):
+    """r13 fence work, end-to-end: N threads race appends with retry on
+    CommitConflict; every acknowledged commit's rows must be readable
+    (no lost commits), the manifest chain must be a single line from
+    v1 to the final version, and no acknowledged version may be
+    orphaned (the corruption modes the writer fence closes)."""
+    import threading
+
+    from data_iceberg_sandbox_spark.tables.laketable import CommitConflict
+
+    t = LakeTable(spark, os.path.join(scratch, "race_appends"))
+    t.create(spark.range(0, 10).withColumnRenamed("id", "k"))
+    N_THREADS, N_APPENDS = 4, 3
+    acked: list[int] = []
+    errors: list[str] = []
+    lock = threading.Lock()
+
+    def writer(tid: int) -> None:
+        for j in range(N_APPENDS):
+            lo = 1000 * (tid * N_APPENDS + j + 1)
+            df = spark.range(lo, lo + 10).withColumnRenamed("id", "k")
+            for _attempt in range(60):
+                try:
+                    t.append(df)
+                    with lock:
+                        acked.append(lo)
+                    break
+                except CommitConflict:
+                    continue
+                except Exception as e:  # noqa: BLE001
+                    with lock:
+                        errors.append(f"{type(e).__name__}: {e}")
+                    return
+            else:
+                with lock:
+                    errors.append(f"thread {tid} exhausted retries")
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(N_THREADS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert len(acked) == N_THREADS * N_APPENDS
+    # every acknowledged batch is present exactly once
+    ks = [r["k"] for r in t.read().collect()]
+    assert len(ks) == len(set(ks)) == 10 + 10 * len(acked)
+    for lo in acked:
+        assert lo in set(ks)
+    # manifest chain is a single unbroken line
+    mans = t.snapshots()
+    versions = sorted(m.version for m in mans)
+    assert versions == list(range(1, len(acked) + 2))
+    by_v = {m.version: m for m in mans}
+    for v in versions[1:]:
+        assert by_v[v].parent == v - 1
