@@ -54,3 +54,21 @@ def pattern_count(text: Column, pattern: str) -> Column:
     """Number of regex matches (dialect-portable: same as DuckDB's
     len(regexp_extract_all(...)))."""
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def md5_long_pair(
+    spark_expr: str, duck_expr: str | None = None, hex_chars: int = 15
+) -> tuple[str, str]:
+    """(Spark SQL, DuckDB SQL) fragments for the engine-portable
+    md5-derived integer hash: the first ``hex_chars`` hex digits of
+    md5(expr) parsed base-16 (60 bits at the default — safely inside
+    BIGINT). ONE definition (r13 review: the pair was hand-restated at
+    five call sites, each with its oracle twin — a one-sided edit
+    silently breaks oracle equivalence). Spark parses via conv(); DuckDB
+    via the '0x' literal cast — identical value, md5 being identical in
+    both engines."""
+    duck_expr = duck_expr if duck_expr is not None else spark_expr
+    return (
+        f"CAST(conv(substring(md5({spark_expr}), 1, {hex_chars}), 16, 10) AS BIGINT)",
+        f"CAST('0x' || substring(md5({duck_expr}), 1, {hex_chars}) AS BIGINT)",
+    )

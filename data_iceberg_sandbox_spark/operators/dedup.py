@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import words
+from ..functions.text import md5_long_pair, words
 from ..sources.registry import load_table
 from .spec import QuerySpec
 
@@ -305,7 +305,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(words(F.col("text"))).alias("tok")
     ).selectExpr(
         "doc_id",
-        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h",
+        f"{md5_long_pair('tok')[0]} AS h",
     )
     bit_aggs = [
         F.expr(
@@ -433,8 +433,7 @@ def dedup_containment(spark, sf_dir, threshold: float = 0.8, n: int = 5):
         )
         .selectExpr(
             "doc_id",
-            "CAST(conv(substring(md5(sh_str), 1, 15), 16, 10) AS BIGINT)"
-            " AS shingle",
+            f"{md5_long_pair('sh_str')[0]} AS shingle",
         )
         .cache()
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import pattern_count
+from ..functions.text import md5_long_pair, pattern_count
 from ..sources.registry import load_table
 from .dedup import jaccard_pairs
 from .spec import QuerySpec
@@ -49,19 +49,45 @@ FROM per_doc GROUP BY source
 """
 
 
+
+# quality-gate thresholds and flag builder — ONE definition feeding
+# both Spark stages (quality_filter, curate_corpus) and both oracles
+# (r13 review: the keep predicate was restated in four places; a
+# one-sided threshold edit would silently apply a different gate in
+# the end-to-end pipeline than in the audited filter stage)
+_Q_MIN_CHARS, _Q_MIN_WORDS, _Q_MAX_CHARS, _Q_MAX_PUNCT = 50, 8, 100000, 0.1
+_Q_FLAGS_SQL = (
+    f"(n_chars < {_Q_MIN_CHARS} OR n_words < {_Q_MIN_WORDS}) AS too_short,\n"
+    f"         n_chars > {_Q_MAX_CHARS} AS too_long,\n"
+    f"         CAST(n_punct AS DOUBLE) / n_chars > {_Q_MAX_PUNCT} AS too_punct"
+)
+_Q_KEEP_SQL = (
+    f"NOT (n_chars < {_Q_MIN_CHARS} OR n_words < {_Q_MIN_WORDS} "
+    f"OR n_chars > {_Q_MAX_CHARS} "
+    f"OR CAST(n_punct AS DOUBLE) / n_chars > {_Q_MAX_PUNCT})"
+)
+
+
+def _quality_flags():
+    """(too_short, too_long, too_punct) over the documents schema."""
+    lower = F.lower(F.col("text"))
+    n_words = pattern_count(lower, _WORD)
+    n_punct = pattern_count(F.col("text"), r"[.,!?;:]")
+    n_chars = F.length("text")
+    return (
+        (n_chars < _Q_MIN_CHARS) | (n_words < _Q_MIN_WORDS),
+        n_chars > _Q_MAX_CHARS,
+        n_punct.cast("double") / n_chars.cast("double") > _Q_MAX_PUNCT,
+    )
+
+
 def quality_filter(spark, sf_dir):
     """Quality gate: keep/drop verdict per doc from the feature set
     (length band, words-per-doc floor, punctuation ceiling) — the
     composable filter stage of a data pipeline, emitted with reasons so
     drops are auditable."""
     docs = load_table(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
-    n_words = pattern_count(lower, _WORD)
-    n_punct = pattern_count(F.col("text"), r"[.,!?;:]")
-    n_chars = F.length("text")
-    too_short = (n_chars < 50) | (n_words < 8)
-    too_long = n_chars > 100000
-    too_punct = n_punct.cast("double") / n_chars.cast("double") > 0.1
+    too_short, too_long, too_punct = _quality_flags()
     keep = ~(too_short | too_long | too_punct)
     return docs.select(
         "doc_id",
@@ -83,9 +109,7 @@ WITH f AS (
   FROM documents),
 v AS (
   SELECT doc_id,
-         (n_chars < 50 OR n_words < 8) AS too_short,
-         n_chars > 100000 AS too_long,
-         CAST(n_punct AS DOUBLE) / n_chars > 0.1 AS too_punct
+         {_Q_FLAGS_SQL}
   FROM f)
 SELECT doc_id,
        NOT (too_short OR too_long OR too_punct) AS keep,
@@ -200,12 +224,8 @@ def _purpose_hash(purpose: str) -> tuple[str, str]:
     else:
         spark_key = "CAST(doc_id AS STRING)"
         duck_key = "CAST(doc_id AS VARCHAR)"
-    spark = (
-        f"pmod(CAST(conv(substring(md5({spark_key}), 1, 15), 16, 10)"
-        " AS BIGINT), 100)"
-    )
-    duck = f"CAST('0x' || substring(md5({duck_key}), 1, 15) AS BIGINT) % 100"
-    return spark, duck
+    h_spark, h_duck = md5_long_pair(spark_key, duck_key)
+    return f"pmod({h_spark}, 100)", f"{h_duck} % 100"
 
 
 # Split keeps the unsalted bucket (stable vs round-2 outputs); sampling
@@ -334,8 +354,12 @@ def corpus_shard_manifest(spark, sf_dir, budget: int = SHARD_BYTES):
     docs = load_table(spark, sf_dir, "documents")
     from ..functions.ranks import histogram_prefix_sum
 
+    # octet_length, not length (r13 review): the manifest's offsets are
+    # SEEK positions into UTF-8 shards, so they must count encoded
+    # bytes — length() counts characters and drifts on any non-ASCII
+    # corpus (DuckDB twin: strlen()).
     per = docs.select(
-        "doc_id", F.coalesce(F.length("text"), F.lit(0)).alias("n_bytes")
+        "doc_id", F.coalesce(F.octet_length("text"), F.lit(0)).alias("n_bytes")
     )
     cum = histogram_prefix_sum(
         per, F.col("doc_id"), [], F.col("n_bytes"), out="cum_incl"
@@ -354,7 +378,7 @@ def corpus_shard_manifest(spark, sf_dir, budget: int = SHARD_BYTES):
 def shard_manifest_oracle_sql(budget: int = SHARD_BYTES) -> str:
     return f"""
 WITH per AS (
-  SELECT doc_id, COALESCE(length(text), 0) AS n_bytes FROM documents),
+  SELECT doc_id, COALESCE(strlen(text), 0) AS n_bytes FROM documents),
 c AS (
   SELECT doc_id, n_bytes,
          CAST(sum(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
@@ -484,8 +508,20 @@ def duplicate_clusters(
             ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        rows = [(x, find(x)) for x in parent]
-        out = spark.createDataFrame(rows, "doc_id: long, cluster_keeper: long")
+        # egress through Arrow too (r13 review): a Python list of up to
+        # ~10M tuples pickled through createDataFrame is the same
+        # driver-heap blowup the ingress fix above removed — a pandas
+        # frame of two int64 numpy columns takes the Arrow path
+        import numpy as np
+        import pandas as pd
+
+        nodes = np.fromiter(parent.keys(), dtype="int64", count=len(parent))
+        keepers = np.fromiter(
+            (find(int(x)) for x in nodes), dtype="int64", count=len(nodes)
+        )
+        out = spark.createDataFrame(
+            pd.DataFrame({"doc_id": nodes, "cluster_keeper": keepers})
+        )
         return out.withColumn(
             "is_keeper", F.col("doc_id") == F.col("cluster_keeper")
         )
@@ -503,17 +539,8 @@ def curate_corpus(spark, sf_dir):
     composition stays a single Catalyst plan (filters and the dedup
     window all pushed into one pass over documents + one shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
-    n_words = pattern_count(lower, _WORD)
-    n_punct = pattern_count(F.col("text"), r"[.,!?;:]")
-    n_chars = F.length("text")
-    keep = ~(
-        (n_chars < 50)
-        | (n_words < 8)
-        | (n_chars > 100000)
-        | (n_punct.cast("double") / n_chars.cast("double") > 0.1)
-    )
-    kept = docs.filter(keep)
+    too_short, too_long, too_punct = _quality_flags()
+    kept = docs.filter(~(too_short | too_long | too_punct))
     from pyspark.sql import Window as W
 
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -536,8 +563,7 @@ WITH f AS (
   FROM documents),
 kept AS (
   SELECT * FROM f
-  WHERE NOT (n_chars < 50 OR n_words < 8 OR n_chars > 100000
-             OR CAST(n_punct AS DOUBLE) / n_chars > 0.1)),
+  WHERE {_Q_KEEP_SQL}),
 deduped AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -674,9 +700,13 @@ agg AS (
   FROM dims GROUP BY dim)
 SELECT dim, n,
        round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
-       round(sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+       -- greatest(…, 0) mirrors the Spark-side clamp (r13 review: a
+       -- constant dimension past ~2^53 rows rounds n·sq − s² to a tiny
+       -- negative on BOTH engines; without the clamp here the oracle
+       -- alone emits NaN)
+       round(sqrt(greatest((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12), 6)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12, 0)), 6)
          AS std,
        CAST(mn AS DOUBLE) / 1e6 AS vmin,
        CAST(mx AS DOUBLE) / 1e6 AS vmax
@@ -976,7 +1006,12 @@ def dq_expectations(spark, sf_dir):
                 "view", "click", "purchase", "error", "signup"
             ),
         ),
-        ("ts_in_2024_2026", F.col("ts").between("2024-01-01", "2026-12-31")),
+        # half-open upper bound (r13 review): BETWEEN '2026-12-31'
+        # casts to midnight and would flag the whole last day of 2026
+        (
+            "ts_in_2024_2026",
+            (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2027-01-01"),
+        ),
     ]
     doc_checks = [
         ("n_chars_matches_text", F.length("text") == F.col("n_chars")),
@@ -1016,7 +1051,7 @@ def _dq_oracle_sql() -> str:
         ),
         (
             "ts_in_2024_2026",
-            "ts BETWEEN '2024-01-01' AND '2026-12-31'",
+            "ts >= '2024-01-01' AND ts < '2027-01-01'",
         ),
     ]
     doc = [
@@ -1074,8 +1109,7 @@ def sample_priority_weighted(spark, sf_dir, k: int = 50):
     docs = load_table(spark, sf_dir, "documents")
     u = (
         F.expr(
-            "CAST(conv(substring(md5(concat('ps:', doc_id)), 1, 13), 16, 10)"
-            " AS BIGINT)"
+            md5_long_pair("concat('ps:', doc_id)", hex_chars=13)[0]
         )
         + 1
     ).cast("double") / F.lit(float(1 << 52))
@@ -1215,8 +1249,7 @@ def corpus_boilerplate_ngrams(spark, sf_dir, n: int = 5, min_df: int = 2):
         )
         .selectExpr(
             "doc_id",
-            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
-            " AS h",
+            f"{md5_long_pair('shingle')[0]} AS h",
         )
         .cache()
     )
@@ -1272,10 +1305,8 @@ def corpus_split_by_group(spark, sf_dir):
     90/5/5 only in expectation over groups, so split-rate monitoring
     belongs with dq_expectations, not here."""
     docs = load_table(spark, sf_dir, "documents")
-    h = (
-        "pmod(CAST(conv(substring(md5(concat('groupsplit:', source)),"
-        " 1, 15), 16, 10) AS BIGINT), 100)"
-    )
+    _gs_hash = md5_long_pair("concat('groupsplit:', source)")[0]
+    h = f"pmod({_gs_hash}, 100)"
     return docs.selectExpr(
         "doc_id",
         "source",

@@ -53,14 +53,15 @@ def _update_profile(
         # total is bit-identical to the batch DECIMAL(18,4) sum: each
         # double rounds to the same 4-dp value the decimal cast produces,
         # and integer accumulation is order-independent
-        # floor(x·10^4 + 0.5): the HALF-UP form matching both
-        # functions/money.fixed and the oracle's double→DECIMAL cast —
-        # pandas .round() is half-to-even and would diverge on exact
-        # .5 ties (r12 review; latent with the current 2-dp fixtures)
+        # sign·floor(|x|·10^4 + 0.5): HALF-UP means half AWAY FROM
+        # ZERO, matching functions/money.fixed and the oracle's
+        # double→DECIMAL cast. floor(x+0.5) alone rounds NEGATIVE
+        # half-ties toward +inf (-0.00005 → 0 where the decimal cast
+        # gives -1e-4) — r13 review; both tie cases are latent with
+        # the non-negative 2-dp fixtures but the claim is bit-identity.
+        v = pdf["value"].mul(10000).to_numpy()
         total += int(
-            np.floor(pdf["value"].mul(10000).to_numpy() + 0.5)
-            .astype("int64")
-            .sum()
+            (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
         )
         batch_max_ns = int(pdf["ts"].astype("datetime64[ns]").astype("int64").max())
         last_ts = max(last_ts, batch_max_ns)
@@ -103,10 +104,16 @@ def run_user_profile_stream(
     )
 
     def upsert(batch_df: DataFrame, _epoch: int) -> None:
+        # sink convention (r13 review — drifted from fraud_stream):
+        # stats off for a continuously-rewritten MV, and the stateful
+        # operator emits exactly one row per user_id so the merge's
+        # uniqueness pre-check job is skippable
         if not result.exists():
-            result.create(batch_df)
+            result.create(batch_df, properties={"stats.enabled": "false"})
         else:
-            result.merge(batch_df, on=["user_id"])
+            result.merge(
+                batch_df, on=["user_id"], assume_unique_source=True
+            )
 
     ckpt = table_root + "_ckpt"
     if os.path.isdir(ckpt):
