@@ -75,12 +75,22 @@ FROM documents
 """
 
 
-def mm_frame_sample(spark, sf_dir, fps_step: int = 10):
+# shared constants feeding BOTH the operator and its oracle (r13
+# review: the oracle hardcoded 10/100 while fps_step was a parameter —
+# a non-default caller was silently graded against the default plan)
+FPS_STEP = 10
+BYTES_PER_FRAME = 100
+
+
+def mm_frame_sample(spark, sf_dir, fps_step: int = FPS_STEP):
     """Frame sampling plan for video rows: every fps_step-th synthetic
-    frame (1 frame per 100 payload bytes) — pure arithmetic, the real
-    sampler swaps in at the decode stub."""
+    frame (1 frame per BYTES_PER_FRAME payload bytes) — pure
+    arithmetic, the real sampler swaps in at the decode stub. The
+    registered oracle is generated from the same constants
+    (mm_frame_sample_oracle_sql), so a parameterized call needs the
+    matching parameterized oracle."""
     m = synth_media(spark, sf_dir).filter(F.col("meta.mime") == "video/mp4")
-    n_frames = (F.col("meta.n_bytes") / 100).cast("int") + 1
+    n_frames = (F.col("meta.n_bytes") / BYTES_PER_FRAME).cast("int") + 1
     n_sampled = ((n_frames - 1) / fps_step).cast("int") + 1
     return m.select(
         "doc_id",
@@ -91,16 +101,21 @@ def mm_frame_sample(spark, sf_dir, fps_step: int = 10):
     )
 
 
-MM_FRAME_SAMPLE_ORACLE = """
+def mm_frame_sample_oracle_sql(fps_step: int = FPS_STEP) -> str:
+    return f"""
 WITH v AS (
-  SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames
+  SELECT doc_id,
+         octet_length(encode(text)) // {BYTES_PER_FRAME} + 1 AS n_frames
   FROM documents WHERE doc_id % 3 = 2)
 SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
-       CAST((n_frames - 1) // 10 + 1 AS INT) AS n_sampled,
+       CAST((n_frames - 1) // {fps_step} + 1 AS INT) AS n_sampled,
        0 AS first_frame,
-       CAST(((n_frames - 1) // 10) * 10 AS INT) AS last_frame
+       CAST(((n_frames - 1) // {fps_step}) * {fps_step} AS INT) AS last_frame
 FROM v
 """
+
+
+MM_FRAME_SAMPLE_ORACLE = mm_frame_sample_oracle_sql()
 
 
 def decode_features(

@@ -42,10 +42,6 @@ CHUNK_TOKENS = 50
 CHUNK_STRIDE = 25
 
 
-def _tokens_col():
-    return F.expr(f"regexp_extract_all(lower(text), '{_TOK}', 0)")
-
-
 def _corpus_stats(dl):
     """1-row (n_docs, avgdl) frame — broadcast, never collected.
     Takes the per-doc length frame bm25_rank already builds, so the
@@ -64,10 +60,15 @@ def bm25_rank(spark, sf_dir):
     Per-term partial scores are pivoted into fixed columns and added in
     a fixed order (never a float groupBy-sum, whose partial-aggregation
     order is nondeterministic)."""
-    docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(_tokens_col()).alias("dl"))
+    from .tokenbase import token_frame
+
+    # shared tokenized frame (r13 review): bm25 paid the corpus regex
+    # pass TWICE (dl + tf); the persisted (doc_id, source, arr) frame
+    # pays it once per session for the whole operator family
+    toks = token_frame(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("arr").alias("dl"))
     tf = (
-        docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+        toks.select("doc_id", F.explode("arr").alias("term"))
         .filter(F.col("term").isin(*BM25_TERMS))  # prune BEFORE the agg
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -149,14 +150,16 @@ def tfidf_top_term(spark, sf_dir):
     """Per-document most-distinctive term: argmax of tf·idf over the
     whole vocabulary (idf = ln(N/df)); tie-break on the rounded score by
     term ascending so the argmax is total-ordered on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .tokenbase import token_frame
+
+    toks = token_frame(spark, sf_dir)  # shared regex pass (r13 review)
     tf = (
-        docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+        toks.select("doc_id", F.explode("arr").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n_docs))
@@ -277,7 +280,7 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     JVM zip_with fold, no Python). RRF works on RANKS, not scores, so
     float-fusion nondeterminism cannot arise; only the final
     1/(k+r) sum is floating point, two terms in fixed order."""
-    from ..functions.vector import as_double, dot
+    from ..functions.vector import as_double, dot, norm
 
     # explicit RRF_CAND bound on the lex side too: today BM25_TOPK ==
     # RRF_CAND so this is a no-op, but the fusion contract is "RRF_CAND
@@ -297,7 +300,7 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     # exact dot → the same double the per-row form produced)
     qv = e.filter(F.col("vec_id") == 0).select(
         F.col("emb").alias("q_emb"),
-        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("qn"),
+        norm(F.col("emb")).alias("qn"),
     )
     # top-RRF_CAND via orderBy+limit FIRST (TakeOrderedAndProject — a
     # distributed partial top-k), then the rank window runs over only

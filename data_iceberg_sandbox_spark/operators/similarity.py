@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine, dot
+from ..functions.vector import as_double, cosine, dot, norm
 from ..sources.registry import load_table
 from .spec import QuerySpec
 
@@ -42,7 +42,7 @@ def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
     score = dot/(na*nb) is arithmetically the very expression cosine()
     builds, so results stay bit-identical to the per-pair form and to
     the DuckDB oracles (measured ~1.6× on the brute-force ANN)."""
-    return df.withColumn(out, F.sqrt(dot(F.col(vec), F.col(vec))))
+    return df.withColumn(out, norm(F.col(vec)))
 _rng = random.Random(7)
 # deterministic pseudo-random hyperplanes (box-muller from seeded uniform)
 _HYPERPLANES: list[list[float]] = [
@@ -207,7 +207,7 @@ ranked AS (
   SELECT query_id, neighbor_id, score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored)
+  FROM scored WHERE score IS NOT NULL)
 SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10
 """
@@ -397,7 +397,7 @@ ranked AS (
   SELECT query_id, neighbor_id, score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored)
+  FROM scored WHERE score IS NOT NULL)
 SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10
 """
@@ -726,10 +726,21 @@ scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
 ranked AS (SELECT query_id, neighbor_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, neighbor_id) AS rank
-           FROM scored)
+           FROM scored WHERE score IS NOT NULL)
 SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10
 """
+
+
+def _int8_scale(v):
+    """Per-vector symmetric int8 scale: max|x|/127 floored at 1e-12 —
+    ONE definition shared by the storage op and its oracle-checked
+    projection (r13 review: two hand-maintained copies meant editing
+    the floor or divisor in one silently desynced the other while the
+    check kept passing)."""
+    return F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    ) / F.lit(127.0)
 
 
 def embedding_quantize_int8(spark, sf_dir):
@@ -740,9 +751,7 @@ def embedding_quantize_int8(spark, sf_dir):
     acceptable off the query hot path; the scan cost is write-time.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
-    scale = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
-    ) / F.lit(127.0)
+    scale = _int8_scale(v)
     return emb.select(
         "vec_id",
         scale.alias("scale"),
@@ -757,9 +766,7 @@ def embedding_quantize_int8_check(spark, sf_dir):
     so the quantized codes match bit-for-bit cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
-    scale = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
-    ) / F.lit(127.0)
+    scale = _int8_scale(v)
     q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
     return emb.select(
         "vec_id",
@@ -952,9 +959,21 @@ def embedding_pca_power_iteration(spark, sf_dir, iters: int = 3):
             .collect()
         )
         w = {r["dim"]: int(r["w"]) for r in w_rows}
-        if not w:  # empty corpus → no dims to iterate (oracle: empty)
-            break
+        if not w:
+            # empty corpus: the oracle's CTE chain is empty end-to-end
+            # and returns ZERO rows — returning the all-ones start
+            # vector here claimed a parity that didn't exist (r13
+            # review)
+            return spark.createDataFrame([], "dim long, loading double")
         mx = float(max(abs(x) for x in w.values()))
+        if mx == 0.0:
+            # all-zero corpus: the oracle's 0/0 normalization is NULL
+            # and stays NULL through the remaining unrolled steps —
+            # mirror it instead of raising ZeroDivisionError (r13
+            # review)
+            return spark.createDataFrame(
+                [(j, None) for j in range(DIM)], "dim long, loading double"
+            )
         v = [_round_half_away(float(w[j]) / mx * 1e6) for j in range(DIM)]
     return spark.createDataFrame(
         [(j, v[j] / 1e6) for j in range(DIM)], "dim long, loading double"

@@ -318,12 +318,11 @@ def text_word_entropy(spark, sf_dir):
     (token histogram, then per-doc fold); memory bounded by per-doc
     distinct terms. Docs with zero tokens drop out in both engines
     (explode/unnest of an empty match list)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("term"),
+    from .tokenbase import token_frame
+
+    # shared tokenized frame (r13 review) — same '[a-z]+' contract
+    toks = token_frame(spark, sf_dir).select(
+        "doc_id", F.explode("arr").alias("term")
     )
     tc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     per_doc = tc.groupBy("doc_id").agg(

@@ -246,3 +246,36 @@ def test_agg_approx_band_is_a_real_instrument(spark):
         assert lo <= r["ap50"] <= hi  # real sketch passes
         assert not (lo <= 0.0 <= hi)  # garbage value fails
         assert not (lo <= 10 * r["mean_p"] <= hi)
+
+
+def test_pca_degenerate_corpora(spark, tmp_path):
+    """r13 review: empty corpus → zero rows (oracle parity); all-zero
+    corpus → 64 NULL loadings (the oracle's 0/0 normalization is NULL),
+    not ZeroDivisionError."""
+    from pyspark.sql import Row
+
+    from data_iceberg_sandbox_spark.operators.similarity import (
+        DIM,
+        embedding_pca_power_iteration,
+    )
+
+    sf_a = str(tmp_path / "pca_empty")
+    os.makedirs(sf_a, exist_ok=True)
+    pin_table(
+        spark, sf_a, "embeddings",
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
+    )
+    assert embedding_pca_power_iteration(spark, sf_a).count() == 0
+
+    sf_b = str(tmp_path / "pca_zero")
+    os.makedirs(sf_b, exist_ok=True)
+    pin_table(
+        spark, sf_b, "embeddings",
+        spark.createDataFrame(
+            [Row(vec_id=i, embedding=[0.0] * DIM) for i in range(3)],
+            "vec_id bigint, embedding array<float>",
+        ),
+    )
+    rows = embedding_pca_power_iteration(spark, sf_b).collect()
+    assert len(rows) == DIM
+    assert all(r["loading"] is None for r in rows)
