@@ -626,8 +626,14 @@ def d_scd2_asof_lookup(spark, sf_dir):
         )
         .alias("as_of"),
     )
+    # Size-gated hint (r13 review, the q8 fix class): the SCD2 history
+    # is CUSTOMER-scaled (~1.33x |customer| rows), not dimension-sized —
+    # past the cap the join runs unhinted (key equi-join with residual
+    # temporal filters) so AQE can pick a shuffle join at SF100+.
+    from .tpch import _bcast_if_small
+
     j = o.join(
-        F.broadcast(hist),
+        _bcast_if_small(hist, sf_dir, "customer"),
         (o.o_custkey == hist.id)
         & (F.col("as_of") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to"))),

@@ -80,14 +80,20 @@ def ks_test_value_dist(spark, sf_dir):
     headroom: c1·N2 ≤ N1·N2 < 2^63 for samples up to ~3e9 rows each."""
     g = _value_grain_counts(spark, sf_dir, "purchase", "click")
     cum = W.orderBy("v_fp").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = g.select(
+    # totals ride the SAME single-partition window pass as an
+    # unbounded frame (r13 review): the old totals branch re-aggregated
+    # g through a crossJoin, instantiating the fact-wide value-grain
+    # subtree twice in the plan — the duplicate-subtree-across-crossJoin
+    # pattern AQE exchange reuse does not reliably merge
+    full = W.orderBy("v_fp").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    joined = g.select(
         F.sum("n1").over(cum).alias("c1"),
         F.sum("n2").over(cum).alias("c2"),
+        F.sum("n1").over(full).alias("n1_total"),
+        F.sum("n2").over(full).alias("n2_total"),
     )
-    totals = g.agg(
-        F.sum("n1").alias("n1_total"), F.sum("n2").alias("n2_total")
-    )
-    joined = c.crossJoin(F.broadcast(totals))
     row = joined.agg(
         F.max("n1_total").alias("n1_total"),
         F.max("n2_total").alias("n2_total"),

@@ -205,16 +205,23 @@ DYADIC_WMA_ORACLE = _dyadic_wma_oracle()
 
 
 # Value tiers for the interval join: arbitrary-width, half-open [lo, hi).
-# Together they cover the events.value domain; non-overlapping, so each
-# event lands in exactly one tier.
+# Non-overlapping and EXHAUSTIVE: the top tier is open-ended (r13
+# review — the old 500.0 cap silently dropped real events, max value
+# 560.21 at sf1, from every tier on BOTH engines, so the oracle could
+# never catch the loss; the same silent-drop class audience_overlap
+# guards fail-loud).
 VALUE_TIERS: list[tuple[str, float, float]] = [
     ("micro", 0.0, 25.0),
     ("small", 25.0, 75.0),
     ("mid", 75.0, 150.0),
     ("large", 150.0, 300.0),
-    ("whale", 300.0, 500.0),
+    ("whale", 300.0, float("inf")),
 ]
 _BUCKET_W = 25.0
+# quantization cap for the open top tier: fact buckets clamp here, so
+# every value ≥ CAP·width lands in the top tier's last bucket and the
+# exact residual [lo, ∞) filter admits it
+_CAP_BUCKET = 20
 
 
 def interval_join_value_tiers(spark, sf_dir):
@@ -237,26 +244,29 @@ def interval_join_value_tiers(spark, sf_dir):
 
     Determinism: tier boundaries and floor(value / width) are exact
     doubles both engines; money sums ride scale-2 BIGINT."""
+    import math
+
     ev = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        VALUE_TIERS, schema="tier string, lo double, hi double"
-    )
-    tier_buckets = tiers.select(
-        "tier",
-        "lo",
-        "hi",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("lo") / _BUCKET_W).cast("int"),
-                F.floor(F.col("hi") / _BUCKET_W).cast("int"),
-            )
-        ).alias("bucket"),
+    # bucket list built driver-side (5 bounded tiers): the open top
+    # tier enumerates up to the clamp bucket instead of floor(inf/w)
+    bucket_rows = [
+        (t, lo, hi, b)
+        for t, lo, hi in VALUE_TIERS
+        for b in range(
+            int(lo // _BUCKET_W),
+            (_CAP_BUCKET if math.isinf(hi) else int(hi // _BUCKET_W)) + 1,
+        )
+    ]
+    tier_buckets = spark.createDataFrame(
+        bucket_rows, schema="tier string, lo double, hi double, bucket int"
     )
     facts = ev.select(
         "user_id",
         "value",
         fixed("value").alias("vfp"),
-        F.floor(F.col("value") / _BUCKET_W).cast("int").alias("bucket"),
+        F.least(
+            F.floor(F.col("value") / _BUCKET_W), F.lit(_CAP_BUCKET)
+        ).cast("int").alias("bucket"),
     )
     joined = facts.join(F.broadcast(tier_buckets), "bucket").filter(
         (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
@@ -279,7 +289,12 @@ def interval_join_value_tiers(spark, sf_dir):
     )
 
 
-_TIER_VALUES = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in VALUE_TIERS)
+_TIER_VALUES = ", ".join(
+    "('{}', {}, {})".format(
+        t, lo, "CAST('infinity' AS DOUBLE)" if hi == float("inf") else hi
+    )
+    for t, lo, hi in VALUE_TIERS
+)
 
 INTERVAL_TIERS_ORACLE = f"""
 WITH tiers(tier, lo, hi) AS (VALUES {_TIER_VALUES})
@@ -783,56 +798,69 @@ def session_length_quantiles(spark, sf_dir, gap_minutes: int = 60):
         )
     )
     qs = [25, 50, 75, 90, 99]
-
-    def metric_quantiles(col, label):
-        hist = sess.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-        h = hist.select(
-            "v",
-            F.sum("cnt").over(cum).alias("c"),
-            F.sum("cnt").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
-        )
-        quants = spark.createDataFrame([(p,) for p in qs], "pct int")
-        j = h.crossJoin(F.broadcast(quants))
-        # rank r = (n-1)*pct/100; lo = value at floor(r)+1-th row,
-        # hi = value at ceil(r)+1-th row (0-indexed ranks over sorted rows)
-        # ceil as (a+99) div 100: non-negative operands, so Spark's
-        # truncating `div` and DuckDB's flooring `//` agree (the
-        # -floor(-x) trick would NOT — trunc != floor on negatives)
-        lo_rank = F.expr("(n - 1) * pct div 100")
-        hi_rank = F.expr("((n - 1) * pct + 99) div 100")
-        lo = j.filter(F.col("c") >= lo_rank + 1).groupBy("pct").agg(
-            F.min("v").alias("v_lo")
-        )
-        hi = j.filter(F.col("c") >= hi_rank + 1).groupBy("pct").agg(
-            F.min("v").alias("v_hi")
-        )
-        # session count rides on every h row (the frame-wide window sum)
-        # — aggregating it avoids a SECOND full sessionization pass just
-        # for the count (r12 review)
-        nn = h.agg(F.max("n").alias("n"))
-        frac = (
-            ((F.col("n") - 1) * F.col("pct") % 100).cast("double") / F.lit(100.0)
-        )
-        return (
-            lo.join(hi, "pct")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                F.lit(label).alias("metric"),
-                "pct",
-                F.round(
-                    F.col("v_lo").cast("double")
-                    + frac
-                    * (F.col("v_hi") - F.col("v_lo")).cast("double"),
-                    6,
-                ).alias("value"),
+    # ONE sessionization pass feeds BOTH metrics (r13 review: the old
+    # per-metric closure embedded the full user-shuffle + window
+    # sessionization subtree twice — the exact class the r12 fix below
+    # removed for the session COUNT). Each session row explodes to
+    # (metric, v); histograms build at (metric, value) grain and every
+    # later window partitions by metric, so the fact-wide work runs
+    # once and the added exchange carries 2 rows per session.
+    mv = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("duration_sec").alias("metric"),
+                    F.col("duration_sec").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("n_events").alias("metric"),
+                    F.col("n_events").cast("long").alias("v"),
+                ),
             )
-        )
-
-    return metric_quantiles("duration_sec", "duration_sec").unionByName(
-        metric_quantiles("n_events", "n_events")
+        ).alias("mv")
+    ).select("mv.metric", "mv.v")
+    hist = mv.groupBy("metric", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = (
+        W.partitionBy("metric").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    )
+    full = W.partitionBy("metric").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    h = hist.select(
+        "metric",
+        "v",
+        F.sum("cnt").over(cum).alias("c"),
+        # session count rides on every h row (the frame-wide window sum)
+        # — avoids a separate full sessionization pass just for the
+        # count (r12 review)
+        F.sum("cnt").over(full).alias("n"),
+    )
+    quants = spark.createDataFrame([(p,) for p in qs], "pct int")
+    j = h.crossJoin(F.broadcast(quants))
+    # rank r = (n-1)*pct/100; lo = value at floor(r)+1-th row,
+    # hi = value at ceil(r)+1-th row (0-indexed ranks over sorted rows)
+    # ceil as (a+99) div 100: non-negative operands, so Spark's
+    # truncating `div` and DuckDB's flooring `//` agree (the
+    # -floor(-x) trick would NOT — trunc != floor on negatives)
+    lo_rank = F.expr("(n - 1) * pct div 100")
+    hi_rank = F.expr("((n - 1) * pct + 99) div 100")
+    lo = j.filter(F.col("c") >= lo_rank + 1).groupBy("metric", "pct").agg(
+        F.min("v").alias("v_lo"), F.max("n").alias("n")
+    )
+    hi = j.filter(F.col("c") >= hi_rank + 1).groupBy("metric", "pct").agg(
+        F.min("v").alias("v_hi")
+    )
+    frac = (
+        ((F.col("n") - 1) * F.col("pct") % 100).cast("double") / F.lit(100.0)
+    )
+    return lo.join(hi, ["metric", "pct"]).select(
+        "metric",
+        "pct",
+        F.round(
+            F.col("v_lo").cast("double")
+            + frac * (F.col("v_hi") - F.col("v_lo")).cast("double"),
+            6,
+        ).alias("value"),
     )
 
 

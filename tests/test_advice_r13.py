@@ -279,3 +279,33 @@ def test_pca_degenerate_corpora(spark, tmp_path):
     rows = embedding_pca_power_iteration(spark, sf_b).collect()
     assert len(rows) == DIM
     assert all(r["loading"] is None for r in rows)
+
+
+def test_interval_tiers_cover_values_past_old_cap(spark, tmp_path):
+    """r13 review: values >= 500 (real data reaches 560.21) were
+    silently dropped from every tier on BOTH engines; the top tier is
+    now open-ended and the fact bucket clamps into it."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from data_iceberg_sandbox_spark.operators.timeseries import (
+        interval_join_value_tiers,
+    )
+
+    sf_fake = str(tmp_path / "tiers_sf")
+    os.makedirs(sf_fake, exist_ok=True)
+    ts = datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=ts, user_id=1, event_type="click", value=10.0, props="{}"),
+            Row(event_id=2, ts=ts, user_id=2, event_type="click", value=499.99, props="{}"),
+            Row(event_id=3, ts=ts, user_id=3, event_type="click", value=560.21, props="{}"),
+            Row(event_id=4, ts=ts, user_id=4, event_type="click", value=1e6, props="{}"),
+        ]
+    )
+    pin_table(spark, sf_fake, "events", ev)
+    got = {r["tier"]: r["n_events"] for r in interval_join_value_tiers(spark, sf_fake).collect()}
+    assert got.get("whale") == 3  # 499.99, 560.21, 1e6 all counted
+    assert got.get("micro") == 1
+    assert sum(got.values()) == 4  # exhaustive: nothing silently dropped
