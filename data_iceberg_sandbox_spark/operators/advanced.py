@@ -109,8 +109,6 @@ def cube_counts(spark, sf_dir):
     # (verified at sf10) and measured 1.9 s → 0.65 s for the fact agg
     # (r13): the decimal sum leaves the primitive codegen fast path.
     # Headroom: grand total ≈ qty·1e4·rows ≈ 1.5e15 at 6e9 rows.
-    from ..functions.money import fixed, unscale
-
     base = li.groupBy(
         F.coalesce(F.col("l_returnflag"), F.lit(SENT)).alias("l_returnflag"),
         F.coalesce(F.col("l_linestatus"), F.lit(SENT)).alias("l_linestatus"),
@@ -376,9 +374,14 @@ def asof_merge_pandas(spark, sf_dir):
         "o_orderkey",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
-    both = ev.unionByName(orders).repartition(
-        spark.sparkContext.defaultParallelism, F.col("user_id")
-    )
+    # Connect-safe parallelism (r13 review: .sparkContext raises on
+    # Spark Connect sessions — the same hardening the registry and the
+    # kafka gate already carry)
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Connect: fall back to the session shuffle size
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    both = ev.unionByName(orders).repartition(par, F.col("user_id"))
 
     def merge(batches):
         pdf = pd.concat(list(batches), ignore_index=True)
@@ -1212,8 +1215,16 @@ def cms_heavy_hitters(spark, sf_dir, topk: int = 20):
         f"WHEN i = {i} THEN {_cms_bucket_sql('user_id', i)}"
         for i in range(_CMS_D)
     )
+    # localCheckpoint, not cache (r13 review): this spec is memo=False,
+    # so every call re-built and re-pinned a fresh cached copy that
+    # only the context cleaner would eventually release; the eager
+    # checkpoint serves the same three subtree reads (sketch, top,
+    # probes) and its blocks free deterministically when the returned
+    # frame is dropped.
     per_user = (
-        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")).cache()
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=True)
     )
     rows = per_user.select(
         "user_id",
@@ -1286,8 +1297,19 @@ def events_retention_cohorts(spark, sf_dir):
     not countDistinct. Cohort sizes need no separate pass either:
     every user is active in their own first week, so cohort_size IS
     the offset-0 cell, self-joined on the tiny cells frame."""
+    # ABSOLUTE week index — days since epoch-Monday div 7 — not bare
+    # weekofyear (r13 review): week numbers restart every ISO year, so
+    # a corpus spanning a year boundary cohorted December-W1-of-next-
+    # ISO-year users as week 1 and collapsed same-numbered weeks of
+    # different years into one "active week", silently inflating
+    # retention on BOTH engines (oracle replayed the same formula).
+    # 1970-01-05 is a Monday; date_trunc('week') → Monday on both.
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.weekofyear("ts").alias("wk")
+        "user_id",
+        F.expr(
+            "datediff(CAST(date_trunc('week', ts) AS DATE), "
+            "DATE '1970-01-05') div 7"
+        ).alias("wk"),
     )
     per_user = ev.groupBy("user_id").agg(F.collect_set("wk").alias("wks"))
     cells = (
@@ -1411,7 +1433,10 @@ FROM scored
 
 RETENTION_COHORTS_ORACLE = """
 WITH active AS (
-  SELECT DISTINCT user_id, weekofyear(ts) AS wk FROM events),
+  SELECT DISTINCT user_id,
+         (CAST(date_trunc('week', ts) AS DATE) - DATE '1970-01-05') // 7
+           AS wk
+  FROM events),
 first_wk AS (
   SELECT user_id, min(wk) AS cohort_wk FROM active GROUP BY 1),
 cells AS (
@@ -1688,7 +1713,7 @@ def mad_robust_stats(spark, sf_dir):
     O(group size) — kept only as the escape-hatch exemplar.)"""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("v_fp"),
+        fixed("value").alias("v_fp"),
     )
     hist = ev.groupBy("event_type", "v_fp").agg(F.count(F.lit(1)).alias("cnt"))
     med = _histogram_median(hist, "v_fp", "m")
@@ -1741,7 +1766,7 @@ def mad_robust_stats_pandas(spark, sf_dir):
         load_table(spark, sf_dir, "events")
         .select(
             "event_type",
-            F.round(F.col("value") * 100).cast("bigint").alias("v_fp"),
+            fixed("value").alias("v_fp"),
         )
         .groupBy("event_type", "v_fp")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1810,7 +1835,7 @@ def trend_daily_slope(spark, sf_dir):
     x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast(
         "bigint"
     )
-    y_fp = F.round(F.col("value") * 100).cast("bigint")
+    y_fp = fixed("value")
     s = ev.select(
         "event_type", x.alias("x"), y_fp.alias("y_fp")
     ).groupBy("event_type").agg(
@@ -1864,7 +1889,7 @@ def events_time_weighted_avg(spark, sf_dir):
     us = F.unix_micros(F.col("ts"))
     seq = ev.select(
         "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("vfp"),
+        fixed("value").alias("vfp"),
         (F.lead(us).over(w) - us).alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
     dec = "decimal(38,0)"
@@ -2085,9 +2110,13 @@ def sketch_rollup_distinct_users(spark, sf_dir):
         "event_type",
         "user_id",
     )
+    # sketch ONLY in this aggregate (r13 review: a dead
+    # countDistinct rode here unconsumed — column pruning happened to
+    # drop it, but any future reference would materialize the mixed
+    # distinct+ObjectAgg Expand shape agg_approx documents as a 600 s
+    # freeze; the exact counts come from exact_day below)
     daily = ev.groupBy("day", "event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
-        F.countDistinct("user_id").alias("exact_users"),
     )
     per_day = daily.groupBy("day").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),

@@ -416,8 +416,6 @@ def agg_stats(spark, sf_dir):
     recorded with the four alternatives above. Shuffle: ~186 rows
     (3 flags × ~62 buckets), each a 4 KB bitmap. The one-pass Expand
     surface stays exercised by `multi_distinct_agg`."""
-    from ..functions.money import fixed, unscale
-
     li = load_table(spark, sf_dir, "lineitem")
     lvl1 = li.groupBy(
         "l_returnflag",

@@ -219,12 +219,24 @@ def encode_transactions(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            vals = [
-                encode_transaction(
-                    c, Decimal(str(a)), int(t.value // 1000)
+            vals = []
+            for c, a, t in zip(pdf["card_id"], pdf["amount"], pdf["ts"]):
+                # fail LOUDLY on unencodable rows (r13 review — the
+                # symmetric twin of the r12 decode tombstone guard):
+                # None.encode / Decimal('None') would kill the stream
+                # with an opaque task error, and a NaT timestamp would
+                # not error at all — t.value is the NaT sentinel
+                # -2^63, silently encoding a year-290301-BC instant.
+                if c is None or a is None or pd.isna(t):
+                    raise ValueError(
+                        "encode_transactions: null card_id/amount/ts "
+                        f"in ({c!r}, {a!r}, {t!r}) — the transaction "
+                        "schema has no null branches; filter or "
+                        "tombstone upstream"
+                    )
+                vals.append(
+                    encode_transaction(c, Decimal(str(a)), int(t.value // 1000))
                 )
-                for c, a, t in zip(pdf["card_id"], pdf["amount"], pdf["ts"])
-            ]
             yield pd.DataFrame({"value": vals})
 
     return df.select("card_id", "amount", "ts").mapInPandas(

@@ -31,7 +31,13 @@ def generate_clients(
     deterministic hash-derived name/age → the reference's derived-column
     chain (category buckets, birth year, audit timestamps;
     create_table.py:46-60). Same id always yields the same row."""
-    rng = spark.range(from_id, to_id, 1, partitions or spark.sparkContext.defaultParallelism)
+    if partitions is None:
+        # Connect-safe (r13 review): .sparkContext raises on Connect
+        try:
+            partitions = spark.sparkContext.defaultParallelism
+        except Exception:
+            partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    rng = spark.range(from_id, to_id, 1, partitions)
     h = F.abs(F.xxhash64(F.col("id")))
     name = F.element_at(
         F.array(*[F.lit(n) for n in NAMES]), (h % len(NAMES) + 1).cast("int")

@@ -110,8 +110,14 @@ def kafka_sink(
     topic: str,
     checkpoint: str,
     avro_schema_json: str | None = None,
+    schema_id: int = 1,
 ):
-    """S13 streaming sink → Kafka (optionally Avro-encoded)."""
+    """S13 streaming sink → Kafka (optionally Avro-encoded).
+
+    ``schema_id`` is the Confluent-frame id to stamp — a real
+    registry-backed deployment passes the id the registry assigned for
+    this subject/schema (the local default 1 matches the repo's own
+    decoder and broker-free tests)."""
     spark = df.sparkSession
     if not kafka_available(spark):
         raise ConnectorUnavailable(
@@ -128,14 +134,20 @@ def kafka_sink(
 
         # preserve Kafka keying (a `key` column keeps per-key partition
         # ordering — the reference pipeline partitions by card) and emit
-        # the Confluent frame (magic 0x00 + schema id 1) so this sink's
+        # the Confluent frame (magic 0x00 + schema id) so this sink's
         # payloads round-trip through the repo's own decoder and any
         # registry-aware consumer (r12 review: the old form dropped the
-        # key and wrote unframed bodies)
+        # key and wrote unframed bodies). The DECLARED schema is passed
+        # to to_avro (r13 review): without it Spark infers a writer
+        # schema from the frame — nullable columns become Avro unions
+        # with a branch varint the declared-schema reader misparses as
+        # data, silently corrupting every field after the first
+        # nullable one.
         payload_cols = [c for c in df.columns if c != "key"]
+        frame_header = bytes([0]) + int(schema_id).to_bytes(4, "big")
         value = F.concat(
-            F.lit(bytes([0, 0, 0, 0, 1])),
-            to_avro(F.struct(*payload_cols)),
+            F.lit(frame_header),
+            to_avro(F.struct(*payload_cols), avro_schema_json),
         ).alias("value")
         if "key" in df.columns:
             out = df.select(F.col("key").cast("binary").alias("key"), value)
