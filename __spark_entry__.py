@@ -41,20 +41,19 @@ def _all_specs():
         "stats_tests",
         "insights",
     ):
-        try:
-            mod = __import__(
-                f"data_iceberg_sandbox_spark.operators.{mod_name}",
-                fromlist=["SPECS"],
-            )
-            specs += list(mod.SPECS)
-        except ImportError:
-            pass
-    try:
-        from data_iceberg_sandbox_spark.streaming import specs as streaming_specs
+        # fail LOUD (r13 review): all twelve modules are mandatory, and
+        # the old `except ImportError: pass` silently removed a
+        # module's entire spec family from queries()/oracle_sql()/bench
+        # on any transitive import typo — the driver then reported
+        # green on a shrunken surface with no error anywhere
+        mod = __import__(
+            f"data_iceberg_sandbox_spark.operators.{mod_name}",
+            fromlist=["SPECS"],
+        )
+        specs += list(mod.SPECS)
+    from data_iceberg_sandbox_spark.streaming import specs as streaming_specs
 
-        specs += list(streaming_specs.SPECS)
-    except ImportError:
-        pass
+    specs += list(streaming_specs.SPECS)
     return specs
 
 

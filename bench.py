@@ -48,7 +48,9 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # anchored float pattern (r13 review: [0-9.]+ admitted 'sf.cache' /
+    # 'sf1.0.bak' whose group crashed float() before any timing)
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
     import __spark_entry__ as entry_mod
@@ -58,6 +60,14 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset:  # comma-separated override for quick/partial runs
         headline = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in headline if n not in queries]
+        if unknown:
+            # fail LOUD (r13 review): a typo'd override used to bench
+            # nothing and exit 0 with a vacuously green record
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in the registry: "
+                f"{unknown}"
+            )
     names = [n for n in headline if n in queries]
     if "--self-test-broken" in sys.argv:
         # prove fault isolation end-to-end: a query that always raises

@@ -65,11 +65,21 @@ def histogram_rank(
     (min, max, count) to size the cell width — the same metadata-collect
     class as the ANN query-vector lookups."""
     d = df.withColumn("__key", key.cast("long"))
-    mn, mx, total = d.agg(
-        F.min("__key"), F.max("__key"), F.count(F.lit(1))
+    mn, mx, total, n_keys = d.agg(
+        F.min("__key"), F.max("__key"), F.count(F.lit(1)), F.count("__key")
     ).collect()[0]
     if total == 0:
         return df.withColumn(out, F.lit(None).cast("long")), 0
+    if n_keys != total:
+        # fail LOUD (r13 review): a NULL key would get a NULL cell and
+        # the offset pickup's null-rejecting equi-join would silently
+        # DROP the row while `total` still counted it — downstream
+        # ntile bucket boundaries would then be wrong with no error.
+        # Rides the same 1-row metadata collect; no extra action.
+        raise ValueError(
+            f"histogram_rank: {total - n_keys} NULL sort key(s); the "
+            "key must be non-null (coalesce or filter upstream)"
+        )
     width = (mx - mn) // target_cells + 1  # ≥ 1; ≤ target_cells+1 cells
     # integer div, not float floor: keys near 2^63 would lose exactness
     # through a double and could land a boundary row in the wrong cell

@@ -25,14 +25,45 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _bracket_list(text: str, label: str) -> list[str]:
+    """Parse `label: [ ... ]` entries with BRACKET-AWARE scanning and
+    top-level comma splits (r13 review: the old non-greedy `\[(.*?)\]`
+    truncated at the first ']' INSIDE a filter — an
+    `In(col, [a,b])` entry was cut mid-list and every filter after it
+    silently vanished, so pushdown assertions passed/failed on
+    garbage fragments)."""
+    out: list[str] = []
+    needle = label + ": ["
+    i = 0
+    while True:
+        j = text.find(needle, i)
+        if j < 0:
+            return out
+        depth, pdepth, k = 1, 0, j + len(needle)
+        start = k
+        parts: list[str] = []
+        while k < len(text) and depth:
+            ch = text[k]
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif ch == "(":
+                pdepth += 1
+            elif ch == ")":
+                pdepth -= 1
+            elif ch == "," and depth == 1 and pdepth == 0:
+                parts.append(text[start:k])
+                start = k + 1
+            k += 1
+        parts.append(text[start : k - 1])
+        out.extend(x.strip() for x in parts if x.strip())
+        i = k
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries across all scans in the plan."""
-    text = formatted_plan(df)
-    out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[(.*?)\]", text):
-        if m.group(1).strip():
-            out.extend(p.strip() for p in m.group(1).split(","))
-    return out
+    return _bracket_list(formatted_plan(df), "PushedFilters")
 
 
 def read_schemas(df: DataFrame) -> list[str]:
@@ -41,7 +72,8 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+    p = physical_plan(df)  # render once, not twice (r13 review)
+    return "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
 def has_sort_merge_join(df: DataFrame) -> bool:
@@ -49,7 +81,25 @@ def has_sort_merge_join(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges planned (before AQE reuse)."""
+    """Number of SHUFFLE exchanges planned (before AQE reuse) — hash,
+    range, and single-partition alike (r13 review: counting only
+    hashpartitioning let a 'must not shuffle' assertion pass on a plan
+    that range-partitions for a global sort). BroadcastExchange is a
+    broadcast build, not a shuffle, and is excluded."""
+    return len(
+        re.findall(
+            r"(?<!Broadcast)Exchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition)",
+            physical_plan(df),
+        )
+    )
+
+
+def hash_exchange_count(df: DataFrame) -> int:
+    """Hash-partitioned shuffle exchanges only — the data-scaled kind
+    the 'ONE fact exchange' plan contracts count (a scalar aggregate's
+    SinglePartition exchange carries per-partition partials, not the
+    fact)."""
     return len(re.findall(r"\bExchange hashpartitioning", physical_plan(df)))
 
 
@@ -68,9 +118,4 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def partition_filters(df: DataFrame) -> list[str]:
-    text = formatted_plan(df)
-    return [
-        m.group(1)
-        for m in re.finditer(r"PartitionFilters: \[(.*?)\]", text)
-        if m.group(1).strip()
-    ]
+    return _bracket_list(formatted_plan(df), "PartitionFilters")

@@ -15,6 +15,8 @@ Not a sandbox: this guards the query surface, not the filesystem.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -75,8 +77,13 @@ class AccessController:
         return out
 
 
-def mask_string(prefix_keep: int = 0) -> Column:
-    """Common masking expression: keep a prefix, redact the rest."""
+def mask_string(prefix_keep: int = 0) -> "Callable[[str], Column]":
+    """Masking expression FACTORY: returns a column-name → Column
+    callable (use as ``mask_string(8)("c_name")``). The annotation was
+    ``-> Column`` (r13 review), which invited
+    ``masks={"c_name": mask_string(8)}`` — a function where
+    TablePolicy.masks expects a Column, failing at view build with an
+    opaque py4j TypeError."""
 
     def apply(col: str) -> Column:
         c = F.col(col)

@@ -275,7 +275,18 @@ def test_partkey_correlates_are_single_exchange(spark):
             tpch2.q20_volume_share_suppliers,
         ):
             df = fn(spark, SF_ORACLE)
-            assert exchange_count(df) == 1, fn.__name__
+            # exactly one FACT-scaled (hash) exchange; a scalar
+            # subquery's bounded SinglePartition exchange is fine, a
+            # range exchange (global sort) is not (r13: exchange_count
+            # now counts every shuffle kind, so this contract names
+            # the kinds it means)
+            from data_iceberg_sandbox_spark.plans.inspect import (
+                hash_exchange_count,
+                physical_plan,
+            )
+
+            assert hash_exchange_count(df) == 1, fn.__name__
+            assert "rangepartitioning" not in physical_plan(df), fn.__name__
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
