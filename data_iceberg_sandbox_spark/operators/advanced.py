@@ -1025,7 +1025,13 @@ def json_extract_props(spark, sf_dir):
     unreferenced fields and keeps the extraction in codegen; ad-hoc
     ``get_json_object`` re-parses per call site) and aggregate the
     extracted value per event_type. Exact integer sums; the average is
-    one double division."""
+    one double division.
+
+    Parse-strategy floor (r13 A/B at sf10, warm medians): from_json
+    1.3 s ≈ variant_get(parse_json(...)) 1.35 s ≈ get_json_object
+    1.3 s — all three converge on the same JVM JSON-parse constant
+    factor, so the DuckDB gap on this row is the parser, not the plan;
+    the typed form stays for its schema pruning at wider schemas."""
     ev = load_table(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k INT").getField("k")
     return (
