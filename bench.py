@@ -11,6 +11,14 @@ result row into the ``noop`` sink — the standard Spark benchmark action;
 of pure harness overhead per query on this box). A warmup pass on
 sf0.001 first touches the JVM/codegen paths so per-query numbers
 reflect steady state.
+
+Medians protocol (r14): each query runs SPARK_GRAFT_BENCH_RUNS times
+(default 5, min 3) and the headline ``value`` is the sum of per-query
+MEDIANS; the full run arrays (Spark and DuckDB) plus a suite-level
+[sum-of-min, sum-of-max] spread band ship in the payload so a
+round-over-round ratio claim is only meaningful when it exceeds the
+recorded spread. BENCH_r01-r13's ``value`` was sum-of-best-of-3; the
+best-of view is kept under ``value_best_of_runs`` for continuity.
 """
 
 from __future__ import annotations
@@ -165,41 +173,62 @@ def main() -> None:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
 
-    # best-of-3: single-shot timings on a shared box are dominated by
-    # GC/scheduling noise; the min is the honest steady-state latency.
-    # Per-query try/except: one broken query must never abort the suite
-    # (BENCH_r04 lost ALL signal to a single erroring query).
+    # Medians protocol (VERDICT r13 #3): N runs per query (default 5),
+    # report the MEDIAN and keep the full run array in the payload so
+    # round-over-round ratio claims can be checked against the recorded
+    # spread instead of single-shot noise (r13's four captures of the
+    # same code spanned 1.40-1.66x — unanswerable at the margin). The
+    # min ("best") is still recorded for continuity with BENCH_r01-r13,
+    # whose `value` was sum-of-best-of-3. Per-query try/except: one
+    # broken query must never abort the suite (BENCH_r04 lost ALL
+    # signal to a single erroring query).
+    n_runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     times: dict[str, float] = {}
+    times_best: dict[str, float] = {}
+    runs_per_query: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     jobs_per_query: dict[str, int] = {}
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
     for n in names:
-        best = float("inf")
         group = f"bench:{n}"
         try:
             sc.setJobGroup(group, n)
             jobs_before_last = 0
-            for run in range(3):
-                if run == 2:
+            samples: list[float] = []
+            for run in range(n_runs):
+                if run == n_runs - 1:
                     # Steady-state job count = jobs of the LAST timed run
                     # only (id-diff). Run 1 can schedule extra one-time
                     # jobs (memoized plan-build collects, cache misses),
-                    # so dividing the group total by 3 silently floors —
-                    # and floor_decomposition_sec is a load-bearing
-                    # number in the 2x-gate argument.
+                    # so dividing the group total by n_runs silently
+                    # floors — and floor_decomposition_sec is a
+                    # load-bearing number in the 2x-gate argument.
                     jobs_before_last = len(tracker.getJobIdsForGroup(group))
                 t0 = time.perf_counter()
                 materialize(queries[n](spark, sf_dir))
                 dt = time.perf_counter() - t0
                 if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
                     print(f"  [run {run}] {n}: {dt:.3f}", file=sys.stderr)
-                best = min(best, dt)
-            times[n] = round(best, 4)
+                samples.append(dt)
+            runs_per_query[n] = [round(x, 4) for x in samples]
+            times[n] = round(_median(samples), 4)
+            times_best[n] = round(min(samples), 4)
             jobs_per_query[n] = (
                 len(tracker.getJobIdsForGroup(group)) - jobs_before_last
             )
         except Exception as e:  # noqa: BLE001 — isolate, report, continue
             errors[n] = f"{type(e).__name__}: {e}"[:300]
     sequential_total = round(sum(times.values()), 4)
+    sequential_best = round(sum(times_best.values()), 4)
+    # Conservative suite-level spread bound: sum of per-query minima /
+    # maxima. Any two captures of the same code should land inside it.
+    suite_min = round(sum(min(r) for r in runs_per_query.values()), 4)
+    suite_max = round(sum(max(r) for r in runs_per_query.values()), 4)
     total_jobs = sum(jobs_per_query.values())
     floor_total = round(floor_sec * total_jobs, 4)
     names = [n for n in names if n not in errors]
@@ -233,7 +262,9 @@ def main() -> None:
     # after the streaming/load phases have churned all cores), so the
     # spark/duckdb ratio is same-conditions.
     duckdb_sequential = None
+    duckdb_suite_min = duckdb_suite_max = None
     duckdb_queries: dict[str, float] = {}
+    duckdb_runs: dict[str, list[float]] = {}
     try:
         import duckdb
 
@@ -251,16 +282,24 @@ def main() -> None:
             if n not in oracles:
                 continue
             try:
-                best = float("inf")
-                for _ in range(3):
+                samples = []
+                for _ in range(n_runs):
                     t0 = time.perf_counter()
                     con.execute(oracles[n]).fetchall()
-                    best = min(best, time.perf_counter() - t0)
-                dtot += best
-                duckdb_queries[n] = round(best, 4)
+                    samples.append(time.perf_counter() - t0)
+                duckdb_runs[n] = [round(x, 4) for x in samples]
+                dmed = _median(samples)
+                dtot += dmed
+                duckdb_queries[n] = round(dmed, 4)
             except Exception:  # one broken oracle must not kill the ratio
                 pass
         duckdb_sequential = round(dtot, 4)
+        duckdb_suite_min = round(
+            sum(min(r) for r in duckdb_runs.values()), 4
+        )
+        duckdb_suite_max = round(
+            sum(max(r) for r in duckdb_runs.values()), 4
+        )
     except Exception:
         pass
 
@@ -316,10 +355,18 @@ def main() -> None:
         pass
 
     payload = {
-        "metric": "headline_suite_sec (sequential; concurrent wall in extras)",
+        "metric": (
+            "headline_suite_sec (sequential sum of per-query medians of "
+            f"{n_runs} runs; concurrent wall in extras)"
+        ),
         "value": sequential_total,
         "unit": "sec",
         "queries": times,
+        "runs_per_query_count": n_runs,
+        "query_runs": runs_per_query,
+        "queries_best": times_best,
+        "value_best_of_runs": sequential_best,
+        "suite_spread_sec": [suite_min, suite_max],
         "sf": sf,
         "concurrent_wall_sec": concurrent_wall,
         "concurrency": min(8, len(names) or 1),
@@ -334,6 +381,12 @@ def main() -> None:
         "batch_load_rows_per_sec": load_rows_per_sec,
         "duckdb_sequential_sec_same_sql": duckdb_sequential,
         "duckdb_queries": duckdb_queries or None,
+        "duckdb_query_runs": duckdb_runs or None,
+        "duckdb_suite_spread_sec": (
+            [duckdb_suite_min, duckdb_suite_max]
+            if duckdb_suite_min is not None
+            else None
+        ),
         # Methodology (timing action, concurrent-wall rationale, floor
         # decomposition, DuckDB comparison protocol): docs/BENCH_NOTES.md.
         "notes": "methodology: docs/BENCH_NOTES.md",

@@ -26,7 +26,7 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def _bracket_list(text: str, label: str) -> list[str]:
-    """Parse `label: [ ... ]` entries with BRACKET-AWARE scanning and
+    r"""Parse `label: [ ... ]` entries with BRACKET-AWARE scanning and
     top-level comma splits (r13 review: the old non-greedy `\[(.*?)\]`
     truncated at the first ']' INSIDE a filter — an
     `In(col, [a,b])` entry was cut mid-list and every filter after it

@@ -39,3 +39,16 @@ def test_bench_emits_full_json_despite_broken_query():
     assert d["value"] > 0 and d["unit"] == "sec"
     assert d["floor_sec_per_action"] > 0
     assert d["total_jobs"] >= 2
+    # medians protocol (VERDICT r13 #3): run arrays recorded, headline
+    # value = sum of per-query medians, spread band brackets it
+    n_runs = d["runs_per_query_count"]
+    assert n_runs >= 3
+    for q, runs in d["query_runs"].items():
+        assert len(runs) == n_runs
+        s = sorted(runs)
+        med = s[n_runs // 2] if n_runs % 2 else (s[n_runs // 2 - 1] + s[n_runs // 2]) / 2
+        assert abs(d["queries"][q] - med) < 1e-3
+        assert d["queries_best"][q] == min(runs)
+    lo, hi = d["suite_spread_sec"]
+    assert lo <= d["value"] <= hi + 1e-6
+    assert abs(d["value_best_of_runs"] - lo) < 1e-3
