@@ -593,17 +593,28 @@ def agg_approx(spark, sf_dir):
     arrays are monotone by construction — the assertion could never
     fire). Measured at sf10: 4.45 s → ~2.4 s fresh-plan.
 
-    The remaining ~6× DuckDB gap is a measured floor of honest
-    work-inequality, with the alternatives on record: the oracle emits
-    TRUE literals for both sketch assertions so DuckDB runs ONE exact
-    distinct (0.54 s), while Spark pays the exact distinct (bitmap
-    two-level form, r13 — ~1.3 s, vs 1.9 s packed-long and 3.8 s
-    two-column dedup) PLUS the sketch pass the query exists to
-    exercise.
-    Failed alternatives: rsd=0.005 HLL falls off codegen (4.1 s, see
-    above); co-planning distinct+sketch Expands to per-group HLL
-    buffers (600 s freeze, jstack'd r11); histogram-IQR grading costs
-    a third fact pass (the 2.2 s this rework removed)."""
+    The remaining ~5.3× DuckDB gap is a measured floor of honest
+    work-inequality (full component A/B: BENCH_AB_AGG_APPROX_R14.json,
+    sf10 pinned medians-of-3, single session): the oracle emits TRUE
+    literals for both sketch assertions so DuckDB runs ONE exact
+    distinct (0.546 s), while Spark's exact bitmap leg ALONE measures
+    1.749 s (1.898 s with moments riding it) — already 3.2× DuckDB's
+    whole query — plus the 1.416 s sketch pass the query exists to
+    exercise (HLL alone 0.585 s, percentile_approx alone 1.070 s,
+    sharing one scan). Composite median 2.906 s.
+    Failed alternatives, all measured in that artifact: moving the
+    moments onto the flag-grain sketch pass (lvl1 trimmed to bitmap
+    only) regresses to 3.539 s — three moment columns on the 60M-row
+    3-group ObjectHashAggregate cost more than riding lvl1's
+    32k-bucket grain; percentile_approx accuracy ladder is flat
+    (100/1000/10000 → 1.112/1.070/1.432 s — 1000 is the sweet spot;
+    long-cents input 1.156 s, no better). Previously rejected:
+    rsd=0.005 HLL falls off codegen (4.1 s, see above); co-planning
+    distinct+sketch Expands to per-group HLL buffers (600 s freeze,
+    jstack'd r11); histogram-IQR grading costs a third fact pass (the
+    2.2 s the r13 rework removed); packed-long exact distinct 1.9 s
+    and two-column dedup 3.8 s vs the bitmap form
+    (functions/distinct.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     # The sketches run in their OWN aggregation, never co-planned with
     # the COUNT(DISTINCT) rewrite: mixing them makes the partial stage
