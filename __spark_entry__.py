@@ -81,6 +81,12 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # r14 sweep: a CORRECTNESS file holding a JSON list/scalar
+            # (e.g. a truncated or error-payload round) raised
+            # AttributeError out of queries()/oracle_sql() — the driver
+            # then lost the ENTIRE surface to one malformed history file
+            continue
         for name, row in rows.items():
             seen.add(name)
             if (

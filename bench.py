@@ -293,13 +293,17 @@ def main() -> None:
                 duckdb_queries[n] = round(dmed, 4)
             except Exception:  # one broken oracle must not kill the ratio
                 pass
-        duckdb_sequential = round(dtot, 4)
-        duckdb_suite_min = round(
-            sum(min(r) for r in duckdb_runs.values()), 4
-        )
-        duckdb_suite_max = round(
-            sum(max(r) for r in duckdb_runs.values()), 4
-        )
+        if duckdb_queries:
+            duckdb_sequential = round(dtot, 4)
+            duckdb_suite_min = round(
+                sum(min(r) for r in duckdb_runs.values()), 4
+            )
+            duckdb_suite_max = round(
+                sum(max(r) for r in duckdb_runs.values()), 4
+            )
+        # else: every oracle errored — leave None rather than publish a
+        # 0.0 s "total" that reads as an infinite Spark slowdown
+        # (r14 sweep)
     except Exception:
         pass
 

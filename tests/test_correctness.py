@@ -39,4 +39,10 @@ def test_query_matches_oracle(spark, con, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
-    assert df.count() >= 0
+    # > 0, not >= 0 (r14 sweep): the old assert was vacuously true for
+    # any frame — a rows-only query that silently produced nothing would
+    # pass. The set is empty today (every query has an oracle); this
+    # guards the first future rows-only op against the green-on-empty
+    # class. A legitimately-empty-at-smoke-SF op must allowlist itself
+    # here with a reason, like EMPTY_OK in oracle_harness.
+    assert df.count() > 0, f"{name}: rows-only query returned 0 rows"

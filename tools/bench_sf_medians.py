@@ -180,7 +180,14 @@ def main() -> None:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    names = [n for n in QUERIES if n in queries]
+    missing = [n for n in QUERIES if n not in queries]
+    if missing:
+        # fail LOUD (r14 sweep): a renamed/deleted registry entry used to
+        # silently drop out of the capture — the suite total then shrank
+        # and read as "got faster" with no error anywhere (same class as
+        # the bench.py override bug fixed r13)
+        raise SystemExit(f"QUERIES names not in the registry: {missing}")
+    names = list(QUERIES)
 
     # 80g heap: with the default 48g, caching the sf10 tables leaves the
     # JVM under enough GC pressure that Spark medians spread 3x (q18:
@@ -264,27 +271,39 @@ def main() -> None:
             ratios.append(s_med / d_med)
         per_query[n] = row
 
+    # ratio_of_totals on the MATCHED subset only (r14 sweep): the old
+    # form divided the FULL spark total (including DUCK_SKIP /
+    # no-oracle rows) by the duckdb total of the subset that ran —
+    # a mixed-denominator stat that inflated the ratio against Spark
+    # by exactly the skipped rows' spark time.
+    matched_spark = round(
+        sum(v["spark_median"] for n, v in per_query.items() if n in duck_times),
+        2,
+    )
     payload = {
         "sf_dir": sf_dir,
         "runs": runs,
         "suite_spark_median_total": round(
             sum(v["spark_median"] for v in per_query.values()), 2
         ),
+        "suite_spark_median_total_matched": matched_spark,
         "suite_duckdb_median_total": round(
             sum(v.get("duckdb_median", 0) for v in per_query.values()), 2
         ),
         "ratio_of_totals": None,
-        "per_query_ratio_median": round(statistics.median(ratios), 2),
-        "per_query_ratio_geomean": round(
-            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 2
+        "per_query_ratio_median": (
+            round(statistics.median(ratios), 2) if ratios else None
+        ),
+        "per_query_ratio_geomean": (
+            round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 2)
+            if ratios
+            else None
         ),
         "per_query": per_query,
     }
     if payload["suite_duckdb_median_total"]:
         payload["ratio_of_totals"] = round(
-            payload["suite_spark_median_total"]
-            / payload["suite_duckdb_median_total"],
-            2,
+            matched_spark / payload["suite_duckdb_median_total"], 2
         )
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)

@@ -75,6 +75,16 @@ def main() -> None:
     ratios = [
         r["ratio_median"] for r in per_query.values() if r.get("ratio_median")
     ]
+    # matched subset (r14 sweep — see bench_sf_medians.py: the full spark
+    # total over the duckdb subset total was a mixed-denominator ratio)
+    matched_spark = round(
+        sum(
+            v["spark_median"]
+            for v in per_query.values()
+            if "duckdb_median" in v
+        ),
+        2,
+    )
     payload = {
         "note": f"captured in {n_chunks} fresh JVM sessions of ≤{chunk} "
         "queries each (see module docstring: single-session heap pressure "
@@ -85,6 +95,7 @@ def main() -> None:
         "suite_spark_median_total": round(
             sum(v["spark_median"] for v in per_query.values()), 2
         ),
+        "suite_spark_median_total_matched": matched_spark,
         "suite_duckdb_median_total": round(
             sum(v.get("duckdb_median", 0) for v in per_query.values()), 2
         ),
@@ -103,9 +114,7 @@ def main() -> None:
     }
     if payload["suite_duckdb_median_total"]:
         payload["ratio_of_totals"] = round(
-            payload["suite_spark_median_total"]
-            / payload["suite_duckdb_median_total"],
-            2,
+            matched_spark / payload["suite_duckdb_median_total"], 2
         )
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
