@@ -198,6 +198,14 @@ def main() -> None:
         group = f"bench:{n}"
         try:
             sc.setJobGroup(group, n)
+            # warm pass AT THE TARGET SF (r14): the sf0.001 warmup above
+            # compiles the small-SF plan, but the first sf0.1 execution
+            # still pays C2-JIT/codegen on the real-volume loops — the
+            # first capture under the medians protocol showed run 0 of
+            # EVERY query 2-20x slower than runs 1-4 (dedup_minhash 3.76s
+            # vs 0.16s steady). One untimed run makes the recorded run
+            # arrays steady-state, same protocol as tools/bench_sf_*.py.
+            materialize(queries[n](spark, sf_dir))
             jobs_before_last = 0
             samples: list[float] = []
             for run in range(n_runs):
@@ -282,6 +290,7 @@ def main() -> None:
             if n not in oracles:
                 continue
             try:
+                con.execute(oracles[n]).fetchall()  # warm (page cache/JIT)
                 samples = []
                 for _ in range(n_runs):
                     t0 = time.perf_counter()
