@@ -123,9 +123,25 @@ def gen(factor: int, out_dir: str) -> None:
     }
     for t, sql in shifted.items():
         out = os.path.join(out_dir, f"{t}.parquet")
+        # GEN_SF_RESUME=1: skip tables already fully written (non-empty
+        # file that parses) — a big-factor run killed mid-table can
+        # resume instead of re-paying the finished tables. The in-flight
+        # casualty is a 0-byte/corrupt file, which fails the probe and
+        # regenerates.
+        if (
+            os.environ.get("GEN_SF_RESUME")
+            and os.path.exists(out)
+            and os.path.getsize(out) > 0
+        ):
+            try:
+                n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+                print(f"{t}: {n} rows (resumed, already complete)")
+                continue
+            except Exception:
+                pass  # unreadable → regenerate
         con.execute(f"COPY ({sql}) TO '{out}' (FORMAT parquet)")
         n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
-        print(f"{t}: {n} rows -> {out}")
+        print(f"{t}: {n} rows -> {out}", flush=True)
 
 
 if __name__ == "__main__":
