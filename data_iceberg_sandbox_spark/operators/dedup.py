@@ -222,6 +222,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFram
     return harr.selectExpr("doc_id", *sig_exprs)
 
 
+def _band_keys(sigs: DataFrame, bands: int = _BANDS) -> DataFrame:
+    """(doc_id, bk=struct(band, key)) band-bucket keys of a signature
+    frame — the LSH index representation. Shared by the self-dedup pair
+    generator and the incremental batch-vs-index probe; at 100 TB this
+    frame IS what a standing corpus index persists (bucketed by `bk`)."""
+    r = 64 // bands
+    band_structs = ", ".join(
+        "struct({j} AS band, hash({cols}) AS key)".format(
+            j=j, cols=", ".join(f"mh{j * r + k}" for k in range(r))
+        )
+        for j in range(bands)
+    )
+    return sigs.selectExpr("doc_id", f"explode(array({band_structs})) AS bk")
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = _BANDS) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
@@ -232,14 +247,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = _BANDS) -> DataFrame:
     shuffle; a pathological hot bucket (huge near-dup cluster) is the
     same quadratic risk either way — cap bucket width upstream via
     `max_shingle_df`-style guards if a corpus needs it."""
-    r = 64 // bands
-    band_structs = ", ".join(
-        "struct({j} AS band, hash({cols}) AS key)".format(
-            j=j, cols=", ".join(f"mh{j * r + k}" for k in range(r))
-        )
-        for j in range(bands)
-    )
-    buckets = sigs.selectExpr("doc_id", f"explode(array({band_structs})) AS bk")
+    buckets = _band_keys(sigs, bands)
     grouped = (
         buckets.groupBy("bk")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -284,6 +292,118 @@ def dedup_minhash_lsh(spark, sf_dir, threshold: float = 0.5):
     )
     ds = _shingles_of(pruned).cache()
     return _jaccard_from_shingles(ds, threshold, candidates=cands)
+
+
+def dedup_incremental_lsh(spark, sf_dir, threshold: float = 0.5, mod: int = 10):
+    """Incremental dedup: probe a NEW document batch against the standing
+    corpus index without re-deduplicating the corpus (reference scope:
+    the append/upsert ingest loop of etl/src/apps — repeated loads into
+    a lakehouse — combined with SURVEY §2's dedup family; this is the
+    daily-increment shape every production corpus pipeline runs).
+
+    Split is deterministic so the DuckDB oracle can replay it:
+    doc_id % mod == 0 → today's batch (~10%); the rest is the standing
+    index. Plan shape, and why it is the 100 TB plan:
+
+    - Signatures are a zero-shuffle projection (minhash_signatures);
+      band keys via `_band_keys` — at scale the INDEX side of that frame
+      is persisted once as a (band, key, doc_id) table bucketed on the
+      key, so an increment never re-reads or re-shingles the corpus:
+      only O(batch × bands) band keys shuffle into the probe join.
+    - Candidates = batch band keys ⋈ index band keys on the full
+      struct(band, key) — same banding maths as dedup_minhash_lsh
+      (P(miss) bounds in its docstring apply per cross pair).
+    - Exact-Jaccard verification re-reads ONLY candidate docs (semi-join
+      prune before shingling, same discipline as dedup_minhash_lsh).
+    - Result: each batch doc with a near-dup in the index at
+      J ≥ threshold, with its best match (highest Jaccard, ties to the
+      lowest match_id — deterministic). Batch-internal duplicates are
+      the existing dedup_minhash_lsh problem and are out of scope here.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    is_batch = (F.col("doc_id") % mod) == 0
+    bk = _band_keys(sigs)
+    cands = (
+        bk.filter(is_batch)
+        .alias("b")
+        .join(bk.filter(~is_batch).alias("i"), "bk")
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("match_id"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cands.select("doc_id")
+        .union(cands.select("match_id"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    ds = _shingles_of(docs.join(cand_ids, "doc_id", "left_semi")).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        ds.filter(is_batch)
+        .alias("b")
+        .join(
+            ds.filter(~is_batch).alias("i"),
+            F.col("b.shingle") == F.col("i.shingle"),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("match_id"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .join(cands, ["doc_id", "match_id"], "left_semi")
+    )
+    nb = sizes.select(F.col("doc_id"), F.col("n_sh").alias("nb"))
+    ni = sizes.select(
+        F.col("doc_id").alias("match_id"), F.col("n_sh").alias("ni")
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("nb") + F.col("ni") - F.col("n_common")).cast("double"),
+        6,
+    )
+    scored = (
+        common.join(nb, "doc_id")
+        .join(ni, "match_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "match_id", "jaccard")
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS shingle
+       FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 1))) AS i) i),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+n AS (SELECT doc_id, count(*) n_sh FROM ds GROUP BY doc_id),
+common AS (SELECT b.doc_id AS doc_id, a.doc_id AS match_id, count(*) n_common
+           FROM ds b JOIN ds a ON b.shingle = a.shingle
+           WHERE b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0
+           GROUP BY 1, 2),
+j AS (SELECT doc_id, match_id,
+             round(n_common * 1.0 / (nb.n_sh + na.n_sh - n_common), 6) AS jaccard
+      FROM common
+      JOIN n nb USING (doc_id)
+      JOIN n na ON match_id = na.doc_id
+      WHERE round(n_common * 1.0 / (nb.n_sh + na.n_sh - n_common), 6) >= 0.5)
+SELECT doc_id, match_id, jaccard
+FROM (SELECT j.*,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jaccard DESC, match_id) AS rn
+      FROM j)
+WHERE rn = 1
+"""
 
 
 # --- SimHash --------------------------------------------------------------
@@ -788,6 +908,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_ORACLE),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_JACCARD_ORACLE),
+    QuerySpec(
+        "dedup_incremental_lsh", dedup_incremental_lsh, DEDUP_INCREMENTAL_ORACLE
+    ),
     QuerySpec("dedup_simhash", dedup_simhash, _simhash_oracle_sql()),
     QuerySpec("dedup_paragraphs", dedup_paragraphs, DEDUP_PARAGRAPHS_ORACLE),
     QuerySpec(

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_iceberg_sandbox_spark.operators.dedup import (
+    dedup_incremental_lsh,
     dedup_simhash,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -59,6 +60,29 @@ def test_lsh_recall_covers_exact_jaccard_pairs(spark):
     assert exact, "calibration: exact near-dup pairs must exist at sf0.01"
     missed = exact - cands
     assert not missed, f"LSH missed true pairs: {missed}"
+
+
+def test_incremental_lsh_is_best_cross_match_of_full_pairs(spark):
+    """The incremental probe must agree with the full-corpus exact pair
+    set restricted to cross-side pairs: every batch doc (doc_id%10==0)
+    that has a >=0.5 match in the index appears exactly once, with the
+    best (jaccard, then lowest match_id) partner."""
+    inc = {
+        r["doc_id"]: (r["match_id"], r["jaccard"])
+        for r in dedup_incremental_lsh(spark, SF_ORACLE).collect()
+    }
+    assert inc, "calibration: incremental near-dups must exist at sf0.01"
+    full = jaccard_pairs(spark, SF_ORACLE, threshold=0.5).collect()
+    best: dict = {}
+    for r in full:
+        for b, i in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if b % 10 == 0 and i % 10 != 0:
+                cur = best.get(b)
+                cand = (-r["jaccard"], i)
+                if cur is None or cand < cur:
+                    best[b] = cand
+    expect = {b: (i, -nj) for b, (nj, i) in best.items()}
+    assert inc == expect
 
 
 def test_simhash_flags_known_neardups(spark):
