@@ -30,6 +30,17 @@ SRC = "/root/testdata/sf0.1"
 def gen(factor: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    # Bounded-memory generation (r14): at factor 1000 the lineitem COPY
+    # buffers the whole 600M-row output to preserve insertion order —
+    # observed 85+ GB resident and climbing before the OOM killer would
+    # hit. Row order in the generated parquet is immaterial (every bench
+    # query and oracle is order-independent, hash-compare sorts), so let
+    # DuckDB stream the COPY instead of buffering it, cap its memory,
+    # and give the in-memory connection a spill directory (in-memory
+    # DBs otherwise cannot offload at all).
+    con.execute("SET preserve_insertion_order = false")
+    con.execute(f"SET memory_limit = '{os.environ.get('GEN_SF_MEM', '24GB')}'")
+    con.execute(f"SET temp_directory = '{os.path.join(out_dir, '.duck_tmp')}'")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
