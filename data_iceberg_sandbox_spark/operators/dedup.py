@@ -322,7 +322,13 @@ def dedup_incremental_lsh(spark, sf_dir, threshold: float = 0.5, mod: int = 10):
     """
     sigs = minhash_signatures(spark, sf_dir)
     is_batch = (F.col("doc_id") % mod) == 0
-    bk = _band_keys(sigs)
+    # Both probe sides slice this frame, and the candidate verification
+    # re-reads it through the lineage — uncached, the signature
+    # projection ran ~4× and the probe join twice (measured 29.6 s vs
+    # 2.4 s at sf10, BENCH_SCAN_SF10_R14.json). At 100 TB the cache is
+    # moot: the index side is a persisted table (see above) and only
+    # the batch side is computed fresh.
+    bk = _band_keys(sigs).cache()
     cands = (
         bk.filter(is_batch)
         .alias("b")
@@ -332,6 +338,7 @@ def dedup_incremental_lsh(spark, sf_dir, threshold: float = 0.5, mod: int = 10):
             F.col("i.doc_id").alias("match_id"),
         )
         .distinct()
+        .cache()
     )
     cand_ids = (
         cands.select("doc_id")

@@ -17,7 +17,7 @@ watchdog (DUCK_TIMEOUT, default 600 s) — an intractable single-node
 oracle is recorded as such, never a hung capture.
 
 Usage: python tools/bench_sf100.py out.json name1 name2 ...
-Env: SF_DIR (default .scratch/sf100), RUNS (default 3).
+Env: SF_DIR (default .scratch/sf100), RUNS (default 5).
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ def main() -> None:
     out_path = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SF_DIR", ".scratch/sf100")
-    runs = int(os.environ.get("RUNS", "3"))
+    runs = int(os.environ.get("RUNS", "5"))
 
     from data_iceberg_sandbox_spark.session import get_spark_session
     from data_iceberg_sandbox_spark.sources.registry import TABLES
@@ -48,7 +48,12 @@ def main() -> None:
     if missing:
         raise SystemExit(f"names not in the registry: {missing}")
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "80g")
+    # 32g, NOT bigger (r14): an 80g heap produced seconds-long G1 pauses
+    # that swamped the sf10 runs (q3 run array [4.3, 5.9, 23.5] at 80g vs
+    # [1.7, 1.9, 1.8] at 32g, same protocol) and competed with the page
+    # cache the scan protocol depends on. Shuffles past 32g spill — the
+    # cluster-realistic behavior this protocol is meant to exercise.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark_session(
         app_name="bench_sf100",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
@@ -95,7 +100,11 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df = queries[n](spark, sf_dir)
                 res["build_sec"] = round(time.perf_counter() - t0, 3)
+                # two warm passes: the first pays page cache + shuffle
+                # setup, the second JIT — with only one, ObjectAgg-heavy
+                # plans (agg_stats) still showed a multi-run settle tail
                 res["warm_sec"] = round(run_once(df), 3)
+                res["warm2_sec"] = round(run_once(df), 3)
                 res["spark_runs"] = [round(run_once(df), 3) for _ in range(runs)]
                 res["spark_median"] = round(
                     statistics.median(res["spark_runs"]), 3
