@@ -109,6 +109,13 @@ def main() -> None:
                 res["spark_median"] = round(
                     statistics.median(res["spark_runs"]), 3
                 )
+                # min alongside median: this box shows episodic
+                # multi-second interference windows (63.9 s q1 run on a
+                # verified-idle box, GC-bean delta 0.4 s, THP/steal
+                # ruled out) that can corrupt 3 of 5 runs; the min of a
+                # published run array is the interference-robust
+                # capability statistic. Judge both against the arrays.
+                res["spark_min"] = min(res["spark_runs"])
             except Exception as exc:  # noqa: BLE001 — published per row
                 err.append(f"{type(exc).__name__}: {exc}"[:300])
 
@@ -168,9 +175,15 @@ def main() -> None:
             row["duckdb_median"] = round(
                 statistics.median(row["duckdb_runs"]), 3
             )
+            row["duckdb_min"] = min(row["duckdb_runs"])
             row["ratio_median"] = (
                 round(row["spark_median"] / row["duckdb_median"], 2)
                 if row["duckdb_median"]
+                else None
+            )
+            row["ratio_min"] = (
+                round(row["spark_min"] / row["duckdb_min"], 2)
+                if row.get("spark_min") and row["duckdb_min"]
                 else None
             )
         except Exception as exc:  # noqa: BLE001 — published per row
