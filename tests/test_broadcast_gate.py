@@ -27,15 +27,34 @@ def test_gate_unit_small_applies_and_oversized_declines(spark, tmp_path):
     (small / "customer.parquet").write_bytes(b"x" * 100)
     hinted = _bcast_if_small(df, str(small), "customer")
     assert hinted is not df and "Hint" in _analyzed(hinted)
-    # oversized table (sparse file — no real disk): hint declined
-    big = tmp_path / "sf_big"
-    os.makedirs(big)
-    with open(big / "customer.parquet", "wb") as f:
-        f.truncate(513 * 1024 * 1024)
-    assert _dir_bytes(str(big), "customer") > 512 << 20
-    assert _bcast_if_small(df, str(big), "customer") is df
-    # missing table: fail closed, no hint
-    assert _bcast_if_small(df, str(tmp_path / "nope"), "customer") is df
+    # past the broadcast cap but under the per-partition build bound
+    # (sparse file — no real disk): the r14 middle tier hints
+    # SHUFFLE_HASH instead of dropping to an unhinted sort-merge. The
+    # bound scales with shuffle_partitions (the test session's 8 would
+    # leave no band between the two caps — itself correct: a tiny
+    # session shouldn't hash-build a >512 MB dim), so pin a
+    # cluster-like 32 for the tier assertions.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        mid = tmp_path / "sf_mid"
+        os.makedirs(mid)
+        with open(mid / "customer.parquet", "wb") as f:
+            f.truncate(513 * 1024 * 1024)
+        assert _dir_bytes(str(mid), "customer") > 512 << 20
+        mid_hinted = _bcast_if_small(df, str(mid), "customer")
+        assert mid_hinted is not df
+        assert "SHUFFLE_HASH" in _analyzed(mid_hinted).upper()
+        # past BOTH caps: unhinted (AQE/SMJ)
+        big = tmp_path / "sf_big"
+        os.makedirs(big)
+        with open(big / "customer.parquet", "wb") as f:
+            f.truncate((64 << 20) * 32 + 1)
+        assert _bcast_if_small(df, str(big), "customer") is df
+        # missing table: fail closed, no hint of any tier
+        assert _bcast_if_small(df, str(tmp_path / "nope"), "customer") is df
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @pytest.mark.parametrize(
