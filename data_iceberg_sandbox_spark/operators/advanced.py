@@ -100,50 +100,94 @@ def cube_counts(spark, sf_dir):
     either way; what matters is the multisets agree). Empty input:
     ``coalesce(sum(n), 0)`` makes the grand row count 0 — the
     SQL-standard / DuckDB-oracle shape (Spark's native .cube returns
-    zero rows on empty input; the oracle is the gate)."""
+    zero rows on empty input; the oracle is the gate).
+
+    Packed-codepoint key (r14): the 60M-row pass groups on ONE BIGINT —
+    codepoint(flag) packed over codepoint(status), with NULL/empty as
+    codes above the Unicode ceiling (0x10FFFF) — instead of two sentinel
+    strings: Spark's vectorized codegen fast hash map only engages for
+    primitive keys (string keys fall back to the UnsafeRow map; the q1
+    ladder measured that 1.7× slower on this exact groupBy-sum shape).
+    Code-per-column is 22 bits so ANY single-codepoint value round-trips
+    exactly; like q1, a multi-char flag domain would merge groups on the
+    first codepoint and hash-mismatch the driver's oracle gate — loud,
+    never silent (TPC-H fixes both columns CHAR(1)). Measured sf10 over
+    THREE interleaved A/B rounds under the r14 interference protocol
+    (host noise this session swamped medians — 40–100 s spikes on a
+    1 s query; min is the robust statistic): overall min
+    string-sentinel 1.137 s → packed 1.030 s (−9%; round-1 mins 2.925
+    → 2.004 on a slower box state), packed ahead in 2 of 3 rounds —
+    a modest constant-factor win whose direction matches q1's 1.7×
+    string-vs-long measurement on the bare groupBy-sum shape; the
+    rollup re-aggregations run over ≤6 decoded rows either way."""
     li = load_table(spark, sf_dir, "lineitem")
-    # sentinel outside any plausible value domain (flags are 1-char)
-    SENT = "\x00\x00__cube_null__"
+    # codes above any codepoint: NULL and empty-string keep their own
+    # groups through the packed key exactly as the string sentinel did
+    NK = 1 << 21  # NULL
+    EK = NK + 1  # ""
+    SUBTOT = NK + 2  # rollup marker, distinct from both
+
+    def _enc(c: str):
+        col = F.col(c)
+        return (
+            F.when(col.isNull(), F.lit(NK))
+            .when(F.length(col) == 0, F.lit(EK))
+            .otherwise(F.ascii(col))
+        ).cast("long")
+
     # scale-4 fixed-point BIGINT sum (functions/money.py), unscaled to
     # double at the end — bit-equal to the DECIMAL(18,4) formulation
     # (verified at sf10) and measured 1.9 s → 0.65 s for the fact agg
     # (r13): the decimal sum leaves the primitive codegen fast path.
     # Headroom: grand total ≈ qty·1e4·rows ≈ 1.5e15 at 6e9 rows.
     base = li.groupBy(
-        F.coalesce(F.col("l_returnflag"), F.lit(SENT)).alias("l_returnflag"),
-        F.coalesce(F.col("l_linestatus"), F.lit(SENT)).alias("l_linestatus"),
+        (F.shiftleft(_enc("l_returnflag"), 22) + _enc("l_linestatus")).alias(
+            "_k"
+        )
     ).agg(
         F.count("*").alias("n"),
         F.sum(fixed(F.col("l_quantity"), 4)).alias("sq"),
     )
-    null_s = F.lit(None).cast("string")
-    by_f = base.groupBy("l_returnflag").agg(
-        F.sum("n").alias("n"), F.sum("sq").alias("sq")
-    ).select("l_returnflag", null_s.alias("l_linestatus"), "n", "sq")
-    by_s = base.groupBy("l_linestatus").agg(
-        F.sum("n").alias("n"), F.sum("sq").alias("sq")
-    ).select(
-        null_s.alias("l_returnflag"), "l_linestatus", "n", "sq"
+    # ≤6 rows from here down: unpack the halves, keep them NUMERIC
+    # through the rollup re-aggregations (codes preserve the NULL/empty
+    # distinction), decode to strings once at the end
+    split = base.select(
+        F.shiftright(F.col("_k"), 22).alias("fk"),
+        (F.col("_k") % F.lit(1 << 22)).alias("sk"),
+        "n",
+        "sq",
     )
-    grand = base.agg(
+    sub = F.lit(SUBTOT).cast("long")
+    by_f = split.groupBy("fk").agg(
+        F.sum("n").alias("n"), F.sum("sq").alias("sq")
+    ).select("fk", sub.alias("sk"), "n", "sq")
+    by_s = split.groupBy("sk").agg(
+        F.sum("n").alias("n"), F.sum("sq").alias("sq")
+    ).select(sub.alias("fk"), "sk", "n", "sq")
+    grand = split.agg(
         F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n"),
         F.sum("sq").alias("sq"),
-    ).select(
-        null_s.alias("l_returnflag"), null_s.alias("l_linestatus"), "n", "sq"
-    )
+    ).select(sub.alias("fk"), sub.alias("sk"), "n", "sq")
+
+    null_s = F.lit(None).cast("string")
 
     def _dec(c: str):
-        # sentinel → NULL; a NULL subtotal marker falls through unchanged
-        return F.when(F.col(c) == SENT, null_s).otherwise(F.col(c)).alias(c)
+        # SUBTOT and NULL both emit NULL (the cube output shape); empty
+        # and real codepoints round-trip exactly
+        col = F.col(c)
+        return (
+            F.when((col == SUBTOT) | (col == NK), null_s)
+            .when(col == EK, F.lit(""))
+            .otherwise(F.char(col))
+        )
 
     return (
-        base.select("l_returnflag", "l_linestatus", "n", "sq")
-        .unionByName(by_f)
+        split.unionByName(by_f)
         .unionByName(by_s)
         .unionByName(grand)
         .select(
-            _dec("l_returnflag"),
-            _dec("l_linestatus"),
+            _dec("fk").alias("l_returnflag"),
+            _dec("sk").alias("l_linestatus"),
             "n",
             unscale(F.col("sq"), 4).cast("double").alias("sum_qty"),
         )
@@ -475,17 +519,69 @@ _PCTL_QS = (("p50", "0.5"), ("p90", "0.9"), ("p99", "0.99"))
 
 def _price_histogram_cum(li):
     """(flag, price) value histogram with running and total counts —
-    the shared base of percentile_prices and agg_approx's IQR bounds
-    (r12 review: character-identical blocks in both)."""
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("cnt")
+    originally the shared base of percentile_prices and agg_approx's IQR
+    bounds (r12 review: character-identical blocks in both); agg_approx
+    has since dropped its IQR pass, so percentile_prices is the one
+    consumer.
+
+    Packed key (r14, the cube_counts/q1 trick): the 60M-row histogram
+    aggregate, both windows and the downstream 3-group aggregate all
+    key on ONE BIGINT — codepoint(l_returnflag) (NULL/empty as codes
+    above the Unicode ceiling) shifted over the scale-2 price cents —
+    instead of a (string, double) pair. Primitive keys keep the
+    aggregates on the codegen fast hash map and make the per-flag
+    window sort a long sort; ordering by the packed key within a flag
+    partition IS ordering by price (cents are non-negative — TPC-H
+    prices; a negative price would break the shift packing and
+    hash-mismatch the oracle gate loudly, as would a multi-char flag,
+    same documented bet as q1/cube_counts). cents→double decode at the
+    emit is exact for cents-exact prices (the q9 bet, asserted by every
+    oracle hash match). Measured sf10 (interleaved min-of-7, packed
+    ahead in 6/7 adjacent pairs): 4.263 s → 2.710 s (−36%); sf10 rows
+    identical to the string form, sf0.01 oracle hash-exact."""
+    NK = 1 << 21  # NULL flag code (above any Unicode codepoint)
+    EK = NK + 1  # empty-string flag code
+    fcode = (
+        F.when(F.col("l_returnflag").isNull(), F.lit(NK))
+        .when(F.length("l_returnflag") == 0, F.lit(EK))
+        .otherwise(F.ascii("l_returnflag"))
+    ).cast("long")
+    # NULL price keeps its own (flag, NULL) group: a cents sentinel far
+    # above any real price (extendedprice ≤ ~5.5e6 cents at every SF)
+    cents = F.coalesce(fixed("l_extendedprice"), F.lit(1 << 39))
+    hist = li.groupBy(
+        (F.shiftleft(fcode, 40) + cents).alias("_pk")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    fk = F.shiftright(F.col("_pk"), 40)
+    return (
+        hist.withColumn(
+            "cum_end", F.sum("cnt").over(W.partitionBy(fk).orderBy("_pk"))
+        )
+        .withColumn("n", F.sum("cnt").over(W.partitionBy(fk)))
+        .withColumn("_fk", fk)
     )
-    return hist.withColumn(
-        "cum_end",
-        F.sum("cnt").over(
-            W.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        ),
-    ).withColumn("n", F.sum("cnt").over(W.partitionBy("l_returnflag")))
+
+
+_PCTL_NK = 1 << 21  # decode twins of _price_histogram_cum's codes
+_PCTL_EK = _PCTL_NK + 1
+
+
+def _pctl_flag(col):
+    """Packed flag code → original string (NULL/empty round-trip)."""
+    return (
+        F.when(col == _PCTL_NK, F.lit(None).cast("string"))
+        .when(col == _PCTL_EK, F.lit(""))
+        .otherwise(F.char(col))
+    )
+
+
+def _pctl_price(pk):
+    """Packed key → price double (exact for cents-exact prices); the
+    NULL-price sentinel decodes back to NULL."""
+    cents = pk - F.shiftleft(F.shiftright(pk, 40), 40)
+    return F.when(cents == (1 << 39), F.lit(None).cast("double")).otherwise(
+        cents.cast("double") / F.lit(100.0)
+    )
 
 
 def percentile_prices(spark, sf_dir):
@@ -503,15 +599,17 @@ def percentile_prices(spark, sf_dir):
     identical order → bit-identical before the shared round(4)."""
     li = load_table(spark, sf_dir, "lineitem")
     cum = _price_histogram_cum(li)
-    v = F.col("l_extendedprice").cast("double")
-    aggs, outs = [], ["l_returnflag"]
+    v = _pctl_price(F.col("_pk"))
+    aggs, outs = [], [_pctl_flag(F.col("_fk")).alias("l_returnflag")]
     for tag, q in _PCTL_QS:
         r = F.expr(f"1.0 + {q} * (CAST(n AS DOUBLE) - 1.0)")
         aggs += [
             F.min(F.when(F.col("cum_end") >= F.floor(r), v)).alias(f"_{tag}_lo"),
             F.min(F.when(F.col("cum_end") >= F.ceil(r), v)).alias(f"_{tag}_hi"),
         ]
-    g = cum.groupBy("l_returnflag").agg(F.max("n").alias("n"), *aggs)
+    # 3-group aggregate keyed on the packed flag code (primitive fast
+    # map), decoded to the string only on the 3-row emit
+    g = cum.groupBy("_fk").agg(F.max("n").alias("n"), *aggs)
     for tag, q in _PCTL_QS:
         r = F.expr(f"1.0 + {q} * (CAST(n AS DOUBLE) - 1.0)")
         frac = r - F.floor(r).cast("double")

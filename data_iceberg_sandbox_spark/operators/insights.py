@@ -529,7 +529,17 @@ def orders_cohort_ltv(spark, sf_dir):
         F.min(F.trunc("o_orderdate", "month")).alias("cohort")
     )
     sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
-    j = o.join(first, "o_custkey").select(
+    # r14: SHUFFLE_HASH build on the per-customer cohort frame — both
+    # sides shuffle on custkey either way, but hashing `first`
+    # (1 row/customer, two narrow columns) skips SORTING both it and
+    # the 10×-larger orders probe side; the per-partition build is
+    # bounded at any SF because shuffle partitions scale with the
+    # cluster (the `_bcast_if_small` SHJ-tier argument; broadcasting
+    # was measured and REJECTED r10 — 22 s GC spikes rebuilding a
+    # 1.5M-row broadcast per action). Measured sf10 interleaved
+    # min-of-10: SMJ 3.961 s → SHJ 3.159 s (−20%), SHJ faster in 8/10
+    # adjacent pairs, paired-median delta −0.87 s.
+    j = o.join(first.hint("SHUFFLE_HASH"), "o_custkey").select(
         "cohort",
         (
             F.months_between(F.trunc("o_orderdate", "month"), F.col("cohort"))

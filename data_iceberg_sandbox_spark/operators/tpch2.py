@@ -302,6 +302,16 @@ def q22_global_sales_opportunity(spark, sf_dir):
         ).alias("ab")
     )
     rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    # r14 optimization pass: both anti-join rewrites MEASURED AND
+    # REJECTED at sf10 (interleaved A/B, /tmp→OPTIMIZATION_r14.md):
+    # broadcast of the projected 1997-order keys via the ladder lost
+    # 0.774 → 1.166 s min (rebuilding a 2.3M-key broadcast relation per
+    # action costs more than the small SMJ it replaces — the
+    # cohort_ltv r10 lesson reconfirmed); SHUFFLE_HASH on the key side
+    # was a wash (0.818 vs 0.831 s min, old ahead 6/9 pairs). The
+    # unhinted join stands: both inputs are narrow
+    # single-year/above-average slices, and AQE picks the strategy at
+    # real scale.
     no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return no_orders.groupBy((F.col("c_nationkey") % 5).alias("cntry_bucket")).agg(
         F.count("*").alias("numcust"),
@@ -409,10 +419,30 @@ GROUP BY 1
 
 def q19_disjunctive_revenue(spark, sf_dir):
     """Q19 shape: revenue under an OR-of-ANDs predicate (brand ×
-    quantity bands) — the disjunctive-pushdown stress test."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    joined = li.join(p, li.l_partkey == p.p_partkey)
+    quantity bands) — the disjunctive-pushdown stress test.
+
+    r14: Catalyst cannot push any part of the OR to either side (every
+    disjunct references both tables), so the single-side IMPLIED
+    predicates are derived by hand — any surviving row has p_brand IN
+    the three brands (p: ~2% of parts survive → the join rides the
+    broadcast tier of the `_bcast_if_small` ladder instead of an
+    unhinted fact-wide SMJ) and l_quantity BETWEEN the union bounds
+    1..30 (lineitem pre-filtered before the join; both predicates now
+    reach the parquet scans as PushedFilters). The exact OR is still
+    applied after the join, so the result set is unchanged — the
+    pre-filters are implied by it. Measured sf10 (interleaved min-of-7,
+    new ahead in 7/7 adjacent pairs): 5.453 s → 1.348 s (−75%, plan
+    SortMergeJoin → BroadcastHashJoin; sf10 rows identical, sf0.01
+    oracle hash-exact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    joined = li.join(
+        _bcast_if_small(p, sf_dir, "part"), li.l_partkey == p.p_partkey
+    )
     pred = (
         ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)))
         | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)))
