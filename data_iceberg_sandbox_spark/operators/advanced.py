@@ -536,8 +536,11 @@ def _price_histogram_cum(li):
     hash-mismatch the oracle gate loudly, as would a multi-char flag,
     same documented bet as q1/cube_counts). cents→double decode at the
     emit is exact for cents-exact prices (the q9 bet, asserted by every
-    oracle hash match). Measured sf10 (interleaved min-of-7, packed
-    ahead in 6/7 adjacent pairs): 4.263 s → 2.710 s (−36%); sf10 rows
+    oracle hash match). Measured sf10, two interleaved rounds: a noisy
+    round read 4.263 → 2.710 s min-of-7 (6/7 pairs, old arm
+    stall-inflated); the clean re-measure after the window-partition
+    fix below reads string 1.882 → packed 1.670 s min-of-9 (−11%,
+    packed ahead 8/9 pairs, medians 2.049 → 1.843). sf10 rows
     identical to the string form, sf0.01 oracle hash-exact."""
     NK = 1 << 21  # NULL flag code (above any Unicode codepoint)
     EK = NK + 1  # empty-string flag code
@@ -552,14 +555,17 @@ def _price_histogram_cum(li):
     hist = li.groupBy(
         (F.shiftleft(fcode, 40) + cents).alias("_pk")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    fk = F.shiftright(F.col("_pk"), 40)
-    return (
-        hist.withColumn(
-            "cum_end", F.sum("cnt").over(W.partitionBy(fk).orderBy("_pk"))
-        )
-        .withColumn("n", F.sum("cnt").over(W.partitionBy(fk)))
-        .withColumn("_fk", fk)
-    )
+    # materialize the flag code as a COLUMN before the windows: two
+    # windows partitioned by the same plain column share one
+    # Exchange+Sort (and the downstream _fk groupBy reuses the same
+    # partitioning, zero further exchange — the r13 plan's shape);
+    # partitioning both windows by the raw shiftright EXPRESSION
+    # planned a second Exchange+Sort between them (caught in the r14
+    # plans/r14 capture diff)
+    hist = hist.withColumn("_fk", F.shiftright(F.col("_pk"), 40))
+    return hist.withColumn(
+        "cum_end", F.sum("cnt").over(W.partitionBy("_fk").orderBy("_pk"))
+    ).withColumn("n", F.sum("cnt").over(W.partitionBy("_fk")))
 
 
 _PCTL_NK = 1 << 21  # decode twins of _price_histogram_cum's codes

@@ -45,6 +45,7 @@ def main() -> None:
         import data_iceberg_sandbox_spark.operators.tpch as tpch_mod
 
         tpch_mod._dir_bytes = lambda sf, n, _v=float(forced): _v
+    pin = os.environ.get("SPARK_GRAFT_CAPTURE_PIN")
 
     spark = get_spark_session(
         app_name="capture_plans",
@@ -60,6 +61,14 @@ def main() -> None:
             ),
         },
     )
+    if pin:
+        # reproduce the bench/A-B session exactly: pinned base tables
+        # change scan statistics, which changes join strategy choices
+        # (SPARK_GRAFT_CAPTURE_PIN=1)
+        from data_iceberg_sandbox_spark.sources.registry import pin_balanced
+
+        pin_balanced(spark, sf_dir)
+
     for n in names:
         df = queries[n](spark, sf_dir)
         text = formatted_plan(df)
@@ -68,6 +77,8 @@ def main() -> None:
             hdr = f"== {n} ({suffix}) sf_dir={sf_dir}"
             if forced:
                 hdr += f" [tier demo: _dir_bytes forced to {forced}]"
+            if pin:
+                hdr += " [pinned base tables, the bench session shape]"
             fh.write(hdr + " ==\n")
             fh.write(text)
             if not text.endswith("\n"):
