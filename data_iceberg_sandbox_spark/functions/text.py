@@ -72,3 +72,24 @@ def md5_long_pair(
         f"CAST(conv(substring(md5({spark_expr}), 1, {hex_chars}), 16, 10) AS BIGINT)",
         f"CAST('0x' || substring(md5({duck_expr}), 1, {hex_chars}) AS BIGINT)",
     )
+
+
+def codepoint_str(cp: Column) -> Column:
+    """Single codepoint (as produced by ``F.ascii``) → its one-character
+    string, correct for the FULL Unicode range. Spark's ``char``/``chr``
+    masks its argument to 8 bits (``(n & 0xFF).toChar`` — '€'→'¬', the
+    r14 packed-key decode bug caught by tests/test_opt_r14.py), so the
+    decode goes through the JVM's ``Character.toString(int)`` via the
+    built-in ``reflect`` expression instead. reflect is a per-row
+    reflective call — fine on the tiny post-aggregation frames the
+    packed-key decoders run on (≤ tens of rows), wrong for a fact-sized
+    column (use it only after aggregation)."""
+    return F.when(
+        cp.isNotNull(),
+        F.call_function(
+            "reflect",
+            F.lit("java.lang.Character"),
+            F.lit("toString"),
+            cp.cast("int"),
+        ),
+    )

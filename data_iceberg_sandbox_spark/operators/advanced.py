@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import fixed, unscale
 from ..functions.ranks import histogram_ntile, histogram_rank
+from ..functions.text import codepoint_str
 from ..sources.registry import load_table, register_views
 from .spec import QuerySpec
 
@@ -173,12 +174,14 @@ def cube_counts(spark, sf_dir):
 
     def _dec(c: str):
         # SUBTOT and NULL both emit NULL (the cube output shape); empty
-        # and real codepoints round-trip exactly
+        # and real codepoints round-trip exactly. codepoint_str, not
+        # F.char: char masks to 8 bits ('€'→'¬') — caught by
+        # tests/test_opt_r14.py. Runs on ≤ ~24 rows.
         col = F.col(c)
         return (
             F.when((col == SUBTOT) | (col == NK), null_s)
             .when(col == EK, F.lit(""))
-            .otherwise(F.char(col))
+            .otherwise(codepoint_str(col))
         )
 
     return (
@@ -573,11 +576,13 @@ _PCTL_EK = _PCTL_NK + 1
 
 
 def _pctl_flag(col):
-    """Packed flag code → original string (NULL/empty round-trip)."""
+    """Packed flag code → original string (NULL/empty round-trip;
+    codepoint_str not F.char — char masks to 8 bits, see
+    functions/text.py). Runs on the 3-row emit."""
     return (
         F.when(col == _PCTL_NK, F.lit(None).cast("string"))
         .when(col == _PCTL_EK, F.lit(""))
-        .otherwise(F.char(col))
+        .otherwise(codepoint_str(col))
     )
 
 
