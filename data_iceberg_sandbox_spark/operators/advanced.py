@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.distinct import per_flag_distinct
 from ..functions.money import fixed, unscale
 from ..functions.ranks import histogram_ntile, histogram_rank
 from ..functions.text import codepoint_str
@@ -1064,26 +1065,52 @@ FROM expanded GROUP BY 1, 2, 3
 
 
 def multi_distinct_agg(spark, sf_dir):
-    """Several COUNT(DISTINCT) in one aggregation (Catalyst expand).
+    """Several COUNT(DISTINCT) per group — rewritten in the r14
+    optimization round from Catalyst's one-pass Expand form to three
+    two-level bitmap distinct passes (functions/distinct.py) joined on
+    the 3-row flag frame, the exact quantity sum riding the partkey
+    pass as a fixed-point BIGINT.
 
-    This op deliberately exercises the one-pass expand surface —
-    Catalyst replicates every row once per distinct clause (4× here:
-    sf10 measured 9.5 s on the 60M fact, the r11 coverage sweep). At
-    100 TB the idiomatic choices are one `approx_count_distinct` pass
-    (when ±0.5% is acceptable) or one pre-agg per distinct column
-    joined back on the group key — three narrow shuffles beat one 4×
-    expand. Measured r12: the split form (three
-    `per_flag_distinct` passes + the plain sum, rejoined) runs 6.2 s
-    vs 9.6 s here — better but same order, because (flag, orderkey)
-    dedup is itself fact-sized. Kept in the expand form because that
-    surface is what this spec documents; the split building block is
-    exercised by `agg_stats`/`agg_approx`."""
+    Why: Expand replicates every fact row once per distinct clause
+    (4× here — 240M rows through one shuffle), and the r12 split
+    attempt (packed-long dedup per column, 6.2 s) was still fact-sized
+    in its dedup shuffle. The bitmap form reduces EACH column map-side
+    to ≤4 KB bitmaps at (flag, 32k-bucket) grain — the three shuffles
+    together carry ~600 bitmap rows instead of 240M expanded rows.
+    Interleaved A/B at sf10 (r14, /tmp/ab_md.json →
+    OPTIMIZATION_r14.md): min-of-7 11.85 → 4.91 s (−59%), medians
+    12.60 → 5.05, bmsplit 7/7 adjacent pairs; exact-equality checked
+    cell-for-cell vs the Expand form at sf0.1 before the switch, and
+    the DuckDB oracle is unchanged. The native Expand surface this op
+    used to demo stays exercised by `a_rollup`'s grouping sets (also a
+    physical Expand) and documented here; joins are eqNullSafe so a
+    NULL flag group would survive the rejoin identically."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    lvl1 = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("__bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias(
+            "__bm"
+        ),
+        F.sum(fixed(F.col("l_quantity"), 4)).alias("sq"),
+    )
+    parts = lvl1.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("n_parts"),
+        unscale(F.sum("sq"), 4).alias("sum_qty"),
+    )
+    supps = per_flag_distinct(
+        li, "l_returnflag", "l_suppkey", out="n_supps"
+    ).withColumnRenamed("l_returnflag", "__f1")
+    orders = per_flag_distinct(
+        li, "l_returnflag", "l_orderkey", out="n_orders"
+    ).withColumnRenamed("l_returnflag", "__f2")
+    j = (
+        parts.join(supps, F.col("l_returnflag").eqNullSafe(F.col("__f1")))
+        .join(orders, F.col("l_returnflag").eqNullSafe(F.col("__f2")))
+    )
+    return j.select(
+        "l_returnflag", "n_parts", "n_supps", "n_orders", "sum_qty"
     )
 
 

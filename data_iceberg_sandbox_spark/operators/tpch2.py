@@ -527,17 +527,28 @@ def q20_volume_share_suppliers(spark, sf_dir):
     part's shipped volume (threshold 15% — calibrated so the result is
     non-empty at every SF) — per-group share via a windowed total.
 
-    Residual note (r12, measured): 6.0 s at sf10 vs DuckDB 1.9 s is
-    the floor of this form on this data. (partkey, suppkey) is nearly
-    a key of lineitem (59.1M groups from 60M rows), so `vol` is
-    FACT-SIZED by construction — the one partkey exchange (3.6 s, the
-    irreducible fact shuffle) plus a 59M-row window sort (2.4 s) is
-    everything. Both alternatives measured worse: broadcast per-part
-    totals to skip the window sort = 8.3 s (the totals agg re-pays the
-    60M-row exchange because column pruning specializes each branch's
-    scan and defeats ReusedExchange; forcing identical projections
-    with a dummy agg still didn't match subplans, 9.0 s). The window
-    form with its single exchange stands."""
+    Residual note (r12, then r14 optimization round): (partkey,
+    suppkey) is nearly a key of lineitem (59.1M groups from 60M rows),
+    so `vol` is FACT-SIZED by construction — the one partkey exchange
+    plus the per-part window over it is everything. Alternatives
+    measured worse in r12: broadcast per-part totals to skip the
+    window sort = 8.3 s (the totals agg re-pays the 60M-row exchange
+    because column pruning specializes each branch's scan and defeats
+    ReusedExchange; forcing identical projections with a dummy agg
+    still didn't match subplans, 9.0 s).
+
+    r14 optimization round (interleaved A/B at sf10, /tmp/ab_q20.json
+    → OPTIMIZATION_r14.md): the DECIMAL sum state across 59M resident
+    groups was 40% of the query — switching the aggregate and window
+    to scale-2 fixed-point BIGINT (money.py; decode at emit) took
+    min-of-7 8.22 → 4.95 s, medians 9.96 → 5.93, 6/7 adjacent pairs.
+    Two structural rewrites measured WORSE same-session and are
+    rejected: (a) no-hash-agg form — one sort feeding three stacked
+    windows (group sum / part total / row_number dedup) min 6.24 s:
+    the 59M-group hash agg with LONG state beats sort+triple-window;
+    (b) vol→totals re-agg attached by SHUFFLE_HASH join on the shared
+    partitioning min 7.13 s: the second 59M-row agg pass costs more
+    than the window it replaces."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     # one explicit partkey exchange serves both the (partkey,suppkey)
@@ -546,12 +557,14 @@ def q20_volume_share_suppliers(spark, sf_dir):
     vol = (
         li.repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast(PRICE)).alias("qty"))
+        .agg(F.sum(fixed(F.col("l_quantity"), 2)).alias("qc"))
     )
-    total = F.sum("qty").over(W.partitionBy("l_partkey"))
-    share = (F.col("qty").cast("double") / total.cast("double"))
-    big = vol.withColumn("share", F.round(share, 6)).filter(
-        F.col("share") > 0.15
+    total = F.sum("qc").over(W.partitionBy("l_partkey"))
+    share = unscale(F.col("qc"), 2) / unscale(total, 2)
+    big = (
+        vol.withColumn("share", F.round(share, 6))
+        .filter(F.col("share") > 0.15)
+        .withColumn("qty", unscale(F.col("qc"), 2))
     )
     return big.join(
         _bcast_if_small(s, sf_dir, "supplier"), big.l_suppkey == s.s_suppkey

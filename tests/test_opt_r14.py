@@ -57,3 +57,119 @@ def test_cube_packed_key_roundtrips_unicode_and_empty(spark, tmp_path):
         key=str,
     )
     assert got == _native_cube_multiset(li)
+
+
+def test_multi_distinct_bitmap_split_matches_expand_form(spark, tmp_path):
+    """The r14 bitmap-split rewrite of multi_distinct_agg must equal
+    the native Expand form on the domains its encoding touches:
+    negative keys, keys straddling the 32768-bucket boundary, NULL keys
+    (COUNT(DISTINCT) excludes them), a NULL flag group (the eqNullSafe
+    rejoin must keep it), and NULL quantities."""
+    from data_iceberg_sandbox_spark.operators.advanced import (
+        multi_distinct_agg,
+    )
+    from data_iceberg_sandbox_spark.sources.registry import pin_table
+
+    sf_fake = str(tmp_path / "sf_mdist")
+    os.makedirs(sf_fake, exist_ok=True)
+    li = spark.createDataFrame(
+        [
+            # flag, partkey, suppkey, orderkey, quantity
+            ("A", -5, 1, 32767, 1.0),
+            ("A", -5, 2, 32768, 2.5),
+            ("A", 32768, None, 32769, None),
+            ("A", 0, 1, None, 4.0),
+            (None, 7, 7, 7, 8.0),
+            (None, 7, 8, 7, 16.0),
+            ("B", None, None, None, 0.0),
+        ],
+        "l_returnflag string, l_partkey long, l_suppkey long,"
+        " l_orderkey long, l_quantity double",
+    )
+    pin_table(spark, sf_fake, "lineitem", li)
+    expand = sorted(
+        (
+            tuple(r)
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("n_parts"),
+                F.countDistinct("l_suppkey").alias("n_supps"),
+                F.countDistinct("l_orderkey").alias("n_orders"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .collect()
+        ),
+        key=str,
+    )
+    got = sorted(
+        (tuple(r) for r in multi_distinct_agg(spark, sf_fake).collect()),
+        key=str,
+    )
+    assert got == expand
+
+
+def test_q20_fixed_point_matches_decimal_form(spark, tmp_path):
+    """q20's r14 fixed-point BIGINT aggregate must reproduce the
+    decimal formulation bit-for-bit on cents-exact quantities,
+    including values whose double representation sits just under the
+    true cent (12.34*100 == 1233.9999...) and shares at the 0.15
+    boundary."""
+    from data_iceberg_sandbox_spark.operators.tpch2 import (
+        q20_volume_share_suppliers,
+    )
+    from data_iceberg_sandbox_spark.sources.registry import pin_table
+    from pyspark.sql import Window as W
+
+    sf_fake = str(tmp_path / "sf_q20")
+    os.makedirs(sf_fake, exist_ok=True)
+    li = spark.createDataFrame(
+        [
+            # part 1: supplier 1 exactly 15% (excluded by >), 2 the rest
+            (1, 1, 1.5),
+            (1, 2, 8.5),
+            # part 2: fractional cents-exact quantities, two rows per
+            # (pk,sk) so the group sum matters
+            (2, 1, 12.34),
+            (2, 1, 0.01),
+            (2, 2, 3.3),
+            (2, 3, 0.05),
+            # part 3: single supplier owns 100%
+            (3, 9, 49.99),
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double",
+    )
+    sup = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3"), (9, "s9")],
+        "s_suppkey long, s_name string",
+    )
+    pin_table(spark, sf_fake, "lineitem", li)
+    pin_table(spark, sf_fake, "supplier", sup)
+
+    vol = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+    )
+    total = F.sum("qty").over(W.partitionBy("l_partkey"))
+    share = F.col("qty").cast("double") / total.cast("double")
+    big = vol.withColumn("share", F.round(share, 6)).filter(
+        F.col("share") > 0.15
+    )
+    old = big.join(sup, big.l_suppkey == sup.s_suppkey).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_suppkey",
+        "s_name",
+        F.col("qty").cast("double").alias("qty"),
+        "share",
+    )
+    expect = sorted((tuple(r) for r in old.collect()), key=str)
+    got = sorted(
+        (
+            tuple(r)
+            for r in q20_volume_share_suppliers(spark, sf_fake).collect()
+        ),
+        key=str,
+    )
+    assert got == expect
+    assert len(got) == 4  # 15%-boundary supplier excluded, others in
