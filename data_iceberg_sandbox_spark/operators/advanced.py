@@ -1178,7 +1178,15 @@ def json_extract_props(spark, sf_dir):
     1.3 s ≈ variant_get(parse_json(...)) 1.35 s ≈ get_json_object
     1.3 s — all three converge on the same JVM JSON-parse constant
     factor, so the DuckDB gap on this row is the parser, not the plan;
-    the typed form stays for its schema pruning at wider schemas."""
+    the typed form stays for its schema pruning at wider schemas.
+
+    r14 optimization round closed the remaining idea: a mapInArrow
+    kernel handing each batch to DuckDB's native json_extract_string
+    (guide §4.2) measured min-of-7 1.713 s vs 1.406 s here (+22%,
+    /tmp/ab_jx.json → OPTIMIZATION_r14.md) — the Arrow boundary
+    transpose on ~10M rows costs more than DuckDB's parser saves; a
+    per-row python json.loads arm was 2.51 s. The JVM parse is this
+    row's floor; REJECTED."""
     ev = load_table(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k INT").getField("k")
     return (

@@ -414,8 +414,16 @@ def agg_stats(spark, sf_dir):
     the scan, not codegen, is the dear term. Remaining ~4× vs DuckDB
     is the interpreted ObjectAgg update rate (~24M rows/s) — floor
     recorded with the four alternatives above. Shuffle: ~186 rows
-    (3 flags × ~62 buckets), each a 4 KB bitmap. The one-pass Expand
-    surface stays exercised by `multi_distinct_agg`."""
+    (3 flags × ~62 buckets), each a 4 KB bitmap.
+
+    r14 optimization round closed the last untried shape: an
+    Arrow-side distinct kernel (mapInArrow per-task numpy bitset +
+    moments, merged by a 96-row applyInPandas) measured min-of-7
+    13.42 s vs 1.94 s here (/tmp/ab_aggstats.json →
+    OPTIMIZATION_r14.md) — the JVM→Arrow transpose of 60M rows is ~7×
+    the whole bitmap aggregation. REJECTED; this floor argument now
+    carries a measurement for every alternative family (split codegen,
+    packed-long, Expand, Arrow kernel)."""
     li = load_table(spark, sf_dir, "lineitem")
     lvl1 = li.groupBy(
         "l_returnflag",

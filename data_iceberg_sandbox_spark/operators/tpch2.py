@@ -148,6 +148,15 @@ def q8_market_share(spark, sf_dir):
     s_map = s.select(
         "s_suppkey", F.element_at(nmap_all, F.col("s_nationkey")).alias("supp_nation")
     )
+    # r14 optimization round: volume as the scale-5 fixed-point BIGINT
+    # (tpch._disc_price_fixed, the q1/q3/q5/q7 path) instead of the
+    # decimal product — the long rides the orderkey shuffle and sums in
+    # codegen long math. Interleaved A/B at sf10 (/tmp/ab_q8_q17.json →
+    # OPTIMIZATION_r14.md): min-of-7 2.004 → 1.302 s (−35%), 7/7
+    # adjacent pairs. unscale emits the identical single-rounded DOUBLE
+    # (bounds in functions/money.py); oracle unchanged.
+    from .tpch import _disc_price_fixed
+
     li_f = (
         li.join(
             _bcast_if_small(p.select("p_partkey"), sf_dir, "part"),
@@ -159,21 +168,22 @@ def q8_market_share(spark, sf_dir):
         )
         .select(
             "l_orderkey",
-            _rev(F.col("l_extendedprice"), F.col("l_discount")).alias("volume"),
+            _disc_price_fixed().alias("volume"),
             "supp_nation",
         )
     )
     vol = li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
+    num = unscale(
+        F.sum(
+            F.when(
+                F.col("supp_nation") == "NATION_3", F.col("volume")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ),
+        5,
+    )
+    den = unscale(F.sum("volume"), 5)
     return vol.groupBy("o_year").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
-                    F.lit(0).cast("decimal(18,5)")
-                )
-            ).cast("double")
-            / F.sum("volume").cast("double"),
-            6,
-        ).alias("mkt_share")
+        F.round(num / den, 6).alias("mkt_share")
     )
 
 
@@ -256,19 +266,26 @@ def q17_small_quantity(spark, sf_dir):
     exchange to build the per-part averages (partkey partial agg
     cannot reduce: ~30 rows/key spread across 32 partitions leaves ~1
     row per key per partition) and adds a data-scaled 2M-row
-    broadcast. Single-exchange window is the floor of this shape."""
+    broadcast. Single-exchange window is the floor of this shape.
+
+    r14 optimization round: both the window's per-part quantity sum
+    and the final revenue sum move to fixed-point BIGINT (money.py) —
+    interleaved A/B at sf10 (/tmp/ab_q17.json → OPTIMIZATION_r14.md):
+    min-of-7 3.376 → 2.314 s (−31%), 5/7 adjacent pairs. Same plan
+    shape (one exchange + one sort); the decimal window state was a
+    third of the query."""
     li = load_table(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_partkey")
-    avg_qty = (
-        F.sum(F.col("l_quantity").cast(PRICE)).over(w).cast("double")
-        / F.count(F.lit(1)).over(w)
+    avg_qty = unscale(F.sum(fixed(F.col("l_quantity"), 2)).over(w), 2) / (
+        F.count(F.lit(1)).over(w)
     )
     return (
         li.select("l_quantity", "l_extendedprice", avg_qty.alias("avg_qty"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast(PRICE)).cast("double") / 7.0, 4
+                unscale(F.sum(fixed(F.col("l_extendedprice"), 2)), 2) / 7.0,
+                4,
             ).alias("avg_yearly")
         )
     )
