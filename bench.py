@@ -54,6 +54,54 @@ HEADLINE = [
 ]
 
 
+def _spin_worker(dur: float) -> int:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < dur:
+        x += 1
+    return x
+
+
+def _host_probes() -> tuple[float | None, float | None]:
+    """Cheap host-state probes (~0.6 s total; see payload comment).
+
+    parallel_efficiency = spin_time / wall for N concurrent busy-spins
+    (N = min(advertised cores, 16)); ~1.0 on a quiet box, ~0.5 in the
+    degraded-core window r14 documented. membw_gbps = one write + one
+    reduce pass over a 256 MB numpy buffer — catches the
+    large-allocation page-fault pathology this sandbox exhibited in the
+    r14 continuation (0.3 GB/s on multi-GB temporaries vs ~2 GB/s
+    healthy)."""
+    par = bw = None
+    try:
+        import multiprocessing as mp
+
+        n_workers = min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 16)
+        spin = 0.12
+        with mp.Pool(n_workers) as pool:
+            t0 = time.perf_counter()
+            pool.map(_spin_worker, [spin] * n_workers)
+            wall = time.perf_counter() - t0
+        if wall > 0:
+            par = round(min(spin / wall, 1.0), 3)
+    except Exception:  # noqa: BLE001 — probes must never fail the bench
+        pass
+    try:
+        import numpy as np
+
+        n = 32 * 1024 * 1024  # 256 MB of float64
+        t0 = time.perf_counter()
+        arr = np.ones(n)
+        arr.sum()
+        dt = time.perf_counter() - t0
+        if dt > 0:
+            bw = round((n * 8 * 2 / dt) / 1e9, 2)  # write + read pass
+        del arr
+    except Exception:  # noqa: BLE001
+        pass
+    return par, bw
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # anchored float pattern (r13 review: [0-9.]+ admitted 'sf.cache' /
@@ -367,6 +415,8 @@ def main() -> None:
     except Exception:
         pass
 
+    host_parallel_efficiency, host_membw_gbps = _host_probes()
+
     payload = {
         "metric": (
             "headline_suite_sec (sequential sum of per-query medians of "
@@ -403,6 +453,18 @@ def main() -> None:
         # Methodology (timing action, concurrent-wall rationale, floor
         # decomposition, DuckDB comparison protocol): docs/BENCH_NOTES.md.
         "notes": "methodology: docs/BENCH_NOTES.md",
+        # Host-state probes (ADD-only fields, r14 ledger item 6): the
+        # r14 sessions hit a degraded box twice (see ROUND14_NOTES
+        # "Benchmarking-protocol findings" and the OPTIMIZATION_r14
+        # box-state section) — these two numbers let a reader judge
+        # whether a capture's absolutes are comparable across rounds.
+        # parallel_efficiency: 1.0 = the advertised cores deliver; the
+        # degraded r14 window measured ~0.5. membw_gbps: sequential
+        # touch+reduce bandwidth over a 256 MB buffer; the r14b window
+        # measured large-allocation page-fault pathology (~0.3 GB/s on
+        # >1 GB temporaries) that inflated Arrow kernels 10x.
+        "host_parallel_efficiency": host_parallel_efficiency,
+        "host_membw_gbps": host_membw_gbps,
     }
     line = json.dumps(payload)
     # Durable copy: the driver captures stdout and has truncated this line

@@ -471,16 +471,31 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     own step, applying it is the streamed pass) and rides into an
     Arrow-batched ``mapInArrow`` kernel as a closure constant. Per batch:
     BLAS matmul gives APPROXIMATE scores used only to SELECT candidate
-    cells (argmax within a 2e-6+1e-9 margin — same exactness argument as
-    ann_cosine_topk: approx error ≤ ~1.6e-14, so every cell whose
-    6-dp-rounded exact sim could win survives selection); the exact
-    sequential dim-by-dim fold is recomputed for the ~1× kept rows and
-    EMITTED, with division + HALF_UP rounding + the (sim desc, cent_id
-    asc) argmax left JVM-side — bit-identical to the oracle's
-    crossJoin + row_number replay. Rows with no finite approx score
-    (zero-norm vectors) emit all k candidates so the JVM tie-break
-    decides exactly as both engines' NaN ordering does. Only ~n rows
-    ever shuffle (the max_by partial aggregate combines map-side)."""
+    cells; the exact sequential dim-by-dim fold is recomputed in float64
+    for the ~1× kept rows and EMITTED, with division + HALF_UP rounding
+    + the (sim desc, cent_id asc) argmax left JVM-side — bit-identical
+    to the oracle's crossJoin + row_number replay. Rows with no finite
+    approx score (zero-norm vectors) emit all k candidates so the JVM
+    tie-break decides exactly as both engines' NaN ordering does. Only
+    ~n rows ever shuffle (the max_by partial aggregate combines
+    map-side).
+
+    r14 optimization round, kernel internals (results unchanged — the
+    approx pass only ever SELECTS a candidate superset):
+    - the approx matmul runs in float32 over ≤2048-row sub-chunks: the
+      n×k score block for a full 10k-row Arrow batch is ~165 MB of
+      temporaries, measured 3–10× slower on this box than cache-sized
+      chunks (offline ladder: 200k×2062 unchunked 54 s, 8192-chunks
+      16.5 s, 2048-chunks f64 6.1 s, f32 3.9 s);
+    - the selection margin widens from 2e-6+1e-9 (two 6-dp roundings +
+      float64 fold error) to 2e-6+1e-3: the float32 pass carries
+      ≤ ~(d+2)·eps32 ≈ 1e-5 relative error on these unit-scale cosines,
+      so 1e-3 is ≥100× the bound — every cell whose exact 6-dp sim
+      could win still survives selection, it merely keeps ~13% more
+      candidates for the exact float64 refine (measured: 226k kept for
+      200k rows), which the refine absorbs at ~µs each. A float32
+      underflow/overflow row goes non-finite → degenerate → all k kept
+      → exact JVM path decides, same as the zero-norm case."""
     import numpy as np
     import pyarrow as pa
 
@@ -496,6 +511,9 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     for d in range(C.shape[1]):  # same fold order as dot(c, c)
         cn2 += C[:, d] * C[:, d]
     cnrm_np = np.sqrt(cn2)
+    C32t = np.ascontiguousarray(C.T.astype(np.float32))  # d×k for dgemm
+    cnrm32 = cnrm_np.astype(np.float32)
+    _CHUNK = 2048
 
     def assign_batches(batches):
         for b in batches:
@@ -505,20 +523,30 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
             vec_ids = np.asarray(b.column(0))
             flat = b.column(1).flatten()  # offset-aware list flatten
             E = np.asarray(flat).reshape(n, -1).astype(np.float64, copy=False)
-            apx = E @ C.T
-            nrm_apx = np.sqrt((E * E).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                s = apx / (nrm_apx[:, None] * cnrm_np[None, :])
-            finite = np.isfinite(s)
-            s_sel = np.where(finite, s, -np.inf)
-            mx = s_sel.max(axis=1)
-            mask = s_sel >= (mx[:, None] - (2e-6 + 1e-9))
-            # degenerate rows (no finite score): keep every candidate so
-            # the JVM NaN ordering decides — identical in both engines
-            degenerate = ~np.isfinite(mx)
-            if degenerate.any():
-                mask[degenerate, :] = True
-            ri, ci = np.nonzero(mask)
+            E32 = E.astype(np.float32)
+            ri_parts, ci_parts = [], []
+            for lo in range(0, n, _CHUNK):
+                Ei = E32[lo : lo + _CHUNK]
+                apx = Ei @ C32t
+                nrm_apx = np.sqrt((Ei * Ei).sum(axis=1))
+                with np.errstate(
+                    divide="ignore", invalid="ignore", over="ignore"
+                ):
+                    s = apx / (nrm_apx[:, None] * cnrm32[None, :])
+                s_sel = np.where(np.isfinite(s), s, -np.inf)
+                mx = s_sel.max(axis=1)
+                mask = s_sel >= (mx[:, None] - (2e-6 + 1e-3))
+                # degenerate rows (no finite score): keep every
+                # candidate so the JVM NaN ordering decides —
+                # identical in both engines
+                degenerate = ~np.isfinite(mx)
+                if degenerate.any():
+                    mask[degenerate, :] = True
+                rj, cj = np.nonzero(mask)
+                ri_parts.append(rj + lo)
+                ci_parts.append(cj)
+            ri = np.concatenate(ri_parts)
+            ci = np.concatenate(ci_parts)
             # exact sequential refine PER KEPT PAIR (~1.05 pairs/row —
             # never an n×k dense pass): the dim-ordered fold is
             # row-independent, so these doubles are bit-identical to a
@@ -593,8 +621,18 @@ def ivf_centroids(
         (F.col("vec_id") % centroid_mod == 0)
         & (F.col("vec_id") < centroid_mod * max_cells)
     ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb"))
+    # r14 optimization round: the embeddings file is one ~128 MB-split
+    # scan at bench scale, so the whole Lloyd pass (assign kernel +
+    # posexplode + partial agg) ran in ONE task — fan the bounded
+    # training frame out once (cheap: n narrow rows) so the n×k kernel
+    # and the (cell,dim) partial aggregation use the session's cores.
+    # The refined centroids are partitioning-invariant (exact decimal
+    # sums; per-row kernel), and the TRANSFORM passes stay on scan
+    # partitioning (at scale the streamed pass must not double-move
+    # the data; callers that fan out do it explicitly).
+    emb_fit = emb.repartition(spark.sparkContext.defaultParallelism)
     for _ in range(refine_iters):
-        dims = _assign_cells(emb, cents).select(
+        dims = _assign_cells(emb_fit, cents).select(
             "cent_id", F.posexplode("emb").alias("dim", "x")
         )
         mu = dims.groupBy("cent_id", "dim").agg(
