@@ -2334,34 +2334,65 @@ def weighted_median_price(spark, sf_dir):
     in-cell-refine exact quantile pays the 60M-row fact aggregation
     TWICE, once inside a per-action broadcast build (6.5-7 s). For a
     genuinely unbounded value domain the two-pass refine is the right
-    form; for this operator the domain bound makes one pass optimal."""
+    form; for this operator the domain bound makes one pass optimal.
+
+    r14 optimization round: the histogram aggregate, the cumulative
+    window and the final 3-group aggregate all key on the
+    percentile_prices packed BIGINT (codepoint(flag) ≪ 40 | price
+    cents; NULL/empty flag as above-Unicode codes, NULL price as a
+    cents sentinel — same documented single-codepoint /
+    non-negative-cents bets, violations hash-mismatch the oracle
+    loudly). Ordering by the packed key within a flag partition IS
+    price order. Interleaved A/B at sf10 (/tmp/ab_wmedian.json →
+    OPTIMIZATION_r14.md): min-of-9 2.558 → 2.395 s, medians
+    3.246 → 2.651 (−18%), packed 7/9 adjacent pairs — the same
+    constant-factor primitive-key win percentile_prices measured.
+    The rework also fixed a LATENT oracle divergence the focused test
+    caught: the old USING join on l_returnflag silently dropped a
+    NULL-flag group (the oracle computes tot as a window, no join);
+    the packed _fk join key has no NULLs by construction
+    (tests/test_opt_r14.py)."""
     li = load_table(spark, sf_dir, "lineitem")
+    NK = 1 << 21  # NULL-flag code, above any Unicode codepoint
+    EK = NK + 1  # empty-string flag code
+    fcode = (
+        F.when(F.col("l_returnflag").isNull(), F.lit(NK))
+        .when(F.length("l_returnflag") == 0, F.lit(EK))
+        .otherwise(F.ascii("l_returnflag"))
+    ).cast("long")
+    cents = F.coalesce(fixed("l_extendedprice"), F.lit(1 << 39))
     hist = (
         li.select(
-            "l_returnflag",
-            fixed("l_extendedprice").alias("pfp"),
+            (F.shiftleft(fcode, 40) + cents).alias("_pk"),
             fixed("l_quantity", 0).alias("qty"),
         )
-        .groupBy("l_returnflag", "pfp")
+        .groupBy("_pk")
         .agg(F.sum("qty").alias("w"))
+        .withColumn("_fk", F.shiftright(F.col("_pk"), 40))
     )
     # totals via a 3-row broadcast join, not a second (frame-less)
     # window pass — one window sort on the histogram instead of two
-    tot = hist.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
-    win = W.partitionBy("l_returnflag").orderBy("pfp")
+    tot = hist.groupBy("_fk").agg(F.sum("w").alias("tot"))
+    win = W.partitionBy("_fk").orderBy("_pk")
     cum = hist.withColumn("cum", F.sum("w").over(win)).join(
-        F.broadcast(tot), "l_returnflag"
+        F.broadcast(tot), "_fk"
     )
+    pfp = F.col("_pk") - F.shiftleft(F.col("_fk"), 40)
     return (
-        cum.groupBy("l_returnflag")
+        cum.groupBy("_fk")
         .agg(
             F.max("tot").alias("total_weight"),
             (
-                F.min(
-                    F.when(F.col("cum") * 2 >= F.col("tot"), F.col("pfp"))
-                ).cast("double")
+                F.min(F.when(F.col("cum") * 2 >= F.col("tot"), pfp)).cast(
+                    "double"
+                )
                 / F.lit(100.0)
             ).alias("wmedian_price"),
+        )
+        .select(
+            _pctl_flag(F.col("_fk")).alias("l_returnflag"),
+            "total_weight",
+            "wmedian_price",
         )
         .orderBy("l_returnflag")
     )

@@ -173,3 +173,72 @@ def test_q20_fixed_point_matches_decimal_form(spark, tmp_path):
     )
     assert got == expect
     assert len(got) == 4  # 15%-boundary supplier excluded, others in
+
+
+def test_weighted_median_packed_key_roundtrips_flag_domain(spark, tmp_path):
+    """The r14 packed-key weighted median must equal the ORACLE's
+    window-only formulation on the flag domains the packing encodes:
+    non-ASCII codepoints, the empty string, \\x00 and NULL flags
+    (NULL-price rows are the documented sentinel bet and excluded
+    here, as in percentile_prices). The reference below mirrors the
+    DuckDB oracle (cum and tot both as windows, NO join) — the packing
+    rework also FIXED a latent NULL-flag drop: the previous two-column
+    form attached totals with a USING join on l_returnflag, which
+    silently dropped a NULL-flag group the oracle keeps (never fired
+    on TPC-H data; the packed _fk join key has no NULLs by
+    construction)."""
+    from data_iceberg_sandbox_spark.operators.advanced import (
+        weighted_median_price,
+    )
+    from data_iceberg_sandbox_spark.sources.registry import pin_table
+    from data_iceberg_sandbox_spark.functions.money import fixed
+    from pyspark.sql import Window as W
+
+    sf_fake = str(tmp_path / "sf_wmed")
+    os.makedirs(sf_fake, exist_ok=True)
+    li = spark.createDataFrame(
+        [
+            ("é", 10.00, 3.0),
+            ("é", 20.00, 1.0),
+            ("€", 5.50, 2.0),
+            ("", 7.25, 4.0),
+            (None, 1.00, 1.0),
+            ("\x00", 2.00, 5.0),
+            ("é", 10.00, 2.0),
+        ],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    pin_table(spark, sf_fake, "lineitem", li)
+
+    hist = (
+        li.select(
+            "l_returnflag",
+            fixed("l_extendedprice").alias("pfp"),
+            fixed("l_quantity", 0).alias("qty"),
+        )
+        .groupBy("l_returnflag", "pfp")
+        .agg(F.sum("qty").alias("w"))
+    )
+    win = W.partitionBy("l_returnflag").orderBy("pfp")
+    cum = hist.withColumn("cum", F.sum("w").over(win)).withColumn(
+        "tot", F.sum("w").over(W.partitionBy("l_returnflag"))
+    )
+    twocol = (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").alias("total_weight"),
+            (
+                F.min(
+                    F.when(F.col("cum") * 2 >= F.col("tot"), F.col("pfp"))
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("wmedian_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+    expect = sorted((tuple(r) for r in twocol.collect()), key=str)
+    got = sorted(
+        (tuple(r) for r in weighted_median_price(spark, sf_fake).collect()),
+        key=str,
+    )
+    assert got == expect
