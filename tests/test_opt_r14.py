@@ -242,3 +242,59 @@ def test_weighted_median_packed_key_roundtrips_flag_domain(spark, tmp_path):
         key=str,
     )
     assert got == expect
+
+
+def test_q17_fixed_point_window_matches_decimal_form(spark, tmp_path):
+    """q17's r14 fixed-point window sums must reproduce the decimal
+    formulation bit-for-bit on cents-exact quantities/prices, including
+    rows exactly AT the 0.5*avg boundary (excluded by <) and doubles
+    whose cents product sits just under the true integer."""
+    from data_iceberg_sandbox_spark.operators.tpch2 import (
+        q17_small_quantity,
+    )
+    from data_iceberg_sandbox_spark.sources.registry import pin_table
+    from pyspark.sql import Window as W
+
+    sf_fake = str(tmp_path / "sf_q17")
+    os.makedirs(sf_fake, exist_ok=True)
+    li = spark.createDataFrame(
+        [
+            # part 1: avg qty = 2.0 -> boundary row qty=1.0 == 0.5*avg
+            # is EXCLUDED by the strict <; qty=0.99 is included
+            (1, 1.00, 100.10),
+            (1, 3.00, 200.20),
+            (1, 0.99, 12.34),
+            (1, 3.01, 5.00),
+            # part 2: fractional quantities whose double*100 sits just
+            # under the integer (12.34*100 = 1233.9999...)
+            (2, 12.34, 999.99),
+            (2, 0.01, 0.01),
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    pin_table(spark, sf_fake, "lineitem", li)
+
+    w = W.partitionBy("l_partkey")
+    avg_qty = F.sum(F.col("l_quantity").cast("decimal(12,2)")).over(w).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(w)
+    old = (
+        li.select("l_quantity", "l_extendedprice", avg_qty.alias("avg_qty"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+    expect = [tuple(r) for r in old.collect()]
+    got = [tuple(r) for r in q17_small_quantity(spark, sf_fake).collect()]
+    assert got == expect
+    # the boundary row must have been excluded: surviving revenue is
+    # part 1's qty=0.99 row (price 12.34) + part 2's qty=0.01 row
+    # (price 0.01)
+    assert got[0][0] == round((12.34 + 0.01) / 7.0, 4)
