@@ -626,11 +626,21 @@ def ivf_centroids(
     # posexplode + partial agg) ran in ONE task — fan the bounded
     # training frame out once (cheap: n narrow rows) so the n×k kernel
     # and the (cell,dim) partial aggregation use the session's cores.
-    # The refined centroids are partitioning-invariant (exact decimal
-    # sums; per-row kernel), and the TRANSFORM passes stay on scan
-    # partitioning (at scale the streamed pass must not double-move
-    # the data; callers that fan out do it explicitly).
-    emb_fit = emb.repartition(spark.sparkContext.defaultParallelism)
+    # CONDITIONAL on the actual scan width (A/B /tmp/ab_ivffit.json →
+    # OPTIMIZATION_r14.md): when the source is already balanced — the
+    # bench's pinned relations, or a many-split scan at real scale —
+    # the extra 110 MB array shuffle is a pure ~5% loss, so it only
+    # fires when the scan is narrower than half the session's cores
+    # (where it measured 6× on the one-split shape). The refined
+    # centroids are partitioning-invariant (exact decimal sums;
+    # per-row kernel), and the TRANSFORM passes always stay on scan
+    # partitioning (the streamed pass must not double-move the data).
+    want = spark.sparkContext.defaultParallelism
+    emb_fit = (
+        emb.repartition(want)
+        if emb.rdd.getNumPartitions() < max(2, want // 2)
+        else emb
+    )
     for _ in range(refine_iters):
         dims = _assign_cells(emb_fit, cents).select(
             "cent_id", F.posexplode("emb").alias("dim", "x")
