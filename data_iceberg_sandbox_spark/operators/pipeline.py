@@ -577,7 +577,16 @@ FROM deduped GROUP BY source
 def corpus_top_bigrams(spark, sf_dir, k: int = 50):
     """Corpus n-gram statistics: top-k bigrams by frequency (LM-style
     corpus profiling). posexplode + window lead (the codegen shingle
-    path) → one count shuffle → TakeOrdered."""
+    path) → one count shuffle → TakeOrdered.
+
+    r14 optimization round, measured and REJECTED: building the bigram
+    list with an index-lambda array transform (slice + element_at —
+    no doc_id exchange, no word-grain sort) LOST the interleaved sf10
+    A/B 1.449 → 1.692 s min-of-7, old 7/7 adjacent pairs
+    (plans/r14/ab_bigrams_arraytf_rejected.json): the nested
+    array/lambda evaluation and the materialized per-doc bigram arrays
+    cost more than the window's partition-local sort on this shape.
+    The window form stands."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
