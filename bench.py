@@ -54,14 +54,6 @@ HEADLINE = [
 ]
 
 
-def _spin_worker(dur: float) -> int:
-    t0 = time.perf_counter()
-    x = 0
-    while time.perf_counter() - t0 < dur:
-        x += 1
-    return x
-
-
 def _host_probes() -> tuple[float | None, float | None]:
     """Cheap host-state probes (~0.6 s total; see payload comment).
 
@@ -74,16 +66,47 @@ def _host_probes() -> tuple[float | None, float | None]:
     healthy)."""
     par = bw = None
     try:
-        import multiprocessing as mp
+        # plain subprocess spinners, NOT multiprocessing: forking a
+        # driver that hosts a JVM (py4j threads, sockets) is the
+        # classic rare-hang, and a hung probe would stall the whole
+        # bench — no payload field is worth that. Fresh `python -c`
+        # children import nothing heavy; the measured window is the
+        # spin duration reported by each child, so startup skew only
+        # shows up in the wall term (which is the point).
+        import subprocess
 
         n_workers = min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 16)
-        spin = 0.12
-        with mp.Pool(n_workers) as pool:
-            t0 = time.perf_counter()
-            pool.map(_spin_worker, [spin] * n_workers)
-            wall = time.perf_counter() - t0
-        if wall > 0:
-            par = round(min(spin / wall, 1.0), 3)
+        spin = 0.25
+        code = (
+            "import time; t0=time.perf_counter()\n"
+            f"while time.perf_counter()-t0 < {spin}: pass\n"
+        )
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            for _ in range(n_workers)
+        ]
+        for p in procs:
+            p.wait(timeout=30)
+        wall = time.perf_counter() - t0
+        # subtract one measured interpreter startup so the ratio
+        # reflects contention, not exec overhead
+        t1 = time.perf_counter()
+        subprocess.run(
+            [sys.executable, "-c", "pass"],
+            check=False,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=30,
+        )
+        startup = time.perf_counter() - t1
+        busy = wall - startup
+        if busy > 0:
+            par = round(min(spin / busy, 1.0), 3)
     except Exception:  # noqa: BLE001 — probes must never fail the bench
         pass
     try:
