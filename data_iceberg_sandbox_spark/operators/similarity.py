@@ -791,19 +791,38 @@ def _int8_scale(v):
     ) / F.lit(127.0)
 
 
+def _quantize_base(spark, sf_dir):
+    """(vec_id, _v double-array, _s scale) with the scale MATERIALIZED
+    as a column in its own projection. Referencing the `_int8_scale`
+    expression tree directly inside the quantize lambda re-evaluated
+    the whole abs-transform + array_max subtree PER ELEMENT — array
+    HOFs are interpreted (CodegenFallback) with no common-subexpression
+    elimination across the lambda boundary, so the row cost was O(d²):
+    the r14 interleaved A/B at sf10 (200k × 64-dim vectors) measured
+    the column form at min 0.359 s vs 1.822 s for the expression form
+    (−80%, new arm ahead in all 7 adjacent pairs,
+    plans/r14/ab_quant_scalecol.json). CollapseProject leaves the
+    staged projection alone because `_s` is non-cheap and consumed
+    more than once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("_v"))
+    return base.select("vec_id", "_v", _int8_scale(F.col("_v")).alias("_s"))
+
+
 def embedding_quantize_int8(spark, sf_dir):
     """Storage-path op: symmetric int8 quantization of embeddings —
     per-vector scale = max|x|/127, stored as (scale, array<tinyint>).
     4× footprint cut for ANN candidate sets; rows-only check here, the
-    reconstruction-error bound is property-tested. (Uses array HOFs —
-    acceptable off the query hot path; the scan cost is write-time.)"""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = as_double(F.col("embedding"))
-    scale = _int8_scale(v)
-    return emb.select(
+    reconstruction-error bound is property-tested. (Array HOFs over a
+    materialized scale column — see `_quantize_base`.)"""
+    base = _quantize_base(spark, sf_dir)
+    s = F.col("_s")
+    return base.select(
         "vec_id",
-        scale.alias("scale"),
-        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")).alias("q"),
+        s.alias("scale"),
+        F.transform(
+            F.col("_v"), lambda x: F.round(x / s).cast("tinyint")
+        ).alias("q"),
     )
 
 
@@ -811,16 +830,17 @@ def embedding_quantize_int8_check(spark, sf_dir):
     """Oracle-checkable projection of the int8 quantization: the full q
     vector serialized as CSV plus the 9-dp scale. Both engines compute
     round(x/scale) on identical doubles and round half-away-from-zero,
-    so the quantized codes match bit-for-bit cross-engine."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = as_double(F.col("embedding"))
-    scale = _int8_scale(v)
-    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
-    return emb.select(
+    so the quantized codes match bit-for-bit cross-engine. Scale rides
+    a materialized column (`_quantize_base`) — same arithmetic, same
+    results, minus the per-element re-evaluation."""
+    base = _quantize_base(spark, sf_dir)
+    s = F.col("_s")
+    q = F.transform(F.col("_v"), lambda x: F.round(x / s).cast("int"))
+    return base.select(
         "vec_id",
-        F.round(scale, 9).alias("scale_r"),
+        F.round(s, 9).alias("scale_r"),
         F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
-        F.size(v).alias("n_dims"),
+        F.size(F.col("_v")).alias("n_dims"),
     )
 
 

@@ -298,3 +298,44 @@ def test_q17_fixed_point_window_matches_decimal_form(spark, tmp_path):
     # part 1's qty=0.99 row (price 12.34) + part 2's qty=0.01 row
     # (price 0.01)
     assert got[0][0] == round((12.34 + 0.01) / 7.0, 4)
+
+
+def test_quantize_scale_stays_a_materialized_column(spark):
+    """embedding_quantize_int8's r14 rewrite stages the per-vector scale
+    as its own projection: array HOFs are interpreted (CodegenFallback)
+    with no CSE across the lambda boundary, so inlining the
+    array_max-based scale tree into the quantize lambda re-evaluates it
+    PER ELEMENT (O(d²) per row — measured 5× slower at sf10,
+    plans/r14/ab_quant_scalecol.json). Guard the plan shape: the scale
+    subtree (its array_max) must appear exactly once, NOT inside the
+    int-quantize lambda (CollapseProject would reintroduce the
+    regression silently if `_s` ever became collapse-eligible)."""
+    from data_iceberg_sandbox_spark.operators.similarity import (
+        embedding_quantize_int8_check,
+    )
+
+    df = embedding_quantize_int8_check(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_max") == 1
+    # the quantize lambda divides by the materialized attribute, i.e.
+    # some `lambda x / _s#NN` — never by a greatest(array_max(...)) tree
+    import re
+
+    q_lambda = re.search(r"round\(\(lambda [^)]*\)", plan)
+    assert q_lambda and "_s#" in q_lambda.group(0), q_lambda
+
+
+def test_repetition_score_splits_text_once(spark):
+    """text_repetition_score's r14 rework materializes the word array:
+    the plan must contain exactly one split of the text column (the six
+    HOF-argument re-splits were ~1.4× the row's whole cost — measured
+    −28% at sf10, plans/r14/ab_rep_wcol.json). CollapseProject would
+    silently reintroduce the re-splits if `w` ever became
+    collapse-eligible."""
+    from data_iceberg_sandbox_spark.operators.textstats import (
+        text_repetition_score,
+    )
+
+    df = text_repetition_score(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(text") == 1, plan.count("split(text")
