@@ -24,9 +24,18 @@ def words(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 5) -> Column:
     """Overlapping word n-gram shingles as an array<string>.
 
-    Pure built-ins: split → transform(sequence) → slice/array_join, so the
-    whole expression stays in whole-stage codegen. Docs shorter than n
-    words yield their full text as the single shingle.
+    Pure built-ins: split → transform(sequence) → slice/array_join.
+    Docs shorter than n words yield their full text as the single
+    shingle.
+
+    PERF HAZARD (r14, currently no query-path callers): the lambda body
+    references the `split` EXPRESSION, and array HOFs are interpreted
+    with no CSE across the lambda boundary — the split re-runs per
+    shingle index, O(words²) per doc. A Column-level helper cannot
+    materialize a column, so hot paths must use the dedup convention
+    instead: stage `words(text)` as a column and apply
+    `operators.dedup._shingle_arr_sql` over it (that is what
+    `_shingles_of` does). See OPTIMIZATION_r14.md "Pattern sweep".
     """
     w = words(text)
     starts = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
