@@ -99,15 +99,48 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
     return last_green, seen
 
 
+# Queries whose implementation was rewritten in an optimization round
+# (r14/r15) and that the driver's capped 50-row oracle sample has not
+# re-proven SINCE the rewrite (VERDICT r14 #7: the r14 cohort was
+# pytest-oracled only). They rank just after the never-green tiers until
+# a CORRECTNESS round >= _PRIORITY_SINCE greens them, then fall back to
+# the normal stalest-first rotation.
+_PRIORITY_RECHECK = {
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_volume_share",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity",
+    "multi_distinct_agg",
+    "percentile_prices",
+    "weighted_median_price",
+    "embedding_quantize_int8",
+    "text_repetition_score",
+    "cube_counts",
+    "orders_cohort_ltv",
+    "tpch_q22_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "dedup_incremental_lsh",
+    "dedup_minhash_lsh",
+    "json_extract_props",
+}
+_PRIORITY_SINCE = 15
+
+
 def _unchecked_first(d: dict) -> dict:
     last_green, seen = _driver_history()
     order = list(d)
 
     def rank(name: str) -> tuple:
         if name in last_green:
+            if (
+                name in _PRIORITY_RECHECK
+                and last_green[name] < _PRIORITY_SINCE
+            ):
+                # rewritten since its last driver green — re-prove now
+                return (2, last_green[name], order.index(name))
             # Green queries re-prove stalest-first: a capped driver
             # cycles the whole surface every ceil(total/cap) rounds.
-            return (2, last_green[name], order.index(name))
+            return (3, last_green[name], order.index(name))
         if name in seen:
             return (1, 0, order.index(name))  # had a row but never green
         return (0, 0, order.index(name))  # never checked at all

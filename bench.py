@@ -174,12 +174,22 @@ def main() -> None:
     #     post-shuffle width rises toward the core count and splits grow
     #     so the scan task count stays O(cores), not O(hundreds).
     # Both knobs stay env-overridable for tuning sweeps.
+    # r15 (VERDICT #1): the width band is capped by $SPARK_GRAFT_CPUS so
+    # the driver's lower-core-count run genuinely sizes down instead of
+    # running the 32-core constants — at sf0.1 the data-derived band (4)
+    # is already below any plausible core count, so the headline numbers
+    # stay comparable; the scaling probe's ≈1 ratios there are explained
+    # by floor_decomposition_sec, not by core-blind sizing.
+    _cpus_env = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
+        os.cpu_count() or 4
+    )
     if sf >= 10:
         _shuffle, _split = 32, "32m"
     elif sf >= 1:
         _shuffle, _split = 8, "8m"
     else:
         _shuffle, _split = 4, "4m"
+    _shuffle = min(_shuffle, max(2, _cpus_env))
     _shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _shuffle))
     _split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", _split)
     spark = get_spark_session(
@@ -222,12 +232,65 @@ def main() -> None:
     # overhead at this scale).
     from data_iceberg_sandbox_spark.sources.registry import pin_balanced as _pb
 
-    _pinned = _pb(spark, sf_dir, cpus=16, min_rows_per_slice=40_000)
+    # slice cap scales with the advertised core count (r15, VERDICT #1):
+    # 16 is the measured sf0.1 sweet spot on 32 cores (32+ slices re-pay
+    # per-task overhead); a smaller box pins fewer slices instead of
+    # running the 32-core constant.
+    _pin_slices = min(_cpus_env, 16)
+    _pinned = _pb(spark, sf_dir, cpus=_pin_slices, min_rows_per_slice=40_000)
 
     def materialize(df) -> None:
         # noop sink: executes the full plan and materializes every result
         # row without a driver transfer or an extra count-agg stage
         df.write.format("noop").mode("overwrite").save()
+
+    # Bench fairness (r15, VERDICT "What's wrong" #1): a query that
+    # registers its OWN cache (the dedup family's multiply-consumed
+    # candidate frames) would otherwise serve run N from run N−1's
+    # materialized blocks — the median then measures cache-hit
+    # re-execution, not the declared plan. Between timed runs, if the
+    # previous run left any persistent RDD beyond the base-table pin,
+    # we clear the SQL CacheManager entirely, drop orphaned blocks, and
+    # re-pin the base tables (all untimed): the next run re-registers
+    # its caches and materializes them INSIDE its own timing window, so
+    # the median measures the declared plan — cache-cold per run with
+    # intra-run DAG reuse intact. Surgically unpersisting just the
+    # query's buffer RDD was probed and REJECTED: CachedRDDBuilder
+    # memoizes the buffer RDD, so an external unpersist leaves it at
+    # StorageLevel NONE forever and every later consumer recomputes —
+    # that times the NO-cache plan, not the declared one (probe: 0
+    # cached partitions after re-consume, steady recompute per action).
+    # The base-table pin stays warm across runs (symmetric across
+    # rounds and with DuckDB's warmed page cache; see the pin comment
+    # above). Leftover locally-checkpointed RDDs are unpersisted too —
+    # a localCheckpoint is per-invocation (no plan-matched reuse across
+    # runs, so the orphaned blocks are pure leak, never a speedup). For
+    # queries that register no cache this is one py4j probe per run.
+    _jpersist = spark.sparkContext._jsc.getPersistentRDDs
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in _jpersist().keySet().toArray()}
+
+    _known_ids = _persistent_ids()
+
+    def reset_nonpinned_caches() -> None:
+        nonlocal _known_ids, _pinned
+        if _persistent_ids() <= _known_ids:
+            return
+        try:
+            spark.catalog.clearCache()
+            jmap = _jpersist()
+            for rid in list(jmap.keySet().toArray()):
+                try:
+                    jmap.get(rid).unpersist(True)
+                except Exception:  # noqa: BLE001 — best-effort block drop
+                    pass
+            _pinned = _pb(
+                spark, sf_dir, cpus=_pin_slices, min_rows_per_slice=40_000
+            )
+            _known_ids = _persistent_ids()
+        except Exception:  # noqa: BLE001 — fairness must not abort timing
+            pass
 
     # Fixed-floor probe: Spark charges a per-action scheduling/driver
     # round-trip cost even for a 1-row noop write. Median of 10 is the
@@ -280,6 +343,11 @@ def main() -> None:
             jobs_before_last = 0
             samples: list[float] = []
             for run in range(n_runs):
+                # every timed run starts cache-cold for query-registered
+                # caches (see reset_nonpinned_caches above) — including
+                # run 0, whose warm pass would otherwise have pre-built
+                # them
+                reset_nonpinned_caches()
                 if run == n_runs - 1:
                     # Steady-state job count = jobs of the LAST timed run
                     # only (id-diff). Run 1 can schedule extra one-time
@@ -447,6 +515,21 @@ def main() -> None:
         ),
         "value": sequential_total,
         "unit": "sec",
+        # Protocol version (r15, VERDICT #9): 1 = sum of best-of-3
+        # (BENCH_r01–r13), 2 = sum of per-query medians of 5 with
+        # cache-cold timed runs (r14+; r14 lacked this field and the
+        # between-run cache reset — docs/BENCH_NOTES.md maps the
+        # statistics). PERF consumers must not compare `value` across
+        # protocol versions; `value_best_of_runs` is the v1-comparable
+        # statistic.
+        "protocol_version": 2,
+        # CPU-scaling contract (r15, VERDICT #1): the RESOLVED runtime
+        # master and parallelism, so the driver's lower-core-count run
+        # can verify $SPARK_GRAFT_CPUS is honored instead of suspecting.
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "shuffle_partitions": _shuffle,
+        "pin_slice_cap": _pin_slices,
         "queries": times,
         "runs_per_query_count": n_runs,
         "query_runs": runs_per_query,

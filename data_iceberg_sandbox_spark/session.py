@@ -129,6 +129,19 @@ def build_session_conf(
     return conf
 
 
+def resolve_master(master: str | None = None) -> str:
+    """The master string a session built now would use: explicit arg, then
+    $SPARK_GRAFT_MASTER, then ``local[$SPARK_GRAFT_CPUS]``. Split out of
+    get_spark_session (r15, VERDICT #1) so the CPU-scaling contract is a
+    pure function the test suite can assert without building a session
+    (getOrCreate on a live session silently ignores a new master, so the
+    contract was previously unverifiable — the driver's 8-core run flagged
+    `suspect_cpus_ignored` with no way to check). bench.py additionally
+    publishes the RUNTIME truth (``sc.master``/``defaultParallelism``) in
+    its payload."""
+    return master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{_cpus()}]")
+
+
 def get_spark_session(
     app_name: str = _DEF_APP,
     master: str | None = None,
@@ -141,7 +154,6 @@ def get_spark_session(
     Mirrors the reference entry shape (spark_utils.py:37-42) — conf dict →
     builder → getOrCreate — with cluster-safe defaults.
     """
-    cpus = _cpus()
     conf = build_session_conf(
         master=master,
         shuffle_partitions=shuffle_partitions,
@@ -150,7 +162,7 @@ def get_spark_session(
         jar=iceberg_runtime_jar(),
     )
     builder = SparkSession.builder.appName(app_name).master(
-        master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        resolve_master(master)
     )
     for k, v in conf.items():
         builder = builder.config(k, v)

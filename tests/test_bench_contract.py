@@ -19,7 +19,12 @@ def test_bench_emits_full_json_despite_broken_query():
         **os.environ,
         "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
         "SPARK_GRAFT_BENCH_QUERIES": "dedup_exact,w_rank_topk",
+        # CPU-scaling contract (r15, VERDICT r14 #1): a non-default core
+        # count must show up in the payload's resolved master/sizing
+        "SPARK_GRAFT_CPUS": "6",
     }
+    env.pop("SPARK_GRAFT_MASTER", None)
+    env.pop("SPARK_GRAFT_SHUFFLE_PARTITIONS", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--self-test-broken"],
         env=env,
@@ -52,3 +57,13 @@ def test_bench_emits_full_json_despite_broken_query():
     lo, hi = d["suite_spread_sec"]
     assert lo <= d["value"] <= hi + 1e-6
     assert abs(d["value_best_of_runs"] - lo) < 1e-3
+    # CPU-scaling contract + protocol version (r15, VERDICT r14 #1/#9):
+    # the payload carries the RUNTIME master/parallelism so the driver's
+    # lower-core-count run can verify $SPARK_GRAFT_CPUS is honored, and
+    # the statistic is versioned so PERF never again compares
+    # best-of-3 against median-of-5
+    assert d["protocol_version"] == 2
+    assert d["master"] == "local[6]"
+    assert d["default_parallelism"] == 6
+    assert 2 <= d["shuffle_partitions"] <= 6
+    assert d["pin_slice_cap"] == 6

@@ -1,0 +1,55 @@
+"""Round-15 optimization guards.
+
+Covers the r15 harness-contract work (VERDICT r14 #1) and the ADVICE r14
+follow-up on the quantize storage op's plan shape.
+"""
+import os
+import re
+
+import pytest
+
+from data_iceberg_sandbox_spark.session import get_spark_session, resolve_master
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark_session(
+        app_name="tests-r15",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    yield s
+
+
+def test_resolve_master_honors_cpus_env(monkeypatch):
+    """The CPU-scaling contract (VERDICT r14 #1): the master string a new
+    session would use must follow $SPARK_GRAFT_CPUS. Pure-function test —
+    getOrCreate on a live session silently ignores a new master, so this
+    is the only way the suite can assert the contract without forking."""
+    monkeypatch.delenv("SPARK_GRAFT_MASTER", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "7")
+    assert resolve_master() == "local[7]"
+    # explicit arg wins over env
+    assert resolve_master("local[2]") == "local[2]"
+    # explicit master env wins over the cpus-derived default
+    monkeypatch.setenv("SPARK_GRAFT_MASTER", "local[3]")
+    assert resolve_master() == "local[3]"
+
+
+def test_quantize_storage_op_scale_stays_a_materialized_column(spark):
+    """ADVICE r14: the r14 plan guard covered only
+    embedding_quantize_int8_check; the storage op builds its own lambda
+    and could regress to the inlined-scale O(d²) form without tripping
+    that test if it ever stopped sharing `_quantize_base`. Same
+    assertions on the storage op's plan: one array_max (the scale
+    subtree evaluated once), and the quantize lambda divides by the
+    materialized `_s` attribute, never by the scale expression tree."""
+    from data_iceberg_sandbox_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    df = embedding_quantize_int8(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_max") == 1
+    q_lambda = re.search(r"round\(\(lambda [^)]*\)", plan)
+    assert q_lambda and "_s#" in q_lambda.group(0), q_lambda
