@@ -28,18 +28,30 @@ def word_shingles(text: Column, n: int = 5) -> Column:
     Docs shorter than n words yield their full text as the single
     shingle.
 
-    PERF HAZARD (r14, currently no query-path callers): the lambda body
-    references the `split` EXPRESSION, and array HOFs are interpreted
-    with no CSE across the lambda boundary — the split re-runs per
-    shingle index, O(words²) per doc. A Column-level helper cannot
-    materialize a column, so hot paths must use the dedup convention
-    instead: stage `words(text)` as a column and apply
-    `operators.dedup._shingle_arr_sql` over it (that is what
-    `_shingles_of` does). See OPTIMIZATION_r14.md "Pattern sweep".
+    The split result is BOUND as a lambda variable, not referenced as
+    an expression: array HOFs are interpreted with no CSE across the
+    lambda boundary, so the r14 form (lambda body referencing the
+    `split` tree) re-ran the split per shingle index — O(words²) per
+    doc (OPTIMIZATION_r14.md "Pattern sweep"; documented then, fixed
+    r15 per VERDICT). A Column-level helper cannot materialize a
+    column, but wrapping the words array in a one-element array and
+    transforming over THAT binds it as a NamedLambdaVariable — a
+    per-row VALUE the inner lambdas reference without re-evaluation,
+    same trick budget as staging a column, usable from expression
+    context. Hot paths with a DataFrame in hand may still prefer the
+    dedup convention (stage `words(text)` as a column +
+    `operators.dedup._shingle_arr_sql`).
     """
-    w = words(text)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
-    return F.transform(starts, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+    def shingle(w: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))
+        )
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(w, i, n), " ")
+        )
+
+    return F.transform(F.array(words(text)), shingle)[0]
 
 
 def normalized(text: Column) -> Column:
