@@ -73,7 +73,16 @@ def _bcast_if_small(df, sf_dir, table, cap_bytes=BROADCAST_DIM_CAP_BYTES):
     - past both → unhinted, AQE/SMJ (sort both sides, never OOM).
 
     The base-table size upper-bounds any filtered projection of it, so
-    every tier of the gate is conservative."""
+    every tier of the gate is conservative — ON BYTES. It is NOT a
+    safety proof for arbitrary frames: parquet under-states the
+    in-memory LongHashedRelation of a narrow long-typed FACT frame by
+    ~an order of magnitude (delta/dict encoding), and offering FULL
+    orders as the build at sf100 (1.78 GB parquet, inside the 2 GB
+    band) died with cannotAcquireMemoryToBuildLongHashedRelationError
+    before one timed rep (r15, plans/r15/ab_q10q12_shj_rejected.json).
+    Callers must offer only dims or genuinely-reduced fact frames
+    (q3's ~20%-of-orders build measured −35% at sf100; q7's ~8% build
+    adopted r15); full facts stay unhinted — SMJ sorts, never OOMs."""
     nbytes = _dir_bytes(sf_dir, table)
     if nbytes <= cap_bytes:
         return F.broadcast(df)
@@ -87,6 +96,26 @@ def _bcast_if_small(df, sf_dir, table, cap_bytes=BROADCAST_DIM_CAP_BYTES):
 # bounded regardless of SF because shuffle_partitions scales with the
 # cluster while the per-partition slice stays fixed.
 SHJ_BUILD_CAP_BYTES_PER_PARTITION = 64 << 20
+
+
+def _shj_if_medium(df, sf_dir, table, cap_bytes=BROADCAST_DIM_CAP_BYTES):
+    """Middle-band-ONLY variant of the `_bcast_if_small` ladder for
+    fact-derived frames (r15, VERDICT #6): SHUFFLE_HASH when the
+    bounding table sits between the broadcast cap and the per-build-
+    partition bound; NO hint otherwise. Rationale measured on q7
+    (plans/r15/ab_q7_ladder.json): at sf100 the SHJ build on the
+    reduced-orders frame skips sorting the 120M-row lineitem probe
+    (min 6.04 vs 6.29 s, ahead in all three interleaved captures),
+    but at sf≤0.1 the full ladder's BROADCAST tier fires and the extra
+    broadcast-build job costs ~10–15 ms against a 0.17 s query whose
+    SMJ already rides the pin's orderkey co-partitioning (1/9 pairs,
+    min 0.183 vs 0.168 s) — so below the broadcast cap the frame stays
+    unhinted and the plan is byte-identical to the pre-r15 one."""
+    nbytes = _dir_bytes(sf_dir, table)
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if cap_bytes < nbytes <= SHJ_BUILD_CAP_BYTES_PER_PARTITION * parts:
+        return df.hint("SHUFFLE_HASH")
+    return df
 
 
 def _disc_price_fixed():

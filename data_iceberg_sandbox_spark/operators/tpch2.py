@@ -21,7 +21,7 @@ RATE = "decimal(4,3)"
 # shared data-scaled broadcast gate (r13: moved to tpch.py so both
 # TPC-H batches and insights use ONE implementation; re-exported here
 # for existing importers)
-from .tpch import _bcast_if_small, _dir_bytes  # noqa: E402,F401
+from .tpch import _bcast_if_small, _dir_bytes, _shj_if_medium  # noqa: E402,F401
 
 
 def _rev(price, disc):
@@ -69,6 +69,15 @@ def q7_volume_shipping(spark, sf_dir):
     ).select(
         "o_orderkey", "c_nationkey"
     )
+    # r15 (VERDICT #6 class): the fact-fact orderkey join rides the
+    # middle-band-only ladder — at sf100 the reduced-orders build
+    # (~8% of orders, 2 columns) plans SHUFFLE_HASH and skips sorting
+    # the 120M-row lineitem side (min 6.04 vs 6.29 s, hinted ahead in
+    # all three interleaved sf100 captures, plans/r15/ab_q7_ladder.json);
+    # at sf≤0.1 the band doesn't fire and the plan is unchanged (the
+    # full ladder's broadcast tier measured WORSE there — one extra
+    # build job against the per-action floor, 1/9 pairs).
+    o_f = _shj_if_medium(o_f, sf_dir, "orders")
     return (
         li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
         .filter(pair)

@@ -36,6 +36,45 @@ def test_resolve_master_honors_cpus_env(monkeypatch):
     assert resolve_master() == "local[3]"
 
 
+def test_shj_if_medium_hints_only_the_middle_band(spark, tmp_path):
+    """r15 VERDICT #6 class: `_shj_if_medium` must hint SHUFFLE_HASH
+    ONLY when the bounding table sits between the broadcast cap and the
+    per-build-partition bound — below it the frame stays UNHINTED (the
+    full ladder's broadcast tier measured worse at headline scale:
+    plans/r15/ab_q7_ladder.json), above it unhinted too (memory-unsafe:
+    plans/r15/ab_q10q12_shj_rejected.json), and a missing table fails
+    closed."""
+    from data_iceberg_sandbox_spark.operators.tpch import _shj_if_medium
+
+    df = spark.range(10)
+
+    def analyzed(d):
+        return d._jdf.queryExecution().analyzed().toString()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        small = tmp_path / "sf_small"
+        os.makedirs(small)
+        (small / "orders.parquet").write_bytes(b"x" * 100)
+        assert _shj_if_medium(df, str(small), "orders") is df
+        mid = tmp_path / "sf_mid"
+        os.makedirs(mid)
+        with open(mid / "orders.parquet", "wb") as f:
+            f.truncate(513 * 1024 * 1024)
+        hinted = _shj_if_medium(df, str(mid), "orders")
+        assert hinted is not df
+        assert "SHUFFLE_HASH" in analyzed(hinted).upper()
+        big = tmp_path / "sf_big"
+        os.makedirs(big)
+        with open(big / "orders.parquet", "wb") as f:
+            f.truncate((64 << 20) * 32 + 1)
+        assert _shj_if_medium(df, str(big), "orders") is df
+        assert _shj_if_medium(df, str(tmp_path / "nope"), "orders") is df
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_word_shingles_binds_words_once(spark):
     """VERDICT r14 "what's wrong" #6: word_shingles re-evaluated the
     split expression per shingle index (O(words²) — array HOFs have no
